@@ -1,13 +1,519 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{GraftFunctions, TextFunctions}
+import graft.multimodal.Multimodal
+import graft.operators.{Dedup, Fraud, Similarity, Windows}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory
+  * each entry maps to.
+  *
+  * Oracle-parity conventions (see SURVEY.md §6): double measures are
+  * summed as DECIMAL (exact, order-independent), window starts are
+  * BIGINT epoch seconds, ratios are rounded after exact sums, every
+  * aggregate/computed column is aliased identically here and in the
+  * DuckDB SQL.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
+  private def out2(c: Column): Column = c.cast(DecimalType(38, 2))
+  private def out4(c: Column): Column = c.cast(DecimalType(38, 4))
+  private def tsLit(s: String): Column = lit(s).cast(TimestampType)
+
+  /** Flagship: the reference's fraud pipeline on the events stream —
+    * per-user daily windowed sums above threshold (driver smoke-checks
+    * rows > 0 on sf0.001).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("fraud_alerts")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- B-block: analytics core -------------------------------------
+    "q1_agg" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val disc = lit(1).cast(DecimalType(4, 2)) - dec(col("l_discount"), 4, 2)
+      val charge = lit(1).cast(DecimalType(4, 2)) + dec(col("l_tax"), 4, 2)
+      l.filter(col("l_shipdate") <= tsLit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          out2(sum(dec(col("l_quantity"), 10, 2))).as("sum_qty"),
+          out2(sum(dec(col("l_extendedprice"), 12, 2))).as("sum_base_price"),
+          out4(sum(dec(col("l_extendedprice"), 12, 2) * disc)).as("sum_disc_price"),
+          sum(dec(col("l_extendedprice"), 12, 2) * disc * charge)
+            .cast(DecimalType(38, 6)).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty",
+          round(col("sum_qty").cast(DoubleType) / col("count_order"), 2))
+    }),
+
+    "q3_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir).filter(col("o_orderdate") < tsLit("1996-01-01"))
+      val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > tsLit("1996-01-01"))
+      val rev = dec(col("l_extendedprice"), 12, 2) *
+        (lit(1).cast(DecimalType(4, 2)) - dec(col("l_discount"), 4, 2))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), unix_timestamp(col("o_orderdate")).as("odate"))
+        .agg(out4(sum(rev)).as("revenue"))
+        .select(col("l_orderkey").as("okey"), col("revenue"), col("odate"))
+        .orderBy(col("revenue").desc, col("okey"))
+        .limit(10)
+    }),
+
+    "q5_multijoin" -> ((s, dir) => {
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, dir)
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= tsLit("1996-01-01") &&
+          col("o_orderdate") < tsLit("1997-01-01"))
+      val l = Tables.lineitem(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val rev = dec(col("l_extendedprice"), 12, 2) *
+        (lit(1).cast(DecimalType(4, 2)) - dec(col("l_discount"), 4, 2))
+      // dims broadcast; the only big shuffles are orders⋈lineitem and the agg
+      broadcast(r).join(broadcast(n), col("n_regionkey") === col("r_regionkey"))
+        .join(c, col("c_nationkey") === col("n_nationkey"))
+        .join(o, col("o_custkey") === col("c_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("s_suppkey") === col("l_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(out4(sum(rev)).as("revenue"))
+    }),
+
+    "q_window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          dec(col("o_totalprice"), 12, 2).as("price"), col("rnk"))
+    }),
+
+    "q_semi_anti" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).select(col("o_custkey"))
+      val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        .withColumn("tag", lit("with_orders"))
+      val noO = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        .withColumn("tag", lit("no_orders"))
+      withO.unionByName(noO).select(col("tag"), col("c_mktsegment"), col("n"))
+    }),
+
+    "q_topk" -> ((s, dir) => {
+      val rev = dec(col("l_extendedprice"), 12, 2) *
+        (lit(1).cast(DecimalType(4, 2)) - dec(col("l_discount"), 4, 2))
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_suppkey"))
+        .agg(out4(sum(rev)).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_suppkey"))
+        .limit(15)
+    }),
+
+    "q_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pivoted = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      pivoted.select(col("user_id") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+    }),
+
+    "q_enrich" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .join(broadcast(Tables.customer(s, dir)),
+          col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          out2(sum(dec(col("value"), 10, 2))).as("sum_value"))
+    }),
+
+    // ---- A-block: reference window/fraud surface (batch form) --------
+    "w_tumbling_sum" -> ((s, dir) =>
+      Windows.tumblingAgg(Tables.events(s, dir), "user_id", "ts", "value", 21600)),
+
+    "w_sliding_mean" -> ((s, dir) =>
+      Windows.slidingAgg(Tables.events(s, dir), "event_type", "ts", "value", 3600, 900)),
+
+    "w_sliding_pane" -> ((s, dir) =>
+      Windows.paneSlidingAgg(Tables.events(s, dir), "event_type", "ts", "value", 3600, 900)),
+
+    "w_session" -> ((s, dir) =>
+      Windows.sessionAgg(Tables.events(s, dir), "user_id", "ts", "value", 1800)),
+
+    "w_cumulative" -> ((s, dir) =>
+      Windows.cumulativeWindowSum(Tables.events(s, dir), "user_id", "ts", "value", 86400)),
+
+    "trigger_chunks" -> ((s, dir) =>
+      Windows.triggerChunks(Tables.events(s, dir), "event_type", "ts", "event_id",
+        "value", 86400, 5)),
+
+    "fraud_alerts" -> ((s, dir) =>
+      Fraud.windowAlerts(Tables.events(s, dir), "user_id", "ts", "value", 86400, 300.0)),
+
+    // ---- C-block: training-data pipeline ------------------------------
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir), "doc_id", "text")),
+
+    "dedup_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, minJaccard = 0.1)),
+
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLsh(withPlantedNearDups(Tables.documents(s, dir)),
+        "doc_id", "text", shingleN = 3, k = 32, bands = 8, minEstJaccard = 0.5)),
+
+    "dedup_simhash" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      Dedup.simhash(withPlantedNearDups(Tables.documents(s, dir)),
+        "doc_id", "text", chunks = 8, maxHamming = 7)
+    }),
+
+    "dedup_cosine" -> ((s, dir) =>
+      Similarity.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.3)),
+
+    "ann_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryMaxId = 9, k = 5)),
+
+    "ann_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryMaxId = 9, k = 5, bits = 8)),
+
+    "lang_id" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_pred"),
+        col("lang").as("lang_label"))),
+
+    "text_quality" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_m"),
+        TextFunctions.wordCount(col("text")).as("n_words"),
+        TextFunctions.avgWordLen(col("text")).as("avg_wlen"),
+        TextFunctions.stopwordRatio(col("text")).as("stop_ratio"),
+        TextFunctions.qualityScore(col("text")).as("quality"))),
+
+    "token_count" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFunctions.wordCount(col("text")).as("ws_tokens"),
+        TextFunctions.regexTokenCount(col("text")).as("bpe_tokens"),
+        TextFunctions.estTokenCount(col("text")).as("est_tokens"))),
+
+    "doc_fingerprint" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        graft.functions.GraftFunctions.fingerprint(
+          TextFunctions.words(col("text"))).as("fingerprint"),
+        graft.functions.GraftFunctions.simhash(
+          TextFunctions.words(col("text"))).as("simhash"))
+    }),
+
+    "mm_meta" -> ((s, dir) =>
+      Multimodal.withPayload(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.frames").as("frames"))),
+
+    "mm_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.withPayload(Tables.documents(s, dir), "doc_id", "text"))
+        .toDF())
+  )
+
+  /** Near-dup planting for the minhash/simhash demonstrations: each
+    * 10th document is re-emitted (id + 1,000,000) with its last two
+    * words dropped — a high-Jaccard near-duplicate derived from the
+    * given corpus, so the LSH operators have true positives to find.
+    */
+  private def withPlantedNearDups(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val ws = split(col("text"), " ")
+    val mutated = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", slice(ws, lit(1), greatest(size(ws) - 2, lit(1)))).as("text"))
+    base.unionByName(mutated)
+  }
+
+  // ------------------------------------------------------------------
+  // DuckDB oracles. Same table names as the parquet files; column
+  // aliases match the Spark side exactly. Ops with engine-internal
+  // hashes (minhash, simhash, lsh, langid, fingerprint, mm decode)
+  // are intentionally omitted → driver records a rows-only check.
+  // ------------------------------------------------------------------
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS sum_charge,
+        |  COUNT(*) AS count_order,
+        |  round(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS DOUBLE) / COUNT(*), 2) AS avg_qty
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_join" ->
+      """SELECT l_orderkey AS okey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue,
+        |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS odate
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
+        |  AND l_shipdate > TIMESTAMP '1996-01-01'
+        |GROUP BY l_orderkey, odate
+        |ORDER BY revenue DESC, okey
+        |LIMIT 10""".stripMargin,
+
+    "q5_multijoin" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  CAST(o_totalprice AS DECIMAL(12,2)) AS price, rnk
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3""".stripMargin,
+
+    "q_semi_anti" ->
+      """SELECT 'with_orders' AS tag, c_mktsegment, COUNT(*) AS n
+        |FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment
+        |UNION ALL
+        |SELECT 'no_orders' AS tag, c_mktsegment, COUNT(*) AS n
+        |FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_topk" ->
+      """SELECT l_suppkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue
+        |FROM lineitem
+        |GROUP BY l_suppkey
+        |ORDER BY revenue DESC, l_suppkey
+        |LIMIT 15""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_enrich" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "w_tumbling_sum" ->
+      """SELECT user_id,
+        |  (CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600 AS ws,
+        |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS sum_val,
+        |  COUNT(*) AS cnt
+        |FROM events GROUP BY user_id, ws""".stripMargin,
+
+    "w_sliding_mean" ->
+      """SELECT event_type, ws, sum_val, cnt,
+        |  CAST(sum_val * 100 AS BIGINT) // cnt AS mean_cents
+        |FROM (
+        |  SELECT event_type,
+        |    ((CAST(floor(epoch(ts)) AS BIGINT) // 900) - g.g) * 900 AS ws,
+        |    CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS sum_val,
+        |    COUNT(*) AS cnt
+        |  FROM events, range(4) g(g)
+        |  GROUP BY event_type, ws)""".stripMargin,
+
+    "w_sliding_pane" ->
+      """SELECT event_type, ws, sum_val, cnt,
+        |  CAST(sum_val * 100 AS BIGINT) // cnt AS mean_cents
+        |FROM (
+        |  SELECT event_type,
+        |    ((CAST(floor(epoch(ts)) AS BIGINT) // 900) - g.g) * 900 AS ws,
+        |    CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS sum_val,
+        |    COUNT(*) AS cnt
+        |  FROM events, range(4) g(g)
+        |  GROUP BY event_type, ws)""".stripMargin,
+
+    "w_session" ->
+      """WITH t AS (
+        |  SELECT user_id, value, event_id, epoch(ts) AS te,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(te) OVER w IS NULL
+        |                   OR te - lag(te) OVER w >= 1800 THEN 1 ELSE 0 END AS brk
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY te, event_id)),
+        |g AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY te, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM m)
+        |SELECT user_id, MIN(tsec) AS sess_start,
+        |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS sum_val,
+        |  COUNT(*) AS cnt
+        |FROM g GROUP BY user_id, grp""".stripMargin,
+
+    "w_cumulative" ->
+      """WITH w AS (
+        |  SELECT user_id,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS ws,
+        |    CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS sum_val
+        |  FROM events GROUP BY user_id, ws)
+        |SELECT user_id, ws, sum_val,
+        |  CAST(SUM(sum_val) OVER (PARTITION BY user_id ORDER BY ws
+        |                          ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS running_sum
+        |FROM w""".stripMargin,
+
+    "trigger_chunks" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS ws,
+        |    row_number() OVER (PARTITION BY event_type,
+        |        (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT event_type, ws, (rn - 1) // 5 AS chunk,
+        |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS sum_val,
+        |  COUNT(*) AS cnt,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) * 100 AS BIGINT) // COUNT(*) AS mean_cents
+        |FROM r GROUP BY event_type, ws, chunk""".stripMargin,
+
+    "fraud_alerts" ->
+      """SELECT user_id,
+        |  (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS ws,
+        |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS sum_val,
+        |  COUNT(*) AS cnt
+        |FROM events GROUP BY user_id, ws
+        |HAVING CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) > 300""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
+        |  length(text) AS text_len
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "dedup_jaccard" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS sh
+        |  FROM w a
+        |  JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+        |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id)
+        |SELECT id_a, id_b,
+        |  round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 3) AS jaccard
+        |FROM inter
+        |JOIN sz sa ON sa.doc_id = id_a
+        |JOIN sz sb ON sb.doc_id = id_b
+        |WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 3) >= 0.1""".stripMargin,
+
+    "dedup_cosine" ->
+      """WITH d AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(SUM(v*v)) AS nrm FROM d GROUP BY vec_id),
+        |dot AS (
+        |  SELECT x.vec_id AS id_a, y.vec_id AS id_b, SUM(x.v*y.v) AS dp
+        |  FROM d x JOIN d y ON x.i = y.i AND x.vec_id < y.vec_id
+        |  GROUP BY x.vec_id, y.vec_id)
+        |SELECT id_a, id_b,
+        |  round(dp / (na.nrm * nb.nrm), 3) AS cosine
+        |FROM dot
+        |JOIN n na ON na.vec_id = id_a
+        |JOIN n nb ON nb.vec_id = id_b
+        |WHERE dp / (na.nrm * nb.nrm) >= 0.3""".stripMargin,
+
+    "ann_topk" ->
+      """WITH d AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(SUM(v*v)) AS nrm FROM d GROUP BY vec_id),
+        |dot AS (
+        |  SELECT q.vec_id AS q_id, x.vec_id AS id, SUM(q.v*x.v) AS dp
+        |  FROM d q JOIN d x ON q.i = x.i AND q.vec_id <= 9 AND x.vec_id <> q.vec_id
+        |  GROUP BY q.vec_id, x.vec_id),
+        |scored AS (
+        |  SELECT q_id, id, dp / (nq.nrm * nx.nrm) AS sim
+        |  FROM dot JOIN n nq ON nq.vec_id = q_id JOIN n nx ON nx.vec_id = id),
+        |ranked AS (
+        |  SELECT q_id, id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, id) AS rank
+        |  FROM scored)
+        |SELECT q_id, id AS neighbor_id, rank, round(sim, 3) AS cosine
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars_m,
+        |  len(string_split(text, ' ')) AS n_words,
+        |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |        / greatest(len(string_split(text, ' ')), 1), 3) AS avg_wlen,
+        |  round(CAST(len(list_filter(string_split(text, ' '),
+        |          w -> w IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |        / greatest(len(string_split(text, ' ')), 1), 3) AS stop_ratio,
+        |  round(
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
+        |    (CASE WHEN round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |        / greatest(len(string_split(text, ' ')), 1), 3) BETWEEN 3.0 AND 9.0
+        |        THEN 1.0 ELSE 0.5 END) * 0.3 +
+        |    least(round(CAST(len(list_filter(string_split(text, ' '),
+        |          w -> w IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |        / greatest(len(string_split(text, ' ')), 1), 3) * 4.0, 1.0) * 0.3,
+        |  3) AS quality
+        |FROM documents""".stripMargin,
+
+    "token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS bpe_tokens,
+        |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4) AS BIGINT) AS est_tokens
+        |FROM documents""".stripMargin,
+
+    "mm_meta" ->
+      """SELECT doc_id,
+        |  strlen(text) AS n_bytes,
+        |  strlen(text) % 64 + 16 AS width,
+        |  (strlen(text) * 7) % 64 + 16 AS height,
+        |  strlen(text) % 10 + 1 AS frames
+        |FROM documents""".stripMargin
+  )
 }

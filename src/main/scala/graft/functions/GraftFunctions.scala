@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Registration of graft's custom Catalyst expressions.
+  *
+  * The kernels in [[Kernels]] are wired in as `StaticInvoke`
+  * expressions — Catalyst treats them as ordinary deterministic
+  * expressions (constant-folded when inputs are literal, inlined into
+  * whole-stage codegen as direct static calls), which beats a Scala
+  * UDF (no encoder round-trip, no closure serialization).
+  *
+  * Registered once per session under stable SQL names so both the
+  * Column DSL and `spark.sql` can use them.
+  */
+object GraftFunctions {
+
+  val SimHashName = "graft_simhash64"
+  val FingerprintName = "graft_fingerprint64"
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(SimHashName, exprs =>
+      StaticInvoke(Kernels.getClass, LongType, "simhash64",
+        exprs, Seq(ArrayType(StringType)), returnNullable = false),
+      "built-in")
+    registry.createOrReplaceTempFunction(FingerprintName, exprs =>
+      StaticInvoke(Kernels.getClass, LongType, "fingerprint64",
+        exprs, Seq(ArrayType(StringType)), returnNullable = false),
+      "built-in")
+  }
+
+  /** 64-bit SimHash of an array<string> column. */
+  def simhash(tokens: Column): Column = call_function(SimHashName, tokens)
+
+  /** Rolling-hash fingerprint of an array<string> column. */
+  def fingerprint(tokens: Column): Column = call_function(FingerprintName, tokens)
+
+  /** Hamming distance between two bigint signature columns (native
+    * expressions: XOR + popcount via bit_count).
+    */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis building blocks for a training-data pipeline, all
+  * expressed with native `functions._` / higher-order functions so
+  * they stay inside whole-stage codegen — no UDFs in the scan path.
+  *
+  * Oracle-parity note: functions used by SQL-oracled queries stick to
+  * arithmetic expressible identically in DuckDB (split on single
+  * space, char counts via replace, simple regex classes).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of a single-spaced text column. */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Contiguous word n-gram shingles (distinct), the unit of MinHash /
+    * Jaccard dedup. Native HOF: transform over start positions.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ws = words(text)
+    // guard: sequence(1, stop) with stop < 1 would DESCEND in Spark
+    when(size(ws) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(ws) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** Number of whitespace tokens. */
+  def wordCount(text: Column): Column = size(words(text))
+
+  /** BPE-ish token estimate: alpha runs + digit runs + isolated
+    * non-alphanumeric marks (the classic "a token is a word piece or
+    * a symbol" regex), plus the chars/4 heuristic as `est` variant.
+    */
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"))
+
+  def estTokenCount(text: Column): Column =
+    ceil(length(text).cast(DoubleType) / 4).cast(LongType)
+
+  private val Stopwords =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Fraction of tokens that are common English stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val ws = words(text)
+    round(
+      size(filter(ws, w => w.isin(Stopwords.map(lit): _*))).cast(DoubleType) /
+        greatest(size(ws), lit(1)),
+      3)
+  }
+
+  /** Mean token length (chars excluding separators / token count). */
+  def avgWordLen(text: Column): Column = {
+    val nonSpaceChars = length(regexp_replace(text, lit(" "), lit("")))
+    round(nonSpaceChars.cast(DoubleType) / greatest(wordCount(text), lit(1)), 3)
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length documents,
+    * plausible word lengths and a natural stopword rate — the
+    * standard cheap pre-filter before expensive dedup/classification.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast(DoubleType) / 500.0, lit(1.0))
+    val wl = avgWordLen(text)
+    val wlScore = when(wl.between(3.0, 9.0), 1.0).otherwise(0.5)
+    val swScore = least(stopwordRatio(text) * lit(4.0), lit(1.0))
+    round(lenScore * 0.4 + wlScore * 0.3 + swScore * 0.3, 3)
+  }
+
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "pt" -> Seq("o", "a", "de", "que", "e", "do", "da", "em"))
+
+  /** Heuristic language ID: occurrence count of per-language marker
+    * stopwords, argmax with deterministic (score desc, code asc)
+    * tie-break; "und" (undetermined) when nothing matches.
+    */
+  def langId(text: Column): Column = {
+    val ws = words(text)
+    val scored: Seq[(String, Column)] = LangMarkers.map { case (code, markers) =>
+      code -> size(filter(ws, w => w.isin(markers.map(lit): _*)))
+    }
+    val best = greatest(scored.map(_._2): _*)
+    val pick = scored.foldRight(lit("und")) { case ((code, score), acc) =>
+      when(score === best && best > 0, lit(code)).otherwise(acc)
+    }
+    // foldRight keeps the FIRST (alphabetically-ordered seq) match on
+    // ties: en < es < fr < de? — markers seq order is the tie order.
+    pick
+  }
+}

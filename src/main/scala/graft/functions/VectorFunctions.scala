@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dense-vector math over `array<float>` embedding columns, built
+  * from native higher-order functions (`zip_with` / `aggregate` /
+  * `transform`) so everything is codegen'd — no UDFs, no boxing of
+  * whole vectors through Scala closures.
+  *
+  * Floats are widened to double before any arithmetic so results
+  * match a double-precision oracle bit-for-bit up to summation order.
+  */
+object VectorFunctions {
+
+  def toDouble(v: Column): Column = transform(v, x => x.cast(DoubleType))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, z) => acc + z)
+
+  def norm2(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, z) => acc + z))
+
+  /** Cosine similarity of two double-array columns. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Cosine when per-row norms were precomputed (pair-join fast path:
+    * norms are computed once per vector, not once per pair).
+    */
+  def cosinePrenormed(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  /** Random-hyperplane signature (Charikar LSH): bit j is the sign of
+    * <v, r_j> for a fixed ±1 hyperplane r_j drawn from a seeded PRNG
+    * at plan-build time (deterministic across runs). Returns an
+    * integer bucket in [0, 2^bits).
+    */
+  def hyperplaneSignature(v: Column, dim: Int, bits: Int, seed: Long): Column = {
+    val rng = new scala.util.Random(seed)
+    val planes: Seq[Array[Double]] =
+      Seq.fill(bits)(Array.fill(dim)(if (rng.nextBoolean()) 1.0 else -1.0))
+    planes.zipWithIndex.map { case (plane, j) =>
+      val planeCol = array(plane.map(lit): _*)
+      when(dot(v, planeCol) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+}

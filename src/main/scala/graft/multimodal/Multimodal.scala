@@ -1,0 +1,113 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-document media feature record produced by the decode stage. */
+case class MediaFeatures(
+    doc_id: Long,
+    n_bytes: Int,
+    n_frames: Int,
+    features: Array[Float])
+
+/** Multimodal column handling: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, plus a batched
+  * decode/feature-extract stage.
+  *
+  * The container has no image/audio codecs, so `decodeFrame` is a
+  * clearly-marked deterministic STUB; everything Spark-side — the
+  * schema (binary payload + metadata struct), the partition-local
+  * batched iteration shape, and the typed output — is real and
+  * tested. Swapping in a real decoder (JPEG/WAV/etc.) changes only
+  * the stub body.
+  *
+  * Scale notes: payloads never pass through a shuffle here —
+  * mapPartitions is narrow; feature extraction batches `batchSize`
+  * payloads at a time, the shape a vectorized/native decoder wants.
+  * Metadata (tiny) can be split from payloads (huge) into separate
+  * column families/files by the writer, so metadata-only queries
+  * never read payload bytes (parquet column pruning gives this for
+  * free with separate columns).
+  */
+object Multimodal {
+
+  /** Attach a binary `payload` column and a `meta` struct. The
+    * payload here is the UTF-8 document text standing in for real
+    * media bytes; metadata fields are derived arithmetically so an
+    * SQL oracle can check the plumbing end-to-end.
+    */
+  def withPayload(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val payload = encode(col(textCol), "UTF-8")
+    docs.select(
+      col(idCol).as("doc_id"),
+      payload.as("payload"),
+      struct(
+        octet_length(col(textCol)).as("n_bytes"),
+        (pmod(octet_length(col(textCol)), lit(64)) + 16).as("width"),
+        (pmod(octet_length(col(textCol)) * 7, lit(64)) + 16).as("height"),
+        (pmod(octet_length(col(textCol)), lit(10)) + 1).as("frames")).as("meta"))
+  }
+
+  /** ======== STUB: media decode =========================
+    * A real implementation would decode `payload` (JPEG/PNG/WAV/MP4
+    * frame) with a native library and emit pixel/sample frames. This
+    * deterministic stand-in treats the payload bytes as one "frame"
+    * per `frames` metadata slice.
+    */
+  private[multimodal] def decodeFrame(payload: Array[Byte], frame: Int,
+                                      nFrames: Int): Array[Byte] = {
+    val chunk = math.max(1, payload.length / math.max(1, nFrames))
+    val from = math.min(frame * chunk, payload.length)
+    val until = if (frame == nFrames - 1) payload.length
+                else math.min(from + chunk, payload.length)
+    java.util.Arrays.copyOfRange(payload, from, until)
+  }
+
+  /** Deterministic 16-bin byte histogram, normalized — the stand-in
+    * "feature vector" a real embedding model would produce.
+    */
+  private[multimodal] def frameFeatures(frame: Array[Byte]): Array[Float] = {
+    val bins = new Array[Float](16)
+    var i = 0
+    while (i < frame.length) {
+      bins((frame(i) & 0xFF) >> 4) += 1f
+      i += 1
+    }
+    if (frame.length > 0) {
+      var j = 0
+      while (j < 16) { bins(j) /= frame.length; j += 1 }
+    }
+    bins
+  }
+
+  /** Batched decode + feature extraction over (doc_id, payload,
+    * frames). Partition-local: payloads are processed in groups of
+    * `batchSize` (the batch shape a vectorized decoder needs),
+    * features are frame-mean histograms.
+    */
+  def extractFeatures(withPayload: DataFrame, batchSize: Int = 64): Dataset[MediaFeatures] = {
+    implicit val outEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
+    implicit val inEnc: Encoder[(Long, Array[Byte], Int)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY, Encoders.scalaInt)
+    withPayload
+      .select(col("doc_id"), col("payload"), col("meta.frames"))
+      .as[(Long, Array[Byte], Int)]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // batch boundary: a real decoder would process `batch` as
+          // one vectorized call; the stub decodes per payload.
+          batch.iterator.map { case (id, payload, nFrames) =>
+            val perFrame = (0 until nFrames).map(f =>
+              frameFeatures(decodeFrame(payload, f, nFrames)))
+            val mean = new Array[Float](16)
+            perFrame.foreach { fv =>
+              var j = 0
+              while (j < 16) { mean(j) += fv(j) / nFrames; j += 1 }
+            }
+            MediaFeatures(id, payload.length, nFrames, mean)
+          }
+        }
+      }
+  }
+}

@@ -1,0 +1,26 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Threshold fraud detection — the reference's core semantic: alert
+  * whenever a per-account windowed transaction sum exceeds a
+  * threshold (FraudDetector2.java:22-30 with FRAUD_THRESHOLD=10000
+  * over per-window sums; FraudDetector.java:94-119 with a 5 s timer
+  * buffer).
+  *
+  * Batch form: tumbling-window sum per key, filtered on the
+  * threshold. The filter sits above a partial-aggregated shuffle, so
+  * at 100 TB the only wide exchange is the (key, window) aggregation;
+  * alerts are a tiny filtered result.
+  */
+object Fraud {
+
+  /** Per (key, tumbling window) sums exceeding `threshold`. */
+  def windowAlerts(events: DataFrame, key: String, tsCol: String,
+                   valCol: String, sizeSec: Long, threshold: Double): DataFrame =
+    Windows.tumblingAgg(events, key, tsCol, valCol, sizeSec)
+      .filter(col("sum_val") > lit(threshold).cast(Windows.DecOut))
+      .select(col(key), col("ws"), col("sum_val"), col("cnt"))
+}

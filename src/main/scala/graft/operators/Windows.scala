@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-time window aggregation operators.
+  *
+  * Re-expresses the reference's custom window assigners Spark-first:
+  *  - tumbling per-key SUM (reference: InorderTumblingWindow/
+  *    CustomTumblingWindow.java:33-77 + FraudDetectionJob.java:124-165)
+  *  - sliding per-key MEAN (reference: InorderTumblingWindow/
+  *    CustomSlidingWindow.java:25-127)
+  *  - pane/slice-optimized sliding aggregation — the reference slices
+  *    sliding windows into panes of gcd(size, slide), accumulates per
+  *    pane, and combines panes per window. Here that becomes a
+  *    two-level relational aggregation: pre-aggregate per tumbling
+  *    pane (1x the input, full map-side partial aggregation), explode
+  *    each pane to the windows that contain it, and combine the
+  *    already-tiny partials. The naive plan replicates every input row
+  *    size/slide times *before* the shuffle; the pane plan replicates
+  *    only pane partials, which is the whole point at 100 TB.
+  *  - incremental window-sum merge across firings (reference persists
+  *    windowStart_accountId sums in RocksDB and re-adds; batch analog
+  *    is the per-key running total over window sums)
+  *  - count-or-time hybrid trigger chunks (reference: CustomTrigger
+  *    .java:35-55 fires every maxCount elements or at window end;
+  *    batch analog chunks each window's elements by arrival rank)
+  *
+  * Conventions for oracle parity: window starts are emitted as BIGINT
+  * epoch seconds; double measures are summed as DECIMAL (exact and
+  * summation-order independent); ratios are rounded after exact sums.
+  */
+object Windows {
+
+  val Dec: DecimalType = DecimalType(18, 2)
+  val DecOut: DecimalType = DecimalType(38, 2)
+
+  /** Epoch-aligned window start (BIGINT seconds) for a timestamp. */
+  def windowStart(ts: Column, sizeSec: Long): Column =
+    (floor(unix_timestamp(ts) / sizeSec) * sizeSec).cast(LongType)
+
+  /** Keyed tumbling-window SUM + count; the fraud pipeline's core
+    * aggregation. One shuffle on (key, window); partial aggregation
+    * happens map-side before it.
+    */
+  def tumblingAgg(events: DataFrame, key: String, tsCol: String,
+                  valCol: String, sizeSec: Long): DataFrame =
+    events
+      .groupBy(col(key), windowStart(col(tsCol), sizeSec).as("ws"))
+      .agg(
+        sum(col(valCol).cast(Dec)).cast(DecOut).as("sum_val"),
+        count(lit(1)).as("cnt"))
+
+  /** Keyed sliding-window aggregation via the built-in assigner.
+    * Spark explodes each row into size/slide windows, then shuffles
+    * on (key, window). Baseline for `paneSlidingAgg`.
+    */
+  def slidingAgg(events: DataFrame, key: String, tsCol: String,
+                 valCol: String, sizeSec: Long, slideSec: Long): DataFrame =
+    events
+      .groupBy(col(key),
+        window(col(tsCol), s"$sizeSec seconds", s"$slideSec seconds").as("w"))
+      .agg(
+        sum(col(valCol).cast(Dec)).cast(DecOut).as("sum_val"),
+        count(lit(1)).as("cnt"))
+      .select(
+        col(key),
+        unix_timestamp(col("w.start")).as("ws"),
+        col("sum_val"), col("cnt"),
+        expr("cast(sum_val * 100 as bigint) div cnt").as("mean_cents"))
+
+  /** Pane/slice-optimized sliding-window aggregation (same result set
+    * as [[slidingAgg]]).
+    *
+    * Phase 1: tumbling pre-aggregation per pane of gcd(size, slide) —
+    * input touched once, map-side combine applies.
+    * Phase 2: explode each pane partial to the (≤ ceil(size/slide)+1)
+    * windows containing it and combine partials.
+    *
+    * Window boundaries are slide-aligned and pane divides slide, so a
+    * pane is wholly inside a window iff ws <= paneStart and
+    * paneStart + pane <= ws + size — which makes pane partials
+    * lossless (reference: CustomSlidingWindow.java pane slicing).
+    */
+  def paneSlidingAgg(events: DataFrame, key: String, tsCol: String,
+                     valCol: String, sizeSec: Long, slideSec: Long): DataFrame = {
+    val paneSec = gcd(sizeSec, slideSec)
+    val maxJ = (sizeSec + slideSec - 1) / slideSec // ceil(size/slide)
+
+    val panePartials = events
+      .groupBy(col(key), windowStart(col(tsCol), paneSec).as("pane"))
+      .agg(
+        sum(col(valCol).cast(Dec)).as("psum"),
+        count(lit(1)).as("pcnt"))
+
+    // candidate ws values: slide-aligned at/below pane start, walking
+    // back while the pane still fits in [ws, ws + size)
+    val aligned = (floor(col("pane") / slideSec) * slideSec).cast(LongType)
+    val wsCandidates = filter(
+      transform(sequence(lit(0L), lit(maxJ)), j => aligned - j * slideSec),
+      ws => ws + sizeSec >= col("pane") + paneSec && ws <= col("pane"))
+
+    panePartials
+      .select(col(key), explode(wsCandidates).as("ws"), col("psum"), col("pcnt"))
+      .groupBy(col(key), col("ws"))
+      .agg(sum(col("psum")).cast(DecOut).as("sum_val"), sum(col("pcnt")).as("cnt"))
+      .select(
+        col(key), col("ws"), col("sum_val"), col("cnt"),
+        expr("cast(sum_val * 100 as bigint) div cnt").as("mean_cents"))
+  }
+
+  /** Gap-based session windows per key (generalizes the reference's
+    * 5 s event-time timer buffer, FraudDetector.java:94-119).
+    */
+  def sessionAgg(events: DataFrame, key: String, tsCol: String,
+                 valCol: String, gapSec: Long): DataFrame =
+    events
+      .groupBy(col(key), session_window(col(tsCol), s"$gapSec seconds").as("w"))
+      .agg(
+        sum(col(valCol).cast(Dec)).cast(DecOut).as("sum_val"),
+        count(lit(1)).as("cnt"))
+      .select(
+        col(key),
+        unix_timestamp(col("w.start")).as("sess_start"),
+        col("sum_val"), col("cnt"))
+
+  /** Per-key running total across tumbling windows, ordered by window
+    * start — the batch analog of the reference merging each fired
+    * window sum with the prior sum persisted under
+    * `windowStart_accountId` in RocksDB (FraudDetectionJob.java:128-160).
+    */
+  def cumulativeWindowSum(events: DataFrame, key: String, tsCol: String,
+                          valCol: String, sizeSec: Long): DataFrame = {
+    val perWindow = tumblingAgg(events, key, tsCol, valCol, sizeSec)
+    val w = Window.partitionBy(col(key)).orderBy(col("ws"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perWindow.select(
+      col(key), col("ws"), col("sum_val"),
+      sum(col("sum_val")).over(w).cast(DecOut).as("running_sum"))
+  }
+
+  /** Count-or-time hybrid trigger, batch analog: within each (key,
+    * tumbling window), elements ordered by (ts, tieBreak) are emitted
+    * as partial aggregates every `maxCount` elements, with a final
+    * (possibly short) chunk at window end — the firing pattern of the
+    * reference's CustomTrigger(maxCount) which keeps incremental
+    * sum/count in ValueState and FIRE_AND_PURGEs every maxCount or at
+    * window close (CustomTrigger.java:35-55).
+    */
+  def triggerChunks(events: DataFrame, key: String, tsCol: String,
+                    tieBreak: String, valCol: String,
+                    sizeSec: Long, maxCount: Int): DataFrame = {
+    val ws = windowStart(col(tsCol), sizeSec).as("ws")
+    val rankW = Window.partitionBy(col(key), col("ws"))
+      .orderBy(col(tsCol), col(tieBreak))
+    events
+      .select(col(key), ws, col(tsCol), col(tieBreak), col(valCol))
+      .withColumn("chunk",
+        floor((row_number().over(rankW) - 1) / maxCount).cast(LongType))
+      .groupBy(col(key), col("ws"), col("chunk"))
+      .agg(
+        sum(col(valCol).cast(Dec)).cast(DecOut).as("sum_val"),
+        count(lit(1)).as("cnt"))
+      .withColumn("mean_cents",
+        expr("cast(sum_val * 100 as bigint) div cnt"))
+  }
+
+  @annotation.tailrec
+  def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+}
