@@ -20,6 +20,7 @@ object GraftFunctions {
 
   val SimHashName = "graft_simhash64"
   val FingerprintName = "graft_fingerprint64"
+  val DotName = "graft_dot"
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -31,7 +32,15 @@ object GraftFunctions {
       StaticInvoke(Kernels.getClass, LongType, "fingerprint64",
         exprs, Seq(ArrayType(StringType)), returnNullable = false),
       "built-in")
+    registry.createOrReplaceTempFunction(DotName, exprs =>
+      StaticInvoke(Kernels.getClass, DoubleType, "dotProduct",
+        exprs, Seq(ArrayType(DoubleType), ArrayType(DoubleType)),
+        returnNullable = false),
+      "built-in")
   }
+
+  /** Codegen'd dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column = call_function(DotName, a, b)
 
   /** 64-bit SimHash of an array<string> column. */
   def simhash(tokens: Column): Column = call_function(SimHashName, tokens)

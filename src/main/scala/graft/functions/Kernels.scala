@@ -73,4 +73,20 @@ object Kernels {
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Dot product of two double arrays — the pair-join hot path. A
+    * `zip_with`+`aggregate` HOF formulation allocates an intermediate
+    * array per pair; this is a tight primitive loop over ArrayData.
+    */
+  def dotProduct(a: ArrayData, b: ArrayData): Double = {
+    if (a == null || b == null) return 0d
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0d
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
 }

@@ -16,8 +16,13 @@ object VectorFunctions {
 
   def toDouble(v: Column): Column = transform(v, x => x.cast(DoubleType))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, z) => acc + z)
+  /** Dot product — delegates to the codegen'd [[Kernels.dotProduct]]
+    * kernel (a zip_with/aggregate HOF allocates an intermediate array
+    * per evaluation, which dominated the pair-join benchmarks; the
+    * kernel is a tight primitive loop). Callers must have run
+    * [[GraftFunctions.register]] on the session.
+    */
+  def dot(a: Column, b: Column): Column = GraftFunctions.dot(a, b)
 
   def norm2(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, z) => acc + z))

@@ -27,15 +27,29 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"), length(col(textCol)).as("text_len"))
 
-  /** MinHash signature: k minima of per-seed hashes over the
-    * document's distinct word n-gram shingles (Broder 1997). All
-    * native HOFs: `array_min(transform(shingles, xxhash64(seed, _)))`.
+  /** MinHash signatures: k minima of per-seed hashes over each
+    * document's distinct word n-gram shingles (Broder 1997).
+    *
+    * Formulated as explode(shingles) → groupBy(doc) with k `min`
+    * aggregates rather than k `array_min(transform(...))` expressions:
+    * lambda HOFs are excluded from Spark's subexpression elimination,
+    * so the array form recomputes the shingle array k times (measured
+    * 30x slower). The aggregate form builds shingles once, computes
+    * the k hashes per shingle, and partial-aggregates map-side — the
+    * shuffle carries one k-wide row per (doc, partition).
     */
-  def minhashSignature(text: Column, shingleN: Int, k: Int): Column =
-    array((0 until k).map { i =>
-      array_min(transform(TextFunctions.wordShingles(text, shingleN),
-        s => xxhash64(lit(i), s)))
-    }: _*)
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int, k: Int): DataFrame = {
+    val exploded = docs
+      .filter(TextFunctions.wordCount(col(textCol)) >= shingleN)
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.wordShingles(col(textCol), shingleN)).as("sh"))
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"m$i"))
+    exploded.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** MinHash + LSH near-duplicate pairs.
     *
@@ -50,10 +64,7 @@ object Dedup {
                  minEstJaccard: Double = 0.5): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    val withSig = docs
-      .filter(TextFunctions.wordCount(col(textCol)) >= shingleN)
-      .select(col(idCol).as("doc_id"),
-        minhashSignature(col(textCol), shingleN, k).as("sig"))
+    val withSig = minhashSignatures(docs, idCol, textCol, shingleN, k)
 
     val banded = withSig.select(
       col("doc_id"), col("sig"),

@@ -19,10 +19,12 @@ import org.apache.spark.sql.types._
 object Similarity {
 
   /** Adds `vecd` (double widened) and `nrm` columns. */
-  def withNorm(embeddings: DataFrame, vecCol: String): DataFrame =
+  def withNorm(embeddings: DataFrame, vecCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     embeddings
       .withColumn("vecd", toDouble(col(vecCol)))
       .withColumn("nrm", norm2(col("vecd")))
+  }
 
   /** All pairs with cosine >= minSim — the exact near-dup baseline.
     * Deliberately a (broadcast) nested-loop pair join: correct at test
@@ -62,25 +64,38 @@ object Similarity {
         round(col("sim"), 3).as("cosine"))
   }
 
-  /** Approximate top-k: bucket the corpus by random-hyperplane
-    * signature, search only the query's bucket. One equi-join shuffle
-    * on the signature instead of a full scan per query. Recall is
-    * checked against [[bruteForceTopK]] in the spec.
+  /** Approximate top-k via random-hyperplane LSH with the standard
+    * AND-OR construction: `tables` independent signatures of `bits`
+    * hyperplanes each (AND within a table, OR across tables). A pair
+    * with angular similarity p collides in ≥1 table w.p.
+    * 1-(1-p^bits)^tables — tables trades recall against candidate
+    * volume. Candidates come from equi-joins on (table, bucket), so a
+    * probe touches ~tables/2^bits of the corpus instead of scanning
+    * it; recall vs [[bruteForceTopK]] is checked in the spec.
     */
   def lshTopK(embeddings: DataFrame, idCol: String, vecCol: String,
-              queryMaxId: Long, k: Int, bits: Int = 8,
+              queryMaxId: Long, k: Int, bits: Int = 8, tables: Int = 8,
               seed: Long = 42L): DataFrame = {
     val e = withNorm(embeddings, vecCol)
       .select(col(idCol).as("id"), col("vecd"), col("nrm"))
-      .withColumn("bucket", hyperplaneSignature(col("vecd"), dim = 64,
-        bits = bits, seed = seed))
+      .withColumn("tb", explode(array((0 until tables).map { t =>
+        struct(lit(t).as("t"),
+          hyperplaneSignature(col("vecd"), dim = 64, bits = bits,
+            seed = seed + t * 7919).as("bucket"))
+      }: _*)))
+      .select(col("id"), col("vecd"), col("nrm"),
+        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
     val queries = e.filter(col("id") <= queryMaxId)
       .select(col("id").as("q_id"), col("vecd").as("q_vec"),
-        col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
-    val scored = e.join(broadcast(queries),
-        col("bucket") === col("q_bucket") && col("id") =!= col("q_id"))
-      .withColumn("sim",
-        cosinePrenormed(col("vecd"), col("q_vec"), col("nrm"), col("q_nrm")))
+        col("nrm").as("q_nrm"), col("t").as("q_t"), col("bucket").as("q_bucket"))
+    val candidates = e.join(broadcast(queries),
+        col("t") === col("q_t") && col("bucket") === col("q_bucket") &&
+          col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id"), col("vecd"), col("nrm"),
+        col("q_vec"), col("q_nrm"))
+      .dropDuplicates("q_id", "id") // OR across tables
+    val scored = candidates.withColumn("sim",
+      cosinePrenormed(col("vecd"), col("q_vec"), col("nrm"), col("q_nrm")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("id"))
     scored
       .withColumn("rank", row_number().over(w))

@@ -1,0 +1,148 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming re-expression of the reference's streaming
+  * fraud jobs ({Inorder,OutofOrder}{Tumbling,Sliding} FraudDetectionJob).
+  *
+  * Mapping (SURVEY.md §4):
+  *  - ascending / bounded-out-of-orderness watermarks →
+  *    `withWatermark(ts, 0s / 5s)`; late rows beyond the watermark are
+  *    dropped by Spark exactly like Flink discards late elements.
+  *  - custom tumbling/sliding window assigner + event-time trigger →
+  *    `groupBy(window(...))` in append mode (emits when the watermark
+  *    passes window end — the FIRE_AND_PURGE of
+  *    CustomTumblingTrigger.java:33-89).
+  *  - ValueState/ListState + event-time timers (FraudDetector.java) →
+  *    `flatMapGroupsWithState` with `EventTimeTimeout` GroupState.
+  *  - RocksDB state backend → RocksDBStateStoreProvider (see
+  *    [[GraftStreams]]).
+  */
+object StreamingFraud {
+
+  /** Tumbling per-account sums with threshold alerts — the
+    * FraudDetectionJob pipeline (window sum → FraudDetector2
+    * threshold). Append mode: a window emits once, when the watermark
+    * passes its end.
+    */
+  def tumblingAlerts(tx: DataFrame, sizeSec: Long, threshold: Double,
+                     watermarkDelay: String = "5 seconds"): DataFrame =
+    tx.withWatermark("ts", watermarkDelay)
+      .groupBy(col("accountId"), window(col("ts"), s"$sizeSec seconds").as("w"))
+      .agg(sum(col("amount")).as("total"), count(lit(1)).as("cnt"))
+      .filter(col("total") > threshold)
+      .select(col("accountId"),
+        unix_millis(col("w.start")).as("windowStartMs"),
+        col("total"), col("cnt"))
+
+  /** Sliding per-account mean (CustomSlidingWindow semantics): Spark's
+    * sliding `window` already evaluates via per-slide panes in the
+    * state store, the slicing the reference implements by hand.
+    */
+  def slidingMeans(tx: DataFrame, sizeSec: Long, slideSec: Long,
+                   watermarkDelay: String = "5 seconds"): DataFrame =
+    tx.withWatermark("ts", watermarkDelay)
+      .groupBy(col("accountId"),
+        window(col("ts"), s"$sizeSec seconds", s"$slideSec seconds").as("w"))
+      .agg(avg(col("amount")).as("mean_amount"), count(lit(1)).as("cnt"))
+      .select(col("accountId"), unix_millis(col("w.start")).as("windowStartMs"),
+        col("mean_amount"), col("cnt"))
+
+  /** Buffered records per account between timer firings — mirrors the
+    * reference FraudDetector's ListState buffer + sum ValueState.
+    */
+  case class DetectorState(firstTsMs: Long, sum: Double, cnt: Long)
+
+  /** Event-time timer fraud detector — the reference FraudDetector
+    * (FraudDetector.java:69-119): buffer transactions per account,
+    * register an event-time timer `windowSec` after the first buffered
+    * element, and when the watermark passes it, alert if the buffered
+    * sum exceeds the threshold, then clear all state (the reference
+    * clears buffer + sum on every firing).
+    */
+  def timerDetector(tx: Dataset[Transaction], windowSec: Long,
+                    threshold: Double,
+                    watermarkDelay: String = "5 seconds"): Dataset[Alert] = {
+    implicit val alertEnc: Encoder[Alert] = Encoders.product[Alert]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val stEnc: Encoder[DetectorState] = Encoders.product[DetectorState]
+
+    tx.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.accountId)
+      .flatMapGroupsWithState[DetectorState, Alert](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (accountId: Long, events: Iterator[Transaction],
+         state: GroupState[DetectorState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            if (st.sum > threshold)
+              Iterator(Alert(accountId, st.firstTsMs, st.sum, st.cnt))
+            else Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(DetectorState(Long.MaxValue, 0d, 0L))
+            events.foreach { t =>
+              val tms = t.ts.getTime
+              st = DetectorState(math.min(st.firstTsMs, tms), st.sum + t.amount,
+                st.cnt + 1)
+            }
+            state.update(st)
+            // earliest pending timer wins, as in Flink's timer service
+            state.setTimeoutTimestamp(st.firstTsMs + windowSec * 1000)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Incremental per-key (count, sum) partials for the hybrid trigger. */
+  case class TriggerState(cnt: Long, sum: Double)
+
+  /** Partial aggregate emitted on each early firing. */
+  case class Partial(accountId: Long, cnt: Long, mean: Double, finalFire: Boolean)
+
+  /** Count-or-time hybrid trigger — the reference CustomTrigger
+    * (CustomTrigger.java:35-55): incremental sum/count in keyed state,
+    * FIRE_AND_PURGE every `maxCount` elements, and a final firing on
+    * the event-time timeout (window end analog).
+    */
+  def hybridTrigger(tx: Dataset[Transaction], maxCount: Int,
+                    timeoutSec: Long,
+                    watermarkDelay: String = "5 seconds"): Dataset[Partial] = {
+    implicit val pEnc: Encoder[Partial] = Encoders.product[Partial]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val stEnc: Encoder[TriggerState] = Encoders.product[TriggerState]
+
+    tx.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.accountId)
+      .flatMapGroupsWithState[TriggerState, Partial](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (accountId: Long, events: Iterator[Transaction],
+         state: GroupState[TriggerState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            if (st.cnt > 0)
+              Iterator(Partial(accountId, st.cnt, st.sum / st.cnt, finalFire = true))
+            else Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(TriggerState(0L, 0d))
+            var maxTs = 0L
+            val fired = Seq.newBuilder[Partial]
+            events.foreach { t =>
+              st = TriggerState(st.cnt + 1, st.sum + t.amount)
+              maxTs = math.max(maxTs, t.ts.getTime)
+              if (st.cnt >= maxCount) { // FIRE_AND_PURGE
+                fired += Partial(accountId, st.cnt, st.sum / st.cnt, finalFire = false)
+                st = TriggerState(0L, 0d)
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(maxTs + timeoutSec * 1000)
+            fired.result().iterator
+          }
+      }
+  }
+}

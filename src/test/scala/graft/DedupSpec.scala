@@ -1,0 +1,73 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf).select("doc_id", "text")
+
+  /** documents ∪ exact copies (ids shifted by 1e6) of every 10th doc. */
+  private def withExactCopies: DataFrame =
+    docs.unionByName(docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+
+  /** documents ∪ near-copies (last two words dropped). */
+  private def withNearCopies: DataFrame = {
+    val ws = split(col("text"), " ")
+    docs.unionByName(docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", slice(ws, lit(1), greatest(size(ws) - 2, lit(1)))).as("text")))
+  }
+
+  test("exact dedup finds every planted exact duplicate, keeps first id") {
+    val planted = withExactCopies
+    val dups = Dedup.exact(planted, "doc_id", "text").filter(col("n_copies") > 1)
+    val expected = docs.filter(pmod(col("doc_id"), lit(10)) === 0).count()
+    assert(dups.count() === expected)
+    // keep-first: representative is always the original id
+    assert(dups.filter(col("keep_id") >= 1000000L).count() === 0)
+  }
+
+  test("minhash LSH finds the planted near-duplicates") {
+    val pairs = Dedup.minhashLsh(withNearCopies, "doc_id", "text",
+      shingleN = 3, k = 32, bands = 8, minEstJaccard = 0.5)
+    val found = pairs
+      .filter(col("id_b") === col("id_a") + 1000000L).count()
+    val planted = docs.filter(pmod(col("doc_id"), lit(10)) === 0).count()
+    // near-copies have Jaccard ~0.9+; LSH with 8 bands of 4 should
+    // recover nearly all of them
+    assert(found >= (planted * 9) / 10)
+  }
+
+  test("simhash finds planted near-duplicates within small hamming distance") {
+    GraftFunctions.register(spark)
+    val pairs = Dedup.simhash(withNearCopies, "doc_id", "text",
+      chunks = 8, maxHamming = 7)
+    val found = pairs.filter(col("id_b") === col("id_a") + 1000000L).count()
+    val planted = docs.filter(pmod(col("doc_id"), lit(10)) === 0).count()
+    assert(found >= (planted * 8) / 10)
+  }
+
+  test("ngram jaccard scores planted near-duplicates high") {
+    val pairs = Dedup.ngramJaccard(withNearCopies, "doc_id", "text",
+      shingleN = 3, minJaccard = 0.5)
+    val found = pairs.filter(col("id_b") === col("id_a") + 1000000L)
+    val planted = docs.filter(pmod(col("doc_id"), lit(10)) === 0).count()
+    assert(found.count() >= (planted * 9) / 10)
+    assert(found.agg(min("jaccard")).head.getDouble(0) > 0.5)
+  }
+
+  test("ngram jaccard with a df cap never reports higher similarity") {
+    val exact = Dedup.ngramJaccard(withNearCopies, "doc_id", "text", 3, 0.5)
+      .withColumnRenamed("jaccard", "j_exact")
+    val capped = Dedup.ngramJaccard(withNearCopies, "doc_id", "text", 3, 0.0,
+      maxShingleDf = 5)
+      .withColumnRenamed("jaccard", "j_capped")
+    val joined = exact.join(capped, Seq("id_a", "id_b"))
+    assert(joined.filter(col("j_capped") > col("j_exact")).count() === 0)
+  }
+}

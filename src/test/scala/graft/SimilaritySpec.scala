@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf)
+
+  test("brute-force top-k returns k ranked neighbors per query") {
+    val topk = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 9, 5)
+    val perQuery = topk.groupBy("q_id").agg(count(lit(1)).as("n"),
+      max("rank").as("maxr"))
+    assert(perQuery.count() === 10)
+    assert(perQuery.filter(col("n") =!= 5 || col("maxr") =!= 5).count() === 0)
+    // no self matches, cosine within [-1, 1]
+    assert(topk.filter(col("q_id") === col("neighbor_id")).count() === 0)
+    assert(topk.filter(abs(col("cosine")) > 1.001).count() === 0)
+  }
+
+  test("cosine pairs is symmetric-free (a<b) and thresholded") {
+    val pairs = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.3)
+    assert(pairs.filter(col("id_a") >= col("id_b")).count() === 0)
+    assert(pairs.filter(col("cosine") < 0.29).count() === 0)
+    assert(pairs.count() > 0)
+  }
+
+  test("LSH top-k achieves reasonable recall vs brute force") {
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 9, 5)
+      .select("q_id", "neighbor_id")
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding", 9, 5,
+      bits = 4, tables = 8)
+      .select("q_id", "neighbor_id")
+    val hit = exact.join(approx, Seq("q_id", "neighbor_id")).count()
+    // AND-OR: p≈0.6 per bit at these similarities → ~0.13 per 4-bit
+    // table, 8 tables → ~2/3 of true top-5 in ≥1 probed bucket
+    assert(hit >= 20, s"recall too low: $hit/50")
+  }
+
+  test("identical vectors have cosine 1") {
+    val dup = emb.limit(5)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val pairs = Similarity.cosinePairs(emb.select("vec_id", "embedding")
+      .unionByName(dup), "vec_id", "embedding", 0.999)
+    assert(pairs.filter(col("id_b") === col("id_a") + 1000000L).count() === 5)
+  }
+}

@@ -1,0 +1,160 @@
+package graft
+
+import graft.streaming._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming semantics of the reference jobs, driven synchronously
+  * through MemoryStream batches (each addData + processAllAvailable
+  * is one microbatch; the event-time watermark advances between
+  * batches, which is what fires append-mode windows and event-time
+  * timeouts).
+  */
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val Base = 1704067200000L // 2024-01-01T00:00:00Z
+  private def tx(acct: Long, amount: Double, offsetSec: Long) =
+    Transaction(acct, amount, new java.sql.Timestamp(Base + offsetSec * 1000))
+
+  private def runToSink(df: DataFrame, name: String, mode: String)(
+      feed: (Int => Unit) => Unit): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try feed(_ => q.processAllAvailable())
+    finally { q.processAllAvailable(); q.stop() }
+    spark.table(name)
+  }
+
+  test("tumbling window alerts fire when the watermark passes window end") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Transaction]
+    val alerts = StreamingFraud.tumblingAlerts(input.toDF(), sizeSec = 10,
+      threshold = 100.0, watermarkDelay = "5 seconds")
+    val sink = runToSink(alerts, "t_alerts", "append") { step =>
+      input.addData(tx(1, 60, 1), tx(1, 70, 3), tx(2, 30, 2))
+      step(0)
+      input.addData(tx(9, 1, 30)) // watermark → 25s, closes [0,10)
+      step(0)
+      input.addData(tx(9, 1, 31))
+      step(0)
+    }
+    val rows = sink.collect()
+    assert(rows.map(_.getLong(0)).toSet === Set(1L)) // only acct 1 crossed
+    val r = rows.head
+    assert(r.getLong(1) === Base)
+    assert(math.abs(r.getDouble(2) - 130.0) < 1e-9)
+  }
+
+  test("late data beyond the watermark is dropped (out-of-order handling)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Transaction]
+    val agg = StreamingFraud.tumblingAlerts(input.toDF(), sizeSec = 10,
+      threshold = 0.0, watermarkDelay = "5 seconds")
+    val sink = runToSink(agg, "t_late", "append") { step =>
+      input.addData(tx(1, 50, 1))
+      step(0)
+      input.addData(tx(2, 50, 100)) // watermark → 95s
+      step(0)
+      input.addData(tx(7, 999, 50)) // 45s late: dropped
+      step(0)
+      input.addData(tx(9, 1, 200), tx(9, 1, 201)) // close everything
+      step(0)
+    }
+    assert(sink.filter(col("accountId") === 7).count() === 0)
+    assert(sink.filter(col("accountId") === 1).count() === 1)
+  }
+
+  test("timer detector buffers per account and alerts on event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Transaction]
+    val alerts = StreamingFraud.timerDetector(input.toDS(), windowSec = 5,
+      threshold = 100.0, watermarkDelay = "2 seconds")
+    val sink = runToSink(alerts.toDF(), "t_timer", "append") { step =>
+      input.addData(tx(1, 60, 1), tx(1, 70, 2)) // timer at t=6s
+      input.addData(tx(2, 10, 1)) // below threshold, timer at 6s
+      step(0)
+      input.addData(tx(9, 1, 60)) // watermark → 58s, fires timers
+      step(0)
+      input.addData(tx(9, 1, 61))
+      step(0)
+    }
+    val rows = sink.collect()
+    assert(rows.map(_.getLong(0)).toSet === Set(1L))
+    assert(math.abs(rows.head.getDouble(2) - 130.0) < 1e-9)
+    assert(rows.head.getLong(3) === 2L)
+  }
+
+  test("hybrid trigger fires every maxCount and a final firing on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Transaction]
+    val partials = StreamingFraud.hybridTrigger(input.toDS(), maxCount = 5,
+      timeoutSec = 10, watermarkDelay = "2 seconds")
+    val sink = runToSink(partials.toDF(), "t_hybrid", "append") { step =>
+      input.addData((1 to 12).map(i => tx(1, i.toDouble, i)): _*)
+      step(0)
+      input.addData(tx(9, 1, 100)) // watermark → 98s: final fire of the rest
+      step(0)
+      input.addData(tx(9, 1, 101))
+      step(0)
+    }
+    val acct1 = sink.filter(col("accountId") === 1).collect()
+      .map(r => (r.getLong(1), r.getBoolean(3))).sortBy(_.toString)
+    // 12 elements, maxCount 5 → two early FIRE_AND_PURGE of 5, final 2
+    assert(acct1.count(!_._2) === 2)
+    assert(acct1.filter(!_._2).forall(_._1 === 5L))
+    assert(acct1.filter(_._2).map(_._1).sum === 2L)
+  }
+
+  test("windowed aggregation runs on the RocksDB state store provider") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Transaction]
+      val alerts = StreamingFraud.tumblingAlerts(input.toDF(), sizeSec = 10,
+        threshold = 100.0, watermarkDelay = "5 seconds")
+      val sink = runToSink(alerts, "t_rocks", "append") { step =>
+        input.addData(tx(1, 200, 1))
+        step(0)
+        input.addData(tx(9, 1, 30))
+        step(0)
+        input.addData(tx(9, 1, 31))
+        step(0)
+      }
+      assert(sink.filter(col("accountId") === 1).count() === 1)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("transaction generator produces bounded deterministic fields") {
+    val df = TransactionGen.stream(spark, rowsPerSecond = 100)
+    assert(df.isStreaming)
+    assert(df.schema.fieldNames.toSeq === Seq("accountId", "amount", "ts"))
+  }
+
+  test("alert sink appends batches to parquet") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val input = MemoryStream[Transaction]
+    val alerts = StreamingFraud.tumblingAlerts(input.toDF(), sizeSec = 10,
+      threshold = 100.0, watermarkDelay = "5 seconds")
+    val q = GraftStreams.parquetAlertSink(alerts, s"$dir/out", s"$dir/ckpt")
+    try {
+      input.addData(tx(1, 200, 1))
+      q.processAllAvailable()
+      input.addData(tx(9, 1, 30))
+      q.processAllAvailable()
+      input.addData(tx(9, 1, 31))
+      q.processAllAvailable()
+    } finally q.stop()
+    val written = spark.read.parquet(s"$dir/out")
+    assert(written.filter(col("accountId") === 1).count() === 1)
+  }
+}

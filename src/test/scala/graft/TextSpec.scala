@@ -1,0 +1,78 @@
+package graft
+
+import graft.functions.{GraftFunctions, TextFunctions}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("word/token counts on known sentences") {
+    val df = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "a1 b2, c3!")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      TextFunctions.wordCount(col("text")).as("wc"),
+      TextFunctions.regexTokenCount(col("text")).as("bpe"),
+      TextFunctions.estTokenCount(col("text")).as("est"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3))))
+      .toMap
+    // "a1 b2, c3!" → a,1,b,2,",",c,3,"!" = 8 regex tokens
+    assert(got(1L) === ((6, 6, 6L)))
+    assert(got(2L) === ((3, 8, 3L)))
+  }
+
+  test("language id picks the language with most marker words") {
+    val df = Seq(
+      (1L, "the cat is in the house and it is warm"),
+      (2L, "el gato que vive en la casa de los reyes"),
+      (3L, "le chat et les oiseaux sont dans un arbre"),
+      (4L, "xyzzy plugh quux")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextFunctions.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "en")
+    assert(got(2L) === "es")
+    assert(got(3L) === "fr")
+    assert(got(4L) === "und")
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"),
+      (3L, "gamma beta alpha")).toDF("doc_id", "text")
+    val fp = df.select(col("doc_id"),
+      GraftFunctions.fingerprint(TextFunctions.words(col("text"))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+  }
+
+  test("simhash of near-identical token lists is close in hamming distance") {
+    GraftFunctions.register(spark)
+    val long1 = (1 to 60).map(i => s"w$i").mkString(" ")
+    val long2 = (1 to 58).map(i => s"w$i").mkString(" ")
+    val other = (100 to 160).map(i => s"v$i").mkString(" ")
+    val df = Seq((1L, long1), (2L, long2), (3L, other)).toDF("doc_id", "text")
+    val sig = df.select(col("doc_id"),
+      GraftFunctions.simhash(TextFunctions.words(col("text"))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(1L), sig(2L)) <= 8)
+    assert(ham(sig(1L), sig(3L)) > 12)
+  }
+
+  test("quality score stays in [0,1] over the corpus") {
+    val docs = Tables.documents(spark, sf)
+    val q = docs.select(TextFunctions.qualityScore(col("text")).as("q"))
+    assert(q.filter(col("q") < 0 || col("q") > 1).count() === 0)
+  }
+
+  test("shingles of short texts are empty, not inverted sequences") {
+    val df = Seq((1L, "one two")).toDF("doc_id", "text")
+    val n = df.select(size(TextFunctions.wordShingles(col("text"), 3)).as("n"))
+      .head.getInt(0)
+    assert(n === 0)
+  }
+}
