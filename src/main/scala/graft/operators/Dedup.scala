@@ -43,7 +43,9 @@ object Dedup {
     val exploded = docs
       .filter(TextFunctions.wordCount(col(textCol)) >= shingleN)
       .select(col(idCol).as("doc_id"),
-        explode(TextFunctions.wordShingles(col(textCol), shingleN)).as("sh"))
+        split(col(textCol), " ").as("w"))
+      .select(col("doc_id"),
+        explode(TextFunctions.shinglesOfWords(col("w"), shingleN)).as("sh"))
     val mins = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"m$i"))
     exploded.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
@@ -77,19 +79,20 @@ object Dedup {
 
     val a = banded.alias("a")
     val b = banded.alias("b")
-    val candidates = a.join(b,
+    // verify (cheap signature compare) BEFORE the pair dedup: the
+    // filter drops almost all candidates, so the dropDuplicates
+    // shuffle only carries true near-dups
+    a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("id_a", "id_b")
-
-    candidates
       .withColumn("est_jaccard",
         round(size(filter(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => x === y), m => m)).cast(DoubleType) / k, 3))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** SimHash near-duplicate pairs: 64-bit signature per document
@@ -116,15 +119,15 @@ object Dedup {
 
     val a = chunked.alias("a")
     val b = chunked.alias("b")
+    // hamming-verify before the pair dedup (same reasoning as in
+    // minhashLsh: the verify is a cheap bit op, the dedup a shuffle)
     a.join(b,
         col("a.chunk") === col("b.chunk") && col("a.piece") === col("b.piece") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", GraftFunctions.hamming(col("sig_a"), col("sig_b")))
+        GraftFunctions.hamming(col("a.sig"), col("b.sig")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Exact word-n-gram Jaccard similarity pairs via an inverted-index
@@ -138,9 +141,14 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, minJaccard: Double = 0.5,
                    maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    // join on the 64-bit shingle hash, not the string: same
+    // intersection counts (collisions ~n²/2^65) with far smaller
+    // shuffle keys
     val shingled = docs
-      .select(col(idCol).as("doc_id"),
-        explode(TextFunctions.wordShingles(col(textCol), shingleN)).as("sh"))
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .select(col("doc_id"),
+        explode(TextFunctions.shinglesOfWords(col("w"), shingleN)).as("shRaw"))
+      .select(col("doc_id"), xxhash64(col("shRaw")).as("sh"))
     val sizes = shingled.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
 
     val joinable =
