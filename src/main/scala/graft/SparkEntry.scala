@@ -161,6 +161,70 @@ object SparkEntry {
     "fraud_alerts" -> ((s, dir) =>
       Fraud.windowAlerts(Tables.events(s, dir), "user_id", "ts", "value", 86400, 300.0)),
 
+    "q_rollup" -> ((s, dir) => {
+      val rev = dec(col("l_extendedprice"), 12, 2) *
+        (lit(1).cast(DecimalType(4, 2)) - dec(col("l_discount"), 4, 2))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("p_partkey") === col("l_partkey"))
+        .rollup(col("p_brand"), col("p_type"))
+        .agg(out4(sum(rev)).as("revenue"), count(lit(1)).as("n"))
+        .select(coalesce(col("p_brand"), lit("ALL")).as("brand"),
+          coalesce(col("p_type"), lit("ALL")).as("ptype"),
+          col("revenue"), col("n"))
+    }),
+
+    "q_json" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(pmod(get_json_object(col("props"), "$.k").cast(LongType), lit(10L))
+          .as("k_mod"), col("value"))
+        .groupBy(col("k_mod"))
+        .agg(count(lit(1)).as("n"),
+          out2(sum(dec(col("value"), 10, 2))).as("sum_value"))),
+
+    "q_scalar_filter" -> ((s, dir) => {
+      // orders priced above the global mean — the exact-arithmetic
+      // form p*count > sum avoids a double division entirely; global
+      // stats come from a broadcast cross join, not a one-partition
+      // window
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          dec(col("o_totalprice"), 12, 2).as("price"))
+      val stats = o.agg(sum(col("price")).as("s"), count(lit(1)).as("c"))
+      o.crossJoin(broadcast(stats))
+        .filter(col("price") * col("c") > col("s"))
+        .select(col("o_orderkey"), col("o_custkey"), col("price"))
+    }),
+
+    "q_distinct" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(countDistinct(col("c_custkey")).as("n_cust"),
+          countDistinct(col("o_orderpriority")).as("n_prio"),
+          count(lit(1)).as("n_orders"))),
+
+    "q_top_terms" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("source"), col("word"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("source")).orderBy(col("n").desc, col("word"))
+      counts.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+    }),
+
+    "q_asof" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey").as("user_id"), col("o_orderdate"), col("o_orderkey"))
+      operators.AsOfJoin.join(e, o, "user_id", "ts", "o_orderdate",
+          "o_orderkey", Seq("o_orderkey", "o_orderdate"))
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_sec"), col("o_orderkey"),
+          (unix_timestamp(col("ts")) - unix_timestamp(col("o_orderdate")))
+            .as("lag_sec"))
+    }),
+
     // ---- C-block: training-data pipeline ------------------------------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir), "doc_id", "text")),
@@ -415,6 +479,59 @@ object SparkEntry {
         |  COUNT(*) AS cnt
         |FROM events GROUP BY user_id, ws
         |HAVING CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) > 300""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(p_brand, 'ALL') AS brand,
+        |  coalesce(p_type, 'ALL') AS ptype,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |GROUP BY ROLLUP(p_brand, p_type)""".stripMargin,
+
+    "q_json" ->
+      """SELECT CAST(props->>'k' AS BIGINT) % 10 AS k_mod,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS sum_value
+        |FROM events GROUP BY k_mod""".stripMargin,
+
+    "q_scalar_filter" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+        |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER () AS s,
+        |    COUNT(*) OVER () AS c
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, price FROM t WHERE price * c > s""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT c_mktsegment,
+        |  COUNT(DISTINCT c_custkey) AS n_cust,
+        |  COUNT(DISTINCT o_orderpriority) AS n_prio,
+        |  COUNT(*) AS n_orders
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_top_terms" ->
+      """WITH w AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+        |c AS (SELECT source, word, COUNT(*) AS n FROM w GROUP BY source, word),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |                                   ORDER BY n DESC, word) AS rnk FROM c)
+        |SELECT source, word, n, rnk FROM r WHERE rnk <= 5""".stripMargin,
+
+    "q_asof" ->
+      """WITH j AS (
+        |  SELECT e.event_id, e.user_id,
+        |    CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_sec,
+        |    o.o_orderkey,
+        |    CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS odate_sec,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |        ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |SELECT event_id, user_id, ts_sec, o_orderkey,
+        |  ts_sec - odate_sec AS lag_sec
+        |FROM j WHERE rn = 1""".stripMargin,
 
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, attach the latest right row with
+  * `rightTime <= leftTime` within the same key — the point-in-time
+  * enrichment a feature/training pipeline needs (e.g. "state of the
+  * account when the event happened").
+  *
+  * Spark has no native as-of join. The naive formulation — range join
+  * then keep the max — materializes |left_key| × |right_key| pairs per
+  * key before pruning, which explodes at scale. This implementation
+  * uses the union trick instead: tag both sides, union, and take
+  * `last_value(right cols, ignoreNulls) OVER (PARTITION BY key ORDER
+  * BY time, tag)` — one shuffle on the key, one sort, O(n log n), no
+  * pair blowup. Right rows sort before left rows at equal timestamps,
+  * making the match inclusive (rightTime == leftTime matches).
+  * Ties among right rows at the same timestamp resolve to the last by
+  * `rightTieBreak` (deterministic).
+  */
+object AsOfJoin {
+
+  /** @param left       probe side (events)
+    * @param right      build side (state changes), columns disjoint
+    *                   from left's except `key`
+    * @param key        equi key column name on both sides
+    * @param leftTime   left event-time column name
+    * @param rightTime  right event-time column name
+    * @param rightTieBreak right column ordering ties at equal rightTime
+    * @param rightCols  right columns to attach
+    */
+  def join(left: DataFrame, right: DataFrame, key: String,
+           leftTime: String, rightTime: String, rightTieBreak: String,
+           rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val lTagged = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(1))
+      .withColumn("_tie", lit(Long.MaxValue))
+    val rTagged = right
+      .select((key +: rightTime +: rightTieBreak +: rightCols).distinct.map(col): _*)
+      .withColumn("_t", col(rightTime))
+      .withColumn("_side", lit(0))
+      .withColumn("_tie", col(rightTieBreak).cast("long"))
+
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    // right rows first at equal _t (inclusive as-of), then by tie-break
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_t"), col("_side"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"_asof_$c", last(col(c), ignoreNulls = true).over(w))
+    }
+    filled
+      .filter(col("_side") === 1)
+      .filter(col(s"_asof_${rightCols.head}").isNotNull)
+      .select(leftCols.map(col) ++
+        rightCols.map(c => col(s"_asof_$c").as(c)): _*)
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
+
+  test("union-trick as-of join equals the naive range-join + rank") {
+    val e = Tables.events(spark, sf).select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables.orders(spark, sf)
+      .select(col("o_custkey").as("user_id"), col("o_orderdate"), col("o_orderkey"))
+
+    val fast = AsOfJoin.join(e, o, "user_id", "ts", "o_orderdate",
+        "o_orderkey", Seq("o_orderkey"))
+      .select("event_id", "o_orderkey")
+
+    val naive = {
+      val j = e.join(o.withColumnRenamed("user_id", "r_user"),
+        col("user_id") === col("r_user") && col("o_orderdate") <= col("ts"))
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      j.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("event_id", "o_orderkey")
+    }
+
+    assert(fast.count() > 0)
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+
+  test("as-of join is inclusive and respects per-timestamp tie-breaks") {
+    import spark.implicits._
+    val left = Seq((1L, 100L), (1L, 200L), (2L, 50L))
+      .toDF("k", "t_l")
+      .select(col("k"), col("t_l").cast("timestamp").as("tl"))
+    val right = Seq((1L, 100L, 10L), (1L, 100L, 11L), (1L, 150L, 12L), (2L, 60L, 13L))
+      .toDF("k", "t_r", "rid")
+      .select(col("k"), col("t_r").cast("timestamp").as("tr"), col("rid"))
+    val got = AsOfJoin.join(left, right, "k", "tl", "tr", "rid", Seq("rid"))
+      .select(col("k"), unix_timestamp(col("tl")).as("tl"), col("rid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // k=1 @100 matches rid 11 (inclusive, max tie-break);
+    // k=1 @200 matches rid 12; k=2 @50 has no match (60 > 50) → dropped
+    assert(got === Set((1L, 100L, 11L), (1L, 200L, 12L)))
+  }
+}
