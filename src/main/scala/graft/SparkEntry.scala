@@ -225,6 +225,41 @@ object SparkEntry {
             .as("lag_sec"))
     }),
 
+    "q_percentile" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+          count(lit(1)).as("n"))),
+
+    "q_skew_join" -> ((s, dir) =>
+      // row-identical to a plain events⋈customer join (same oracle as
+      // that join); the salt spreads hot user_ids over 8 sub-keys
+      operators.SkewJoin.saltedJoin(
+          Tables.events(s, dir), Tables.customer(s, dir)
+            .withColumnRenamed("c_custkey", "user_id"), "user_id", "event_id", 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          out2(sum(dec(col("value"), 10, 2))).as("sum_value"))),
+
+    "q_lag" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // order by the truncated second + event_id (same collation as
+      // the oracle, which never sees sub-second precision)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_sec"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_sec"), col("value"))
+        .withColumn("prev_sec", lag(col("ts_sec"), 1).over(w))
+        .withColumn("gap_sec", col("ts_sec") - col("prev_sec"))
+        .withColumn("dvalue",
+          dec(col("value"), 10, 2) - lag(dec(col("value"), 10, 2), 1).over(w))
+        .filter(col("prev_sec").isNotNull)
+        .select(col("event_id"), col("user_id"), col("gap_sec"), col("dvalue"))
+    }),
+
     // ---- C-block: training-data pipeline ------------------------------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir), "doc_id", "text")),
@@ -532,6 +567,33 @@ object SparkEntry {
         |SELECT event_id, user_id, ts_sec, o_orderkey,
         |  ts_sec - odate_sec AS lag_sec
         |FROM j WHERE rn = 1""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_skew_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_lag" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+        |    CAST(value AS DECIMAL(10,2)) AS v
+        |  FROM events),
+        |l AS (
+        |  SELECT event_id, user_id, ts_sec,
+        |    lag(ts_sec) OVER w AS prev_sec,
+        |    v - lag(v) OVER w AS dvalue
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id))
+        |SELECT event_id, user_id, ts_sec - prev_sec AS gap_sec, dvalue
+        |FROM l WHERE prev_sec IS NOT NULL""".stripMargin,
 
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,

@@ -157,4 +157,42 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val written = spark.read.parquet(s"$dir/out")
     assert(written.filter(col("accountId") === 1).count() === 1)
   }
+
+  test("sliding window means emit per-slide panes (reference pane slicing)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Transaction]
+    val means = StreamingFraud.slidingMeans(input.toDF(), sizeSec = 10,
+      slideSec = 5, watermarkDelay = "5 seconds")
+    val sink = runToSink(means, "t_slide", "append") { step =>
+      input.addData(tx(1, 10, 6), tx(1, 30, 8)) // windows [0,10) [5,15)
+      step(0)
+      input.addData(tx(9, 1, 60))
+      step(0)
+      input.addData(tx(9, 1, 61))
+      step(0)
+    }
+    val acct1 = sink.filter(col("accountId") === 1).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(acct1.keySet === Set(Base, Base + 5000))
+    assert(math.abs(acct1(Base) - 20.0) < 1e-9) // (10+30)/2
+    assert(math.abs(acct1(Base + 5000) - 20.0) < 1e-9)
+  }
+
+  test("stream-static enrichment join attaches dimension attributes") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("accountId"), col("c_mktsegment"))
+    val input = MemoryStream[Transaction]
+    val enriched = input.toDF().join(broadcast(dim), Seq("accountId"))
+      .groupBy(col("c_mktsegment")).agg(sum(col("amount")).as("total"))
+    val q = enriched.writeStream.format("memory").queryName("t_enrich")
+      .outputMode("complete").start()
+    try {
+      input.addData(tx(1, 100, 1), tx(2, 50, 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("t_enrich").collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_.getDouble(1)).sum - 150.0) < 1e-9)
+  }
 }
