@@ -285,6 +285,10 @@ object SparkEntry {
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         queryMaxId = 9, k = 5)),
 
+    "ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryMaxId = 9, k = 5, nlist = 16, nprobe = 4)),
+
     "ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         queryMaxId = 9, k = 5, bits = 8)),

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -54,6 +54,80 @@ object Similarity {
     val queries = e.filter(col("id") <= queryMaxId)
       .select(col("id").as("q_id"), col("vecd").as("q_vec"), col("nrm").as("q_nrm"))
     val scored = e.join(broadcast(queries), col("id") =!= col("q_id"))
+      .withColumn("sim",
+        cosinePrenormed(col("vecd"), col("q_vec"), col("nrm"), col("q_nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("id").as("neighbor_id"), col("rank"),
+        round(col("sim"), 3).as("cosine"))
+  }
+
+  /** Approximate top-k via IVF (inverted-file) coarse quantization:
+    * k-means centroids partition the corpus into `nlist` inverted
+    * lists; a query probes only its `nprobe` nearest lists.
+    *
+    * Training runs `iters` Lloyd steps as DataFrame jobs (assign =
+    * broadcast-centroid argmin, update = per-dimension mean via
+    * posexplode); only the nlist×dim centroid MODEL is collected to
+    * the driver — at 100 TB you train on a sample and the index
+    * assignment stays a single narrow pass. Search cost per query is
+    * ~corpus×nprobe/nlist.
+    */
+  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+              queryMaxId: Long, k: Int, nlist: Int = 16, nprobe: Int = 4,
+              iters: Int = 3): DataFrame = {
+    val e = withNorm(embeddings, vecCol)
+      .select(col(idCol).as("id"), col("vecd"), col("nrm"))
+
+    // argmin over centroids: struct(dist², idx) min — field-order
+    // comparison gives min distance, then min idx (deterministic)
+    def assign(cs: Array[Array[Double]]): Column = {
+      val dists = cs.zipWithIndex.map { case (c, i) =>
+        val c2 = c.map(x => x * x).sum
+        struct((lit(c2) - lit(2.0) * dot(col("vecd"), array(c.map(lit): _*))).as("d"),
+          lit(i).as("i"))
+      }
+      array_min(array(dists: _*)).getField("i")
+    }
+
+    // deterministic init: the nlist lowest-id vectors
+    var centroids: Array[Array[Double]] = e.orderBy(col("id")).limit(nlist)
+      .select(col("vecd")).collect()
+      .map(_.getSeq[Double](0).toArray)
+
+    for (_ <- 0 until iters) {
+      val assigned = e.select(assign(centroids).as("cl"), col("vecd"))
+      val updated = assigned
+        .select(col("cl"), posexplode(col("vecd")).as(Seq("pos", "v")))
+        .groupBy(col("cl"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("cl")).agg(map_from_arrays(
+          collect_list(col("pos")), collect_list(col("m"))).as("dims"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getMap[Int, Double](1)).toMap
+      centroids = centroids.indices.map { i =>
+        updated.get(i).map(m => Array.tabulate(centroids(i).length)(m(_)))
+          .getOrElse(centroids(i))
+      }.toArray
+    }
+
+    val indexed = e.withColumn("cl", assign(centroids))
+    // query probes: nprobe nearest centroids by the same metric
+    val probes = {
+      val dists = centroids.zipWithIndex.map { case (c, i) =>
+        val c2 = c.map(x => x * x).sum
+        struct((lit(c2) - lit(2.0) * dot(col("vecd"), array(c.map(lit): _*))).as("d"),
+          lit(i).as("i"))
+      }
+      transform(slice(array_sort(array(dists: _*)), 1, nprobe), s => s.getField("i"))
+    }
+    val queries = e.filter(col("id") <= queryMaxId)
+      .select(col("id").as("q_id"), col("vecd").as("q_vec"),
+        col("nrm").as("q_nrm"), explode(probes).as("q_cl"))
+
+    val scored = indexed.join(broadcast(queries),
+        col("cl") === col("q_cl") && col("id") =!= col("q_id"))
       .withColumn("sim",
         cosinePrenormed(col("vecd"), col("q_vec"), col("nrm"), col("q_nrm")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("id"))

@@ -38,6 +38,17 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(hit >= 20, s"recall too low: $hit/50")
   }
 
+  test("IVF top-k achieves reasonable recall vs brute force") {
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 9, 5)
+      .select("q_id", "neighbor_id")
+    val approx = Similarity.ivfTopK(emb, "vec_id", "embedding", 9, 5,
+      nlist = 8, nprobe = 4)
+      .select("q_id", "neighbor_id")
+    val hit = exact.join(approx, Seq("q_id", "neighbor_id")).count()
+    // probing half the lists (4/8) must beat the random-half baseline
+    assert(hit >= 25, s"recall too low: $hit/50")
+  }
+
   test("identical vectors have cosine 1") {
     val dup = emb.limit(5)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))

@@ -195,4 +195,30 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(rows.nonEmpty)
     assert(math.abs(rows.map(_.getDouble(1)).sum - 150.0) < 1e-9)
   }
+
+  test("metrics listener records throughput and latency per query") {
+    implicit val sqlCtx = spark.sqlContext
+    val metrics = Metrics.attach(spark)
+    try {
+      val input = MemoryStream[Transaction]
+      val agg = StreamingFraud.tumblingAlerts(input.toDF(), sizeSec = 10,
+        threshold = 0.0, watermarkDelay = "5 seconds")
+      val q = agg.writeStream.format("memory").queryName("t_metrics")
+        .outputMode("append").start()
+      try {
+        input.addData(tx(1, 10, 1), tx(2, 20, 2))
+        q.processAllAvailable()
+        input.addData(tx(9, 1, 30))
+        q.processAllAvailable()
+      } finally q.stop()
+      // listener events are delivered asynchronously
+      var waited = 0
+      while (!metrics.gauges.containsKey("t_metrics") && waited < 50) {
+        Thread.sleep(100); waited += 1
+      }
+      val (_, processed, duration) = metrics.gauges.get("t_metrics")
+      assert(processed >= 0.0)
+      assert(duration >= 0L)
+    } finally spark.streams.removeListener(metrics)
+  }
 }
