@@ -324,6 +324,21 @@ object SparkEntry {
           TextFunctions.words(col("text"))).as("simhash"))
     }),
 
+    "text_scrub" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      // plant deterministic PII derived from doc_id so the scrubber
+      // has true positives: an email, a URL and a long digit run
+      val planted = concat(lit("user"), col("doc_id"),
+        lit("@mail.example.com see https://ex.org/p/"), col("doc_id"),
+        lit(" id 12345678 "), col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), planted.as("t"))
+        .select(col("doc_id"),
+          piiCount(col("t")).as("pii_n"),
+          length(scrubPii(col("t"))).as("scrubbed_len"),
+          length(col("t")).as("orig_len"))
+    }),
+
     "mm_meta" -> ((s, dir) =>
       Multimodal.withPayload(Tables.documents(s, dir), "doc_id", "text")
         .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
@@ -690,6 +705,23 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS bpe_tokens,
         |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4) AS BIGINT) AS est_tokens
         |FROM documents""".stripMargin,
+
+    "text_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    'user' || doc_id || '@mail.example.com see https://ex.org/p/'
+        |      || doc_id || ' id 12345678 ' || text AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]+'))
+        |    + len(regexp_extract_all(t, 'https?://[a-zA-Z0-9./_%-]+'))
+        |    + len(regexp_extract_all(t, '[0-9]{7,}')) AS pii_n,
+        |  length(regexp_replace(regexp_replace(regexp_replace(t,
+        |    'https?://[a-zA-Z0-9./_%-]+', '<URL>', 'g'),
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]+', '<EMAIL>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g')) AS scrubbed_len,
+        |  length(t) AS orig_len
+        |FROM p""".stripMargin,
 
     "mm_meta" ->
       """SELECT doc_id,

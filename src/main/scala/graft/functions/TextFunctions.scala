@@ -87,6 +87,26 @@ object TextFunctions {
     round(lenScore * 0.4 + wlScore * 0.3 + swScore * 0.3, 3)
   }
 
+  /** Scrub PII-looking spans (emails, URLs, long digit runs) — the
+    * standard pre-training redaction pass. Patterns stay in the
+    * simple character-class regex subset that Java and RE2-family
+    * engines treat identically.
+    */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]+"
+  val UrlRe = "https?://[a-zA-Z0-9./_%-]+"
+  val LongDigitsRe = "[0-9]{7,}"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>"),
+      LongDigitsRe, "<NUM>")
+
+  def piiCount(text: Column): Column =
+    regexp_count(text, lit(EmailRe)) + regexp_count(text, lit(UrlRe)) +
+      regexp_count(text, lit(LongDigitsRe))
+
   private val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
     "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un"),
