@@ -38,8 +38,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(array<double>, array<double>) - dot product"),
       (exprs: Seq[Expression]) =>
-        StaticInvoke(Kernels.getClass, DoubleType, "dotProduct",
-          exprs, Seq(ArrayType(DoubleType), ArrayType(DoubleType)),
-          returnNullable = false)))
+        graft.functions.DotProduct(exprs(0), exprs(1))))
   }
 }

@@ -33,10 +33,7 @@ object GraftFunctions {
         exprs, Seq(ArrayType(StringType)), returnNullable = false),
       "built-in")
     registry.createOrReplaceTempFunction(DotName, exprs =>
-      StaticInvoke(Kernels.getClass, DoubleType, "dotProduct",
-        exprs, Seq(ArrayType(DoubleType), ArrayType(DoubleType)),
-        returnNullable = false),
-      "built-in")
+      DotProduct(exprs(0), exprs(1)), "built-in")
   }
 
   /** Codegen'd dot product of two array<double> columns. */

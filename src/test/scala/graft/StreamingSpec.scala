@@ -221,4 +221,33 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       assert(duration >= 0L)
     } finally spark.streams.removeListener(metrics)
   }
+
+  test("stream-stream interval join matches events within the time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val inA = MemoryStream[Transaction]
+    val inB = MemoryStream[Transaction]
+    val a = inA.toDF().select(col("accountId").as("a_acct"),
+      col("amount").as("a_amount"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", "5 seconds")
+    val b = inB.toDF().select(col("accountId").as("b_acct"),
+      col("amount").as("b_amount"), col("ts").as("b_ts"))
+      .withWatermark("b_ts", "5 seconds")
+    val joined = a.join(b,
+      col("a_acct") === col("b_acct") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 10 seconds"))
+    val q = joined.writeStream.format("memory").queryName("t_ssj")
+      .outputMode("append").start()
+    try {
+      inA.addData(tx(1, 100, 0), tx(2, 5, 0))
+      inB.addData(tx(1, 7, 4))   // within 10s of a(1) -> match
+      inB.addData(tx(2, 9, 30))  // 30s after a(2) -> no match
+      q.processAllAvailable()
+      inA.addData(tx(9, 1, 100)); inB.addData(tx(9, 1, 100))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("t_ssj").collect()
+    assert(rows.exists(r => r.getLong(0) === 1L && r.getDouble(4) === 7.0))
+    assert(!rows.exists(r => r.getLong(0) === 2L))
+  }
 }
