@@ -81,6 +81,36 @@ object Multimodal {
     bins
   }
 
+  /** ======== STUB: resize ===============================
+    * A real implementation would decode + bilinear-resample pixels to
+    * (w, h). The stand-in resamples the payload BYTES to exactly w*h
+    * samples by nearest-neighbor striding — same contract (fixed
+    * output size regardless of input size), deterministic.
+    */
+  private[multimodal] def resizeBytes(payload: Array[Byte], w: Int,
+                                      h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h)
+    if (payload.length == 0) return out
+    var i = 0
+    while (i < out.length) {
+      out(i) = payload((i.toLong * payload.length / out.length).toInt)
+      i += 1
+    }
+    out
+  }
+
+  /** Resize stage: maps each payload to a fixed (w, h) thumbnail
+    * payload with updated metadata. Runs narrow (no shuffle).
+    */
+  def resize(withPayload: DataFrame, w: Int, h: Int): DataFrame = {
+    val resizeUdf = udf((p: Array[Byte]) => resizeBytes(p, w, h))
+    withPayload
+      .withColumn("payload", resizeUdf(col("payload")))
+      .withColumn("meta", struct(
+        lit(w * h).as("n_bytes"), lit(w).as("width"), lit(h).as("height"),
+        col("meta.frames").as("frames")))
+  }
+
   /** Batched decode + feature extraction over (doc_id, payload,
     * frames). Partition-local: payloads are processed in groups of
     * `batchSize` (the batch shape a vectorized decoder needs),

@@ -81,46 +81,53 @@ object Similarity {
     val e = withNorm(embeddings, vecCol)
       .select(col(idCol).as("id"), col("vecd"), col("nrm"))
 
-    // argmin over centroids: struct(dist², idx) min — field-order
-    // comparison gives min distance, then min idx (deterministic)
+    // Centroids travel as ONE typedLit (a codegen reference object,
+    // not inlined doubles) so the generated code is byte-identical
+    // across Lloyd iterations and the codegen cache hits — baking the
+    // values in as scalar literals recompiled ~1 s of Janino per
+    // iteration. argmin = array_min over struct(dist², idx)
+    // (field-order comparison: min distance, then min idx).
+    def centLit(cs: Array[Array[Double]]): Column =
+      typedlit(cs.map(c => (c.map(x => x * x).sum, c.toSeq)).toSeq)
+
     def assign(cs: Array[Array[Double]]): Column = {
-      val dists = cs.zipWithIndex.map { case (c, i) =>
-        val c2 = c.map(x => x * x).sum
-        struct((lit(c2) - lit(2.0) * dot(col("vecd"), array(c.map(lit): _*))).as("d"),
-          lit(i).as("i"))
-      }
-      array_min(array(dists: _*)).getField("i")
+      val scored = transform(centLit(cs), (c, i) =>
+        struct((c.getField("_1") - lit(2.0) * dot(col("vecd"), c.getField("_2")))
+          .as("d"), i.as("i")))
+      array_min(scored).getField("i")
     }
 
+    // training working set: cached for the Lloyd iterations so each
+    // step reads memory, not parquet (at 100 TB: train on a cached
+    // SAMPLE instead)
+    val train = e.select(col("id"), col("vecd")).persist()
     // deterministic init: the nlist lowest-id vectors
-    var centroids: Array[Array[Double]] = e.orderBy(col("id")).limit(nlist)
+    var centroids: Array[Array[Double]] = train.orderBy(col("id")).limit(nlist)
       .select(col("vecd")).collect()
       .map(_.getSeq[Double](0).toArray)
 
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
     for (_ <- 0 until iters) {
-      val assigned = e.select(assign(centroids).as("cl"), col("vecd"))
-      val updated = assigned
-        .select(col("cl"), posexplode(col("vecd")).as(Seq("pos", "v")))
-        .groupBy(col("cl"), col("pos")).agg(avg(col("v")).as("m"))
-        .groupBy(col("cl")).agg(map_from_arrays(
-          collect_list(col("pos")), collect_list(col("m"))).as("dims"))
+      // centroid update as one hash aggregation with `dim` per-column
+      // means (map-side partials; no explode, no second shuffle)
+      val dimAggs = (0 until dim).map(i =>
+        avg(element_at(col("vecd"), i + 1)).as(s"d$i"))
+      val updated = train.select(assign(centroids).as("cl"), col("vecd"))
+        .groupBy(col("cl")).agg(dimAggs.head, dimAggs.tail: _*)
         .collect()
-        .map(r => r.getInt(0) -> r.getMap[Int, Double](1)).toMap
-      centroids = centroids.indices.map { i =>
-        updated.get(i).map(m => Array.tabulate(centroids(i).length)(m(_)))
-          .getOrElse(centroids(i))
-      }.toArray
+        .map(r => r.getInt(0) -> Array.tabulate(dim)(i => r.getDouble(i + 1)))
+        .toMap
+      centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i))).toArray
     }
+    train.unpersist(blocking = false)
 
     val indexed = e.withColumn("cl", assign(centroids))
     // query probes: nprobe nearest centroids by the same metric
     val probes = {
-      val dists = centroids.zipWithIndex.map { case (c, i) =>
-        val c2 = c.map(x => x * x).sum
-        struct((lit(c2) - lit(2.0) * dot(col("vecd"), array(c.map(lit): _*))).as("d"),
-          lit(i).as("i"))
-      }
-      transform(slice(array_sort(array(dists: _*)), 1, nprobe), s => s.getField("i"))
+      val scored = transform(centLit(centroids), (c, i) =>
+        struct((c.getField("_1") - lit(2.0) * dot(col("vecd"), c.getField("_2")))
+          .as("d"), i.as("i")))
+      transform(slice(array_sort(scored), 1, nprobe), s => s.getField("i"))
     }
     val queries = e.filter(col("id") <= queryMaxId)
       .select(col("id").as("q_id"), col("vecd").as("q_vec"),

@@ -42,6 +42,14 @@ object Profile {
       .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
     time("full")(joined.count())
     inter.explain("formatted")
+
+    val emb = Tables.embeddings(spark, dir)
+    time("ivf total")(graft.operators.Similarity.ivfTopK(
+      emb, "vec_id", "embedding", 9, 5).count())
+    val e2 = graft.operators.Similarity.withNorm(emb, "embedding")
+      .select(col("vec_id").as("id"), col("vecd"), col("nrm"))
+    time("withNorm count")(e2.count())
+    time("withNorm count2")(e2.count())
     spark.stop()
   }
 }

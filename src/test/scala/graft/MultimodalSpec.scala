@@ -38,4 +38,17 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       assert(m.features.sameElements(f2(id).features), s"doc $id differs")
     }
   }
+
+  test("resize produces fixed-size payloads with updated metadata") {
+    val resized = Multimodal.resize(payloads, 32, 16)
+    val bad = resized.filter(length(col("payload")) =!= 32 * 16)
+    assert(bad.count() === 0)
+    assert(resized.filter(col("meta.width") =!= 32).count() === 0)
+    // deterministic
+    val a = resized.select("doc_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val b = Multimodal.resize(payloads, 32, 16).select("doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(a === b)
+  }
 }

@@ -250,4 +250,30 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(rows.exists(r => r.getLong(0) === 1L && r.getDouble(4) === 7.0))
     assert(!rows.exists(r => r.getLong(0) === 2L))
   }
+
+  test("timer detector runs on the RocksDB state store provider") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Transaction]
+      val alerts = StreamingFraud.timerDetector(input.toDS(), windowSec = 5,
+        threshold = 100.0, watermarkDelay = "2 seconds")
+      val sink = runToSink(alerts.toDF(), "t_timer_rocks", "append") { step =>
+        input.addData(tx(1, 200, 1))
+        step(0)
+        input.addData(tx(9, 1, 60))
+        step(0)
+        input.addData(tx(9, 1, 61))
+        step(0)
+      }
+      assert(sink.filter(col("accountId") === 1).count() === 1)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
