@@ -50,6 +50,20 @@ object Profile {
       .select(col("vec_id").as("id"), col("vecd"), col("nrm"))
     time("withNorm count")(e2.count())
     time("withNorm count2")(e2.count())
+
+    // pane rule effect: stock vs extensions session on sliding agg
+    val ev = Tables.events(spark, dir)
+    val stock = graft.operators.Windows.slidingAgg(ev, "event_type", "ts", "value", 3600, 900)
+    time("sliding stock warm")(stock.count())
+    time("sliding stock")(stock.count())
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val ext = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+      .withExtensions(new graft.GraftExtensions).getOrCreate()
+    val ev2 = Tables.events(ext, dir)
+    val pane = graft.operators.Windows.slidingAgg(ev2, "event_type", "ts", "value", 3600, 900)
+    time("sliding pane-rule warm")(pane.count())
+    time("sliding pane-rule")(pane.count())
     spark.stop()
   }
 }
