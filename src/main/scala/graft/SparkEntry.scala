@@ -173,6 +173,16 @@ object SparkEntry {
           col("revenue"), col("n"))
     }),
 
+    "q_cube" -> ((s, dir) => {
+      val qty = dec(col("l_quantity"), 10, 2)
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(out2(sum(qty)).as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))
+    }),
+
     "q_json" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(pmod(get_json_object(col("props"), "$.k").cast(LongType), lit(10L))
@@ -541,6 +551,13 @@ object SparkEntry {
         |  COUNT(*) AS n
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |GROUP BY ROLLUP(p_brand, p_type)""".stripMargin,
+
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
 
     "q_json" ->
       """SELECT CAST(props->>'k' AS BIGINT) % 10 AS k_mod,

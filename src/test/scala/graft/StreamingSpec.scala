@@ -276,4 +276,26 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("streaming dedup within watermark drops duplicate event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Transaction]
+    // accountId doubles as the event id for dedup purposes here
+    val deduped = input.toDF()
+      .withWatermark("ts", "5 seconds")
+      .dropDuplicatesWithinWatermark("accountId")
+    val q = deduped.writeStream.format("memory").queryName("t_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(tx(1, 10, 1), tx(1, 99, 2), tx(2, 20, 1))
+      q.processAllAvailable()
+      input.addData(tx(1, 77, 3)) // still within watermark -> dropped
+      q.processAllAvailable()
+      input.addData(tx(9, 1, 60))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("t_dedup").collect()
+    assert(rows.count(_.getLong(0) == 1L) === 1)
+    assert(rows.count(_.getLong(0) == 2L) === 1)
+  }
 }
