@@ -97,6 +97,30 @@ object StreamingFraud {
       }
   }
 
+  /** Per-account running totals across the whole stream — the
+    * reference's RocksDB merge of successive window sums under the
+    * same account key (FraudDetectionJob.java:128-160) as a
+    * mapGroupsWithState accumulator: state survives across
+    * micro-batches, each batch folds its transactions into the total.
+    */
+  def runningTotals(tx: Dataset[Transaction]): Dataset[(Long, Double, Long)] = {
+    implicit val outEnc: Encoder[(Long, Double, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaLong)
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val stEnc: Encoder[(Double, Long)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+    tx.groupByKey(_.accountId)
+      .mapGroupsWithState[(Double, Long), (Long, Double, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (accountId: Long, events: Iterator[Transaction],
+         state: GroupState[(Double, Long)]) =>
+          var (sum, cnt) = state.getOption.getOrElse((0d, 0L))
+          events.foreach { t => sum += t.amount; cnt += 1 }
+          state.update((sum, cnt))
+          (accountId, sum, cnt)
+      }
+  }
+
   /** Incremental per-key (count, sum) partials for the hybrid trigger. */
   case class TriggerState(cnt: Long, sum: Double)
 

@@ -298,4 +298,39 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(rows.count(_.getLong(0) == 1L) === 1)
     assert(rows.count(_.getLong(0) == 2L) === 1)
   }
+
+  test("running totals accumulate across micro-batches (state merge)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Transaction]
+    val totals = StreamingFraud.runningTotals(input.toDS()).toDF()
+      .select(col("_1").as("acct"), col("_2").as("total"), col("_3").as("cnt"))
+    val q = totals.writeStream.format("memory").queryName("t_running")
+      .outputMode("update").start()
+    try {
+      input.addData(tx(1, 100, 1), tx(1, 50, 2))
+      q.processAllAvailable()
+      input.addData(tx(1, 25, 3)) // next batch: state must carry 150
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("t_running").filter(col("acct") === 1)
+      .orderBy(col("cnt").desc).head
+    assert(math.abs(last.getDouble(1) - 175.0) < 1e-9)
+    assert(last.getLong(2) === 3L)
+  }
+
+  test("in-order streams work with a zero-delay (ascending) watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Transaction]
+    val agg = StreamingFraud.tumblingAlerts(input.toDF(), sizeSec = 10,
+      threshold = 0.0, watermarkDelay = "0 seconds")
+    val sink = runToSink(agg, "t_inorder", "append") { step =>
+      input.addData(tx(1, 5, 1), tx(1, 5, 9))
+      step(0)
+      input.addData(tx(2, 1, 10)) // watermark reaches 10s exactly
+      step(0)
+      input.addData(tx(2, 1, 11))
+      step(0)
+    }
+    assert(sink.filter(col("accountId") === 1).count() === 1)
+  }
 }
