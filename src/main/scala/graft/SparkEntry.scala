@@ -349,6 +349,19 @@ object SparkEntry {
           length(col("t")).as("orig_len"))
     }),
 
+    "q_sql" -> ((s, dir) => {
+      // the spark.sql path over a registered view (same engine, SQL
+      // front-end) — proves the library surface is SQL-accessible
+      Tables.events(s, dir).createOrReplaceTempView("events_v")
+      s.sql("""SELECT event_type, COUNT(*) AS n,
+              |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS sum_value
+              |FROM events_v GROUP BY event_type""".stripMargin)
+    }),
+
+    "clean_corpus" -> ((s, dir) =>
+      graft.pipeline.CleanCorpus.clean(
+        withPlantedNearDups(Tables.documents(s, dir)), "doc_id", "text")),
+
     "mm_meta" -> ((s, dir) =>
       Multimodal.withPayload(Tables.documents(s, dir), "doc_id", "text")
         .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
@@ -739,6 +752,11 @@ object SparkEntry {
         |    '[0-9]{7,}', '<NUM>', 'g')) AS scrubbed_len,
         |  length(t) AS orig_len
         |FROM p""".stripMargin,
+
+    "q_sql" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "mm_meta" ->
       """SELECT doc_id,

@@ -1,0 +1,49 @@
+package graft.pipeline
+
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data cleaning pipeline — the composition a
+  * user actually runs over a raw corpus:
+  *
+  *   quality filter → exact dedup (keep first) → MinHash-LSH near-dup
+  *   removal (keep the lower id of each pair) → PII scrub → stats.
+  *
+  * Everything stays one lazy DataFrame program: Catalyst sees the
+  * whole pipeline, pushes the quality filter to the scan, and the
+  * only shuffles are the dedup aggregations/joins. The near-dup
+  * removal is an anti-join against the LSH pair set, so at 100 TB the
+  * pair set (tiny relative to the corpus) drives a broadcast or
+  * well-partitioned anti-join rather than any O(n²) work.
+  */
+object CleanCorpus {
+
+  def clean(docs: DataFrame, idCol: String, textCol: String,
+            minQuality: Double = 0.3, shingleN: Int = 3,
+            minEstJaccard: Double = 0.8): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .filter(col("quality") >= minQuality)
+
+    // exact dedup: keep the first id per identical text
+    val exactKept = base
+      .withColumn("keep_id", min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("text"))))
+      .filter(col("doc_id") === col("keep_id"))
+      .drop("keep_id")
+
+    // near-dup removal: drop the HIGHER id of each LSH near-dup pair
+    val nearDupLosers = Dedup
+      .minhashLsh(exactKept, "doc_id", "text", shingleN,
+        minEstJaccard = minEstJaccard)
+      .select(col("id_b").as("doc_id")).distinct()
+
+    exactKept
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .withColumn("text", TextFunctions.scrubPii(col("text")))
+      .withColumn("n_tokens", TextFunctions.wordCount(col("text")))
+      .select(col("doc_id"), col("text"), col("quality"), col("n_tokens"))
+  }
+}
