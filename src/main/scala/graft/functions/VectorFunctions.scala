@@ -40,14 +40,20 @@ object VectorFunctions {
     * <v, r_j> for a fixed ±1 hyperplane r_j drawn from a seeded PRNG
     * at plan-build time (deterministic across runs). Returns an
     * integer bucket in [0, 2^bits).
+    *
+    * The plane matrix travels as ONE `typedlit` (a codegen reference
+    * object): inlining bits×dim scalar literals made Janino compile a
+    * multi-second method per signature expression. The bucket is the
+    * base-2 fold of the sign bits (acc*2 + bit), so generated code is
+    * small and stable across seeds.
     */
   def hyperplaneSignature(v: Column, dim: Int, bits: Int, seed: Long): Column = {
     val rng = new scala.util.Random(seed)
-    val planes: Seq[Array[Double]] =
-      Seq.fill(bits)(Array.fill(dim)(if (rng.nextBoolean()) 1.0 else -1.0))
-    planes.zipWithIndex.map { case (plane, j) =>
-      val planeCol = array(plane.map(lit): _*)
-      when(dot(v, planeCol) > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(bits)(Seq.fill(dim)(if (rng.nextBoolean()) 1.0 else -1.0))
+    val planesLit = typedlit(planes)
+    aggregate(
+      transform(planesLit, p => when(dot(v, p) > 0, lit(1L)).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc * 2 + b)
   }
 }
