@@ -60,4 +60,19 @@ class PaneRuleSpec extends AnyFunSuite with SparkSpec {
       assert(distinctAgg.count() > 0)
     }
   }
+
+  test("rule leaves offset-origin sliding windows alone, results stay correct") {
+    withExtendedSession { ext =>
+      val offset = Tables.events(ext, sf)
+        .groupBy(col("event_type"),
+          window(col("ts"), "1 hour", "15 minutes", "5 minutes"))
+        .agg(sum(col("value")).as("s"))
+      def hasAggBelowExpand(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+        p.collect {
+          case e: Expand if e.collectFirst { case a: Aggregate => a }.isDefined => e
+        }.nonEmpty
+      assert(!hasAggBelowExpand(offset.queryExecution.optimizedPlan))
+      assert(offset.count() > 0)
+    }
+  }
 }
