@@ -44,19 +44,21 @@ object AsOfJoin {
       .withColumn("_t", col(rightTime))
       .withColumn("_side", lit(0))
       .withColumn("_tie", col(rightTieBreak).cast("long"))
+      // ONE struct per right row: the carried values are atomically
+      // from the same row even if individual right columns hold nulls
+      .withColumn("_rrow", struct(rightCols.map(col): _*))
+      .drop(rightCols.filterNot(c => c == key): _*)
 
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
     // right rows first at equal _t (inclusive as-of), then by tie-break
     val w = Window.partitionBy(col(key))
       .orderBy(col("_t"), col("_side"), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"_asof_$c", last(col(c), ignoreNulls = true).over(w))
-    }
-    filled
+    unioned
+      .withColumn("_asof", last(col("_rrow"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .filter(col(s"_asof_${rightCols.head}").isNotNull)
+      .filter(col("_asof").isNotNull)
       .select(leftCols.map(col) ++
-        rightCols.map(c => col(s"_asof_$c").as(c)): _*)
+        rightCols.map(c => col(s"_asof.$c").as(c)): _*)
   }
 }

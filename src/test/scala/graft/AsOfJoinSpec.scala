@@ -44,4 +44,21 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     // k=1 @200 matches rid 12; k=2 @50 has no match (60 > 50) → dropped
     assert(got === Set((1L, 100L, 11L), (1L, 200L, 12L)))
   }
+
+  test("attached right columns come atomically from the same row") {
+    import spark.implicits._
+    val left = Seq((1L, 100L)).toDF("k", "t_l")
+      .select(col("k"), col("t_l").cast("timestamp").as("tl"))
+    // latest right row has a NULL tag — the join must still attach
+    // (rid=11, tag=null) as one row, not mix tag from rid=10
+    val right = Seq((1L, 50L, 10L, Some("a")), (1L, 60L, 11L, None))
+      .toDF("k", "t_r", "rid", "tag")
+      .select(col("k"), col("t_r").cast("timestamp").as("tr"),
+        col("rid"), col("tag"))
+    val got = AsOfJoin.join(left, right, "k", "tl", "tr", "rid",
+      Seq("rid", "tag")).select("rid", "tag").collect()
+    assert(got.length === 1)
+    assert(got.head.getLong(0) === 11L)
+    assert(got.head.isNullAt(1))
+  }
 }
