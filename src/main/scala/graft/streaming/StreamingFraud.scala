@@ -90,7 +90,11 @@ object StreamingFraud {
                 st.cnt + 1)
             }
             state.update(st)
-            // earliest pending timer wins, as in Flink's timer service
+            // earliest pending timer wins, as in Flink's timer service.
+            // This timestamp always exceeds the watermark: late rows
+            // (ts < watermark) never reach this function, and Spark
+            // fires an expired timeout (clearing state) BEFORE handing
+            // the same key new data, so firstTsMs >= watermark here.
             state.setTimeoutTimestamp(st.firstTsMs + windowSec * 1000)
             Iterator.empty
           }
@@ -164,6 +168,8 @@ object StreamingFraud {
               }
             }
             state.update(st)
+            // safe for the same reason as in timerDetector: maxTs is
+            // from this batch's (non-late) rows, so it is >= watermark
             state.setTimeoutTimestamp(maxTs + timeoutSec * 1000)
             fired.result().iterator
           }

@@ -333,4 +333,32 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
     assert(sink.filter(col("accountId") === 1).count() === 1)
   }
+
+  test("pending timer fires before same-batch data, clearing the buffer") {
+    // mirrors the reference: onTimer clears ALL state (FraudDetector
+    // .java:114-118); a later transaction starts a fresh buffer. Spark
+    // guarantees expired timeouts fire BEFORE the same key's new data.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Transaction]
+    val alerts = StreamingFraud.timerDetector(input.toDS(), windowSec = 5,
+      threshold = 100.0, watermarkDelay = "2 seconds")
+    val sink = runToSink(alerts.toDF(), "t_timerclear", "append") { step =>
+      input.addData(tx(1, 60, 1), tx(1, 70, 2)) // sum 130, timer at 6s
+      step(0)
+      input.addData(tx(9, 1, 100)) // watermark -> 98s (past the timer)
+      step(0)
+      // same key, same batch as the expired timer: the old buffer must
+      // alert (130) and THEN this event starts a fresh buffer (50)
+      input.addData(tx(1, 50, 99))
+      step(0)
+      input.addData(tx(9, 1, 200))
+      step(0)
+      input.addData(tx(9, 1, 201))
+      step(0)
+    }
+    val acct1 = sink.filter(col("accountId") === 1).collect()
+    assert(acct1.length === 1) // fresh 50-buffer stays below threshold
+    assert(math.abs(acct1.head.getDouble(2) - 130.0) < 1e-9)
+    assert(acct1.head.getLong(1) === Base + 1000)
+  }
 }
