@@ -15,6 +15,16 @@ class WindowsSpec extends AnyFunSuite with SparkSpec {
     assert(direct.exceptAll(pane).isEmpty && pane.exceptAll(direct).isEmpty)
   }
 
+  test("pane-sliced sliding agg equals direct for non-divisible shapes") {
+    // gcd-pane generality: slide does not divide size (pane < slide)
+    for ((size, slide) <- Seq((3600L, 1000L), (3000L, 900L), (5400L, 2400L))) {
+      val direct = Windows.slidingAgg(events, "event_type", "ts", "value", size, slide)
+      val pane = Windows.paneSlidingAgg(events, "event_type", "ts", "value", size, slide)
+      assert(direct.exceptAll(pane).isEmpty && pane.exceptAll(direct).isEmpty,
+        s"mismatch for size=$size slide=$slide")
+    }
+  }
+
   test("tumbling agg partitions every row into exactly one window") {
     val agg = Windows.tumblingAgg(events, "user_id", "ts", "value", 21600)
     assert(agg.agg(sum("cnt")).head.getLong(0) === events.count())
