@@ -34,9 +34,70 @@ import org.apache.spark.sql.types._
 object PaneSlidingAggRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case agg @ Aggregate(_, _, expand: Expand, _)
-        if eligible(agg, expand).isDefined =>
-      rewrite(agg, expand, eligible(agg, expand).get)
+    case agg: Aggregate =>
+      // peel an optional pruning Project and the TimeWindowing
+      // validity filter off the Aggregate's child:
+      //   Aggregate [Project] [Filter] Expand
+      // For non-divisible size/slide TimeWindowing interposes
+      // `ts ∈ [window.start, window.end)` (plus isnotnull guards)
+      // between the Aggregate and the Expand; pane-candidate
+      // filtering subsumes exactly that predicate, so it is safe to
+      // absorb — but ONLY that predicate (anything else blocks the
+      // rewrite: it could be a user filter).
+      val peeled: Option[(Option[Expression], Expand)] = agg.child match {
+        case e: Expand => Some((None, e))
+        case Filter(c, e: Expand) => Some((Some(c), e))
+        case Project(pl, Filter(c, e: Expand))
+            if pl.forall(_.isInstanceOf[AttributeReference]) => Some((Some(c), e))
+        case Project(pl, e: Expand)
+            if pl.forall(_.isInstanceOf[AttributeReference]) => Some((None, e))
+        case _ => None
+      }
+      (for {
+        (condOpt, expand) <- peeled
+        m <- eligible(agg, expand)
+        if condOpt.forall(isWindowValidityFilter(_, m))
+      } yield rewrite(agg, expand, m)).getOrElse(agg)
+  }
+
+  /** True iff `cond` is precisely TimeWindowing's validity predicate:
+    * every conjunct is one of {isnotnull(window.start),
+    * isnotnull(window.end), ts >= window.start, ts < window.end} over
+    * exactly the matched ts/window attributes, with both bounds
+    * present. (Null windows are dropped identically by the pane
+    * plan's candidate filter: null pane → null ws → filtered.)
+    */
+  private def isWindowValidityFilter(cond: Expression, m: Match): Boolean = {
+    def isWinField(e: Expression, ordinal: Int): Boolean = e match {
+      case GetStructField(ar: AttributeReference, o, _) =>
+        ar.exprId == m.windowAttr.exprId && o == ordinal
+      case _ => false
+    }
+    def isTs(e: Expression): Boolean = e match {
+      case ar: AttributeReference => ar.exprId == m.tsAttr.exprId
+      case _ => false
+    }
+    def isLower(e: Expression): Boolean = e match {
+      case GreaterThanOrEqual(a, b) => isTs(a) && isWinField(b, 0)
+      case LessThanOrEqual(a, b) => isWinField(a, 0) && isTs(b)
+      case _ => false
+    }
+    def isUpper(e: Expression): Boolean = e match {
+      case LessThan(a, b) => isTs(a) && isWinField(b, 1)
+      case GreaterThan(a, b) => isWinField(a, 1) && isTs(b)
+      case _ => false
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case other => Seq(other)
+    }
+    def isNullGuard(e: Expression): Boolean = e match {
+      case IsNotNull(f) => isWinField(f, 0) || isWinField(f, 1)
+      case _ => false
+    }
+    val cs = conjuncts(cond)
+    cs.forall(c => isNullGuard(c) || isLower(c) || isUpper(c)) &&
+      cs.exists(isLower) && cs.exists(isUpper)
   }
 
   /** (windowAttr, tsAttr, sizeMicros, slideMicros) */

@@ -75,4 +75,33 @@ class PaneRuleSpec extends AnyFunSuite with SparkSpec {
       assert(offset.count() > 0)
     }
   }
+
+  test("rule also rewrites non-divisible size/slide (validity-filter form)") {
+    val baseline = operators.Windows
+      .slidingAgg(Tables.events(spark, sf), "event_type", "ts", "value", 3600, 1000)
+      .collect().map(_.toString).sorted
+    withExtendedSession { ext =>
+      val df = operators.Windows
+        .slidingAgg(Tables.events(ext, sf), "event_type", "ts", "value", 3600, 1000)
+      def hasAggBelowExpand(p: LogicalPlan): Boolean = p.collect {
+        case e: Expand if e.collectFirst { case a: Aggregate => a }.isDefined => e
+      }.nonEmpty
+      assert(hasAggBelowExpand(df.queryExecution.optimizedPlan),
+        "pane rule did not fire on non-divisible shape")
+      val got = df.collect().map(_.toString).sorted
+      assert(got.sameElements(baseline))
+    }
+  }
+
+  test("rule does not absorb user predicates on window fields") {
+    withExtendedSession { ext =>
+      // user filter on window.start: NOT the validity shape — must
+      // stay unrewritten and correct
+      val df = Tables.events(ext, sf)
+        .groupBy(col("event_type"), window(col("ts"), "1 hour", "1000 seconds").as("w"))
+        .agg(sum(col("value")).as("s"))
+        .filter(col("w.start") > "2024-01-05")
+      assert(df.count() > 0)
+    }
+  }
 }
