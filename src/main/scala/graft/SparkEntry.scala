@@ -349,6 +349,17 @@ object SparkEntry {
           length(col("t")).as("orig_len"))
     }),
 
+    "q_setops" -> ((s, dir) => {
+      val building = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val withOrders = Tables.orders(s, dir)
+        .select(col("o_custkey").as("c_custkey"))
+      building.intersect(withOrders).withColumn("tag", lit("common"))
+        .unionByName(
+          building.except(withOrders).withColumn("tag", lit("only_customer")))
+        .select(col("tag"), col("c_custkey"))
+    }),
+
     "q_sql" -> ((s, dir) => {
       // the spark.sql path over a registered view (same engine, SQL
       // front-end) — proves the library surface is SQL-accessible
@@ -752,6 +763,17 @@ object SparkEntry {
         |    '[0-9]{7,}', '<NUM>', 'g')) AS scrubbed_len,
         |  length(t) AS orig_len
         |FROM p""".stripMargin,
+
+    "q_setops" ->
+      """SELECT 'common' AS tag, c_custkey FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'only_customer' AS tag, c_custkey FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders)""".stripMargin,
 
     "q_sql" ->
       """SELECT event_type, COUNT(*) AS n,

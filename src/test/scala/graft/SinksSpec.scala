@@ -15,10 +15,12 @@ class SinksSpec extends AnyFunSuite with SparkSpec {
     langs.foreach { l =>
       assert(new java.io.File(s"$dir/out/lang=$l").isDirectory, s"missing lang=$l")
     }
-    // partition pruning: a lang filter reads only that directory
+    // partition pruning: a lang filter plans only that directory
     val one = back.filter(col("lang") === langs.head)
-    val scanned = one.queryExecution.executedPlan.toString
     assert(one.count() === docs.filter(col("lang") === langs.head).count())
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(lang"),
+      "partition filter missing from scan:\n" + scan.take(500))
   }
 
   test("range-bucketed write produces the requested file count, sorted") {
