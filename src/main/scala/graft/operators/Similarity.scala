@@ -77,7 +77,7 @@ object Similarity {
     */
   def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
               queryMaxId: Long, k: Int, nlist: Int = 16, nprobe: Int = 4,
-              iters: Int = 3): DataFrame = {
+              iters: Int = 3, trainFraction: Double = 1.0): DataFrame = {
     val e = withNorm(embeddings, vecCol)
       .select(col(idCol).as("id"), col("vecd"), col("nrm"))
 
@@ -98,9 +98,14 @@ object Similarity {
     }
 
     // training working set: cached for the Lloyd iterations so each
-    // step reads memory, not parquet (at 100 TB: train on a cached
-    // SAMPLE instead)
-    val train = e.select(col("id"), col("vecd")).persist()
+    // step reads memory, not parquet. At corpus scale pass
+    // trainFraction < 1: a deterministic hash-sample (reproducible,
+    // partitioning-independent) is plenty to fit nlist centroids.
+    val sampled =
+      if (trainFraction >= 1.0) e
+      else e.filter(pmod(xxhash64(col("id"), lit(0x1df7L)), lit(1000000L))
+        .cast(org.apache.spark.sql.types.DoubleType) / 1000000.0 < trainFraction)
+    val train = sampled.select(col("id"), col("vecd")).persist()
     // deterministic init: the nlist lowest-id vectors
     var centroids: Array[Array[Double]] = train.orderBy(col("id")).limit(nlist)
       .select(col("vecd")).collect()
@@ -154,9 +159,14 @@ object Similarity {
     * probe touches ~tables/2^bits of the corpus instead of scanning
     * it; recall vs [[bruteForceTopK]] is checked in the spec.
     */
+  /** @param multiProbe when true, each query also probes the `bits`
+    * buckets at Hamming distance 1 from its signature in every table —
+    * the classic multi-probe trick: recall of ~(bits+1)x more buckets
+    * for the same index size, at query-side cost only.
+    */
   def lshTopK(embeddings: DataFrame, idCol: String, vecCol: String,
               queryMaxId: Long, k: Int, bits: Int = 8, tables: Int = 8,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L, multiProbe: Boolean = false): DataFrame = {
     val e = withNorm(embeddings, vecCol)
       .select(col(idCol).as("id"), col("vecd"), col("nrm"))
       .withColumn("tb", explode(array((0 until tables).map { t =>
@@ -166,9 +176,14 @@ object Similarity {
       }: _*)))
       .select(col("id"), col("vecd"), col("nrm"),
         col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val probeBuckets =
+      if (!multiProbe) array(col("bucket"))
+      else array(col("bucket") +:
+        (0 until bits).map(b => col("bucket").bitwiseXOR(lit(1L << b))): _*)
     val queries = e.filter(col("id") <= queryMaxId)
       .select(col("id").as("q_id"), col("vecd").as("q_vec"),
-        col("nrm").as("q_nrm"), col("t").as("q_t"), col("bucket").as("q_bucket"))
+        col("nrm").as("q_nrm"), col("t").as("q_t"),
+        explode(probeBuckets).as("q_bucket"))
     val candidates = e.join(broadcast(queries),
         col("t") === col("q_t") && col("bucket") === col("q_bucket") &&
           col("id") =!= col("q_id"))

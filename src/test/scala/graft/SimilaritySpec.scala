@@ -49,6 +49,32 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(hit >= 25, s"recall too low: $hit/50")
   }
 
+  test("multi-probe LSH recall strictly dominates single-probe") {
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 9, 5)
+      .select("q_id", "neighbor_id")
+    def recall(multiProbe: Boolean): Long = exact.join(
+      Similarity.lshTopK(emb, "vec_id", "embedding", 9, 5,
+        bits = 6, tables = 2, multiProbe = multiProbe)
+        .select("q_id", "neighbor_id"),
+      Seq("q_id", "neighbor_id")).count()
+    val single = recall(multiProbe = false)
+    val multi = recall(multiProbe = true)
+    assert(multi >= single, s"multi $multi < single $single")
+    // theory at these similarities (p~0.62/bit, 2 tables of 6 bits):
+    // single ~ 2x0.056 -> ~5/50; hamming<=1 probing ~ 0.19/table -> ~17/50
+    assert(multi >= 12, s"multi-probe recall too low: $multi/50")
+  }
+
+  test("IVF trained on a sample still achieves reasonable recall") {
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 9, 5)
+      .select("q_id", "neighbor_id")
+    val approx = Similarity.ivfTopK(emb, "vec_id", "embedding", 9, 5,
+      nlist = 8, nprobe = 4, trainFraction = 0.3)
+      .select("q_id", "neighbor_id")
+    val hit = exact.join(approx, Seq("q_id", "neighbor_id")).count()
+    assert(hit >= 20, s"sampled-training recall too low: $hit/50")
+  }
+
   test("identical vectors have cosine 1") {
     val dup = emb.limit(5)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
