@@ -324,6 +324,10 @@ object SparkEntry {
         TextFunctions.regexTokenCount(col("text")).as("bpe_tokens"),
         TextFunctions.estTokenCount(col("text")).as("est_tokens"))),
 
+    "text_entropy" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextFunctions.charEntropy(col("text")).as("entropy_bits"))),
+
     "doc_fingerprint" -> ((s, dir) => {
       GraftFunctions.register(s)
       Tables.documents(s, dir).select(

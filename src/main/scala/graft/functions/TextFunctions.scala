@@ -107,6 +107,20 @@ object TextFunctions {
     regexp_count(text, lit(EmailRe)) + regexp_count(text, lit(UrlRe)) +
       regexp_count(text, lit(LongDigitsRe))
 
+  /** Shannon entropy (bits/char) of the character distribution — a
+    * cheap gibberish/boilerplate signal (natural text ~4 bits/char;
+    * repeated filler much lower). Native HOFs over the char array:
+    * distinct chars → per-char frequency → -Σ p·log2 p.
+    */
+  def charEntropy(text: Column): Column = {
+    val chars = split(text, "")
+    val n = greatest(size(chars), lit(1)).cast(DoubleType)
+    val probs = transform(array_distinct(chars),
+      c => size(filter(chars, x => x === c)).cast(DoubleType) / n)
+    round(-aggregate(probs, lit(0.0d),
+      (acc, p) => acc + p * log(2.0, p)), 3)
+  }
+
   private val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
     "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un"),

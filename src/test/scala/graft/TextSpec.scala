@@ -75,4 +75,20 @@ class TextSpec extends AnyFunSuite with SparkSpec {
       .head.getInt(0)
     assert(n === 0)
   }
+
+  test("char entropy: bounded, and repeated text scores below varied text") {
+    val df = Seq(
+      (1L, "aaaaaaaaaaaaaaaaaaaa"),
+      (2L, "the quick brown fox jumps over lazy dogs"),
+      (3L, "abababababababababab")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      TextFunctions.charEntropy(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) === 0.0)
+    assert(math.abs(got(3L) - 1.0) < 1e-6) // two symbols, equal freq
+    assert(got(2L) > 3.0 && got(2L) < 5.0)
+    val corpus = Tables.documents(spark, sf)
+      .select(TextFunctions.charEntropy(col("text")).as("h"))
+    assert(corpus.filter(col("h") < 0 || col("h") > 6).count() === 0)
+  }
 }
