@@ -224,15 +224,20 @@ object SparkEntry {
     }),
 
     "q_asof" -> ((s, dir) => {
-      val e = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
-      val o = Tables.orders(s, dir)
-        .select(col("o_custkey").as("user_id"), col("o_orderdate"), col("o_orderkey"))
-      operators.AsOfJoin.join(e, o, "user_id", "ts", "o_orderdate",
-          "o_orderkey", Seq("o_orderkey", "o_orderdate"))
+      // point-in-time: each purchase matched to the user's latest
+      // preceding (inclusive) click — genuinely interleaved streams
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"))
+      operators.AsOfJoin.join(purchases, clicks, "user_id", "ts", "c_ts",
+          "click_id", Seq("click_id", "c_ts"))
         .select(col("event_id"), col("user_id"),
-          unix_timestamp(col("ts")).as("ts_sec"), col("o_orderkey"),
-          (unix_timestamp(col("ts")) - unix_timestamp(col("o_orderdate")))
-            .as("lag_sec"))
+          unix_timestamp(col("ts")).as("ts_sec"), col("click_id"),
+          (unix_timestamp(col("ts")) - unix_timestamp(col("c_ts")))
+            .as("gap_sec"))
     }),
 
     "q_percentile" -> ((s, dir) =>
@@ -619,17 +624,21 @@ object SparkEntry {
         |SELECT source, word, n, rnk FROM r WHERE rnk <= 5""".stripMargin,
 
     "q_asof" ->
-      """WITH j AS (
-        |  SELECT e.event_id, e.user_id,
-        |    CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_sec,
-        |    o.o_orderkey,
-        |    CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS odate_sec,
-        |    row_number() OVER (PARTITION BY e.event_id
-        |        ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
-        |  FROM events e JOIN orders o
-        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
-        |SELECT event_id, user_id, ts_sec, o_orderkey,
-        |  ts_sec - odate_sec AS lag_sec
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, ts AS c_ts
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.event_id, p.user_id,
+        |    CAST(floor(epoch(p.ts)) AS BIGINT) AS ts_sec,
+        |    c.click_id,
+        |    CAST(floor(epoch(c.c_ts)) AS BIGINT) AS cts_sec,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |        ORDER BY c.c_ts DESC, c.click_id DESC) AS rn
+        |  FROM p JOIN c ON c.user_id = p.user_id AND c.c_ts <= p.ts)
+        |SELECT event_id, user_id, ts_sec, click_id,
+        |  ts_sec - cts_sec AS gap_sec
         |FROM j WHERE rn = 1""".stripMargin,
 
     "q_percentile" ->
