@@ -21,4 +21,15 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
     val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"oracle for unknown queries: $unknown")
   }
+
+  test("SURVEY section 2 and the queries map agree") {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")))
+    val surveyNames = "query `([a-z0-9_]+)`".r
+      .findAllMatchIn(text).map(_.group(1)).toSet
+    val missingImpl = surveyNames -- SparkEntry.queries.keySet
+    assert(missingImpl.isEmpty, s"SURVEY names without implementation: $missingImpl")
+    val undocumented = SparkEntry.queries.keySet -- surveyNames
+    assert(undocumented.isEmpty, s"queries not in SURVEY section 2: $undocumented")
+  }
 }
