@@ -12,15 +12,21 @@ import org.apache.spark.sql.types._
   *
   * Oracle-parity conventions (see SURVEY.md §6): double measures are
   * summed as DECIMAL (exact, order-independent), window starts are
-  * BIGINT epoch seconds, ratios are rounded after exact sums, every
-  * aggregate/computed column is aliased identically here and in the
-  * DuckDB SQL.
+  * BIGINT epoch seconds, ratios are emitted as integer cents derived
+  * from the exact sums, every aggregate/computed column is aliased
+  * identically here and in the DuckDB SQL. FINAL projections cast
+  * decimal measures to DOUBLE on both sides: the driver stringifies a
+  * parquet DECIMAL with its scale ("1000.00") but the oracle value as
+  * a float ("1000.0"), so any DECIMAL output column hash-mismatches
+  * on trailing-zero values (round-1 verdict). The decimal→double
+  * conversion is correctly rounded in both engines for the value
+  * ranges here, so the doubles are bit-identical.
   */
 object SparkEntry {
 
   private def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
-  private def out2(c: Column): Column = c.cast(DecimalType(38, 2))
-  private def out4(c: Column): Column = c.cast(DecimalType(38, 4))
+  /** Final projection of an exact decimal measure (driver-hash parity). */
+  private def outD(c: Column): Column = c.cast(DoubleType)
   private def tsLit(s: String): Column = lit(s).cast(TimestampType)
 
   /** Flagship: the reference's fraud pipeline on the events stream —
@@ -39,14 +45,21 @@ object SparkEntry {
       l.filter(col("l_shipdate") <= tsLit("1998-09-02"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          out2(sum(dec(col("l_quantity"), 10, 2))).as("sum_qty"),
-          out2(sum(dec(col("l_extendedprice"), 12, 2))).as("sum_base_price"),
-          out4(sum(dec(col("l_extendedprice"), 12, 2) * disc)).as("sum_disc_price"),
-          sum(dec(col("l_extendedprice"), 12, 2) * disc * charge)
-            .cast(DecimalType(38, 6)).as("sum_charge"),
+          sum(dec(col("l_quantity"), 10, 2)).as("sum_qty_dec"),
+          outD(sum(dec(col("l_extendedprice"), 12, 2))).as("sum_base_price"),
+          outD(sum(dec(col("l_extendedprice"), 12, 2) * disc)).as("sum_disc_price"),
+          outD(sum(dec(col("l_extendedprice"), 12, 2) * disc * charge))
+            .as("sum_charge"),
           count(lit(1)).as("count_order"))
-        .withColumn("avg_qty",
-          round(col("sum_qty").cast(DoubleType) / col("count_order"), 2))
+        .select(
+          col("l_returnflag"), col("l_linestatus"),
+          outD(col("sum_qty_dec")).as("sum_qty"),
+          col("sum_base_price"), col("sum_disc_price"), col("sum_charge"),
+          col("count_order"),
+          // exact integer-cents mean — never a rounded double ratio
+          // (HALF_UP-vs-banker tie divergence, SURVEY §6)
+          expr("cast(sum_qty_dec * 100 as bigint) div count_order")
+            .as("avg_qty_cents"))
     }),
 
     "q3_join" -> ((s, dir) => {
@@ -58,7 +71,7 @@ object SparkEntry {
       c.join(o, col("c_custkey") === col("o_custkey"))
         .join(l, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), unix_timestamp(col("o_orderdate")).as("odate"))
-        .agg(out4(sum(rev)).as("revenue"))
+        .agg(outD(sum(rev)).as("revenue"))
         .select(col("l_orderkey").as("okey"), col("revenue"), col("odate"))
         .orderBy(col("revenue").desc, col("okey"))
         .limit(10)
@@ -83,7 +96,7 @@ object SparkEntry {
         .join(broadcast(sup), col("s_suppkey") === col("l_suppkey") &&
           col("s_nationkey") === col("c_nationkey"))
         .groupBy(col("n_name"))
-        .agg(out4(sum(rev)).as("revenue"))
+        .agg(outD(sum(rev)).as("revenue"))
     }),
 
     "q_window_rank" -> ((s, dir) => {
@@ -93,8 +106,9 @@ object SparkEntry {
       Tables.orders(s, dir)
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
+        // raw parquet double passes through both engines bit-identical
         .select(col("o_orderpriority"), col("o_orderkey"),
-          dec(col("o_totalprice"), 12, 2).as("price"), col("rnk"))
+          col("o_totalprice").as("price"), col("rnk"))
     }),
 
     "q_semi_anti" -> ((s, dir) => {
@@ -114,7 +128,7 @@ object SparkEntry {
         (lit(1).cast(DecimalType(4, 2)) - dec(col("l_discount"), 4, 2))
       Tables.lineitem(s, dir)
         .groupBy(col("l_suppkey"))
-        .agg(out4(sum(rev)).as("revenue"))
+        .agg(outD(sum(rev)).as("revenue"))
         .orderBy(col("revenue").desc, col("l_suppkey"))
         .limit(15)
     }),
@@ -135,7 +149,7 @@ object SparkEntry {
           col("user_id") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_events"),
-          out2(sum(dec(col("value"), 10, 2))).as("sum_value"))
+          outD(sum(dec(col("value"), 10, 2))).as("sum_value"))
     }),
 
     // ---- A-block: reference window/fraud surface (batch form) --------
@@ -167,7 +181,7 @@ object SparkEntry {
       Tables.lineitem(s, dir)
         .join(broadcast(Tables.part(s, dir)), col("p_partkey") === col("l_partkey"))
         .rollup(col("p_brand"), col("p_type"))
-        .agg(out4(sum(rev)).as("revenue"), count(lit(1)).as("n"))
+        .agg(outD(sum(rev)).as("revenue"), count(lit(1)).as("n"))
         .select(coalesce(col("p_brand"), lit("ALL")).as("brand"),
           coalesce(col("p_type"), lit("ALL")).as("ptype"),
           col("revenue"), col("n"))
@@ -177,7 +191,7 @@ object SparkEntry {
       val qty = dec(col("l_quantity"), 10, 2)
       Tables.lineitem(s, dir)
         .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(out2(sum(qty)).as("sum_qty"), count(lit(1)).as("n"))
+        .agg(outD(sum(qty)).as("sum_qty"), count(lit(1)).as("n"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
           col("sum_qty"), col("n"))
@@ -189,7 +203,7 @@ object SparkEntry {
           .as("k_mod"), col("value"))
         .groupBy(col("k_mod"))
         .agg(count(lit(1)).as("n"),
-          out2(sum(dec(col("value"), 10, 2))).as("sum_value"))),
+          outD(sum(dec(col("value"), 10, 2))).as("sum_value"))),
 
     "q_scalar_filter" -> ((s, dir) => {
       // orders priced above the global mean — the exact-arithmetic
@@ -202,7 +216,7 @@ object SparkEntry {
       val stats = o.agg(sum(col("price")).as("s"), count(lit(1)).as("c"))
       o.crossJoin(broadcast(stats))
         .filter(col("price") * col("c") > col("s"))
-        .select(col("o_orderkey"), col("o_custkey"), col("price"))
+        .select(col("o_orderkey"), col("o_custkey"), outD(col("price")).as("price"))
     }),
 
     "q_distinct" -> ((s, dir) =>
@@ -256,7 +270,7 @@ object SparkEntry {
             .withColumnRenamed("c_custkey", "user_id"), "user_id", "event_id", 8)
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_events"),
-          out2(sum(dec(col("value"), 10, 2))).as("sum_value"))),
+          outD(sum(dec(col("value"), 10, 2))).as("sum_value"))),
 
     "q_lag" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -272,7 +286,8 @@ object SparkEntry {
         .withColumn("dvalue",
           dec(col("value"), 10, 2) - lag(dec(col("value"), 10, 2), 1).over(w))
         .filter(col("prev_sec").isNotNull)
-        .select(col("event_id"), col("user_id"), col("gap_sec"), col("dvalue"))
+        .select(col("event_id"), col("user_id"), col("gap_sec"),
+          outD(col("dvalue")).as("dvalue"))
     }),
 
     // ---- C-block: training-data pipeline ------------------------------
@@ -374,7 +389,7 @@ object SparkEntry {
       // front-end) — proves the library surface is SQL-accessible
       Tables.events(s, dir).createOrReplaceTempView("events_v")
       s.sql("""SELECT event_type, COUNT(*) AS n,
-              |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS sum_value
+              |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
               |FROM events_v GROUP BY event_type""".stripMargin)
     }),
 
@@ -417,19 +432,19 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
         |  COUNT(*) AS count_order,
-        |  round(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS DOUBLE) / COUNT(*), 2) AS avg_qty
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) * 100 AS BIGINT) // COUNT(*) AS avg_qty_cents
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "q3_join" ->
       """SELECT l_orderkey AS okey,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
         |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS odate
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -443,7 +458,7 @@ object SparkEntry {
 
     "q5_multijoin" ->
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
         |FROM region
         |JOIN nation ON n_regionkey = r_regionkey
         |JOIN customer ON c_nationkey = n_nationkey
@@ -476,7 +491,7 @@ object SparkEntry {
 
     "q_topk" ->
       """SELECT l_suppkey,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
         |FROM lineitem
         |GROUP BY l_suppkey
         |ORDER BY revenue DESC, l_suppkey
@@ -493,35 +508,35 @@ object SparkEntry {
 
     "q_enrich" ->
       """SELECT c_mktsegment, COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
 
     "w_tumbling_sum" ->
       """SELECT user_id,
         |  (CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600 AS ws,
-        |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS sum_val,
+        |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_val,
         |  COUNT(*) AS cnt
         |FROM events GROUP BY user_id, ws""".stripMargin,
 
     "w_sliding_mean" ->
-      """SELECT event_type, ws, sum_val, cnt,
-        |  CAST(sum_val * 100 AS BIGINT) // cnt AS mean_cents
+      """SELECT event_type, ws, CAST(sum_dec AS DOUBLE) AS sum_val, cnt,
+        |  CAST(sum_dec * 100 AS BIGINT) // cnt AS mean_cents
         |FROM (
         |  SELECT event_type,
         |    ((CAST(floor(epoch(ts)) AS BIGINT) // 900) - g.g) * 900 AS ws,
-        |    CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS sum_val,
+        |    SUM(CAST(value AS DECIMAL(10,2))) AS sum_dec,
         |    COUNT(*) AS cnt
         |  FROM events, range(4) g(g)
         |  GROUP BY event_type, ws)""".stripMargin,
 
     "w_sliding_pane" ->
-      """SELECT event_type, ws, sum_val, cnt,
-        |  CAST(sum_val * 100 AS BIGINT) // cnt AS mean_cents
+      """SELECT event_type, ws, CAST(sum_dec AS DOUBLE) AS sum_val, cnt,
+        |  CAST(sum_dec * 100 AS BIGINT) // cnt AS mean_cents
         |FROM (
         |  SELECT event_type,
         |    ((CAST(floor(epoch(ts)) AS BIGINT) // 900) - g.g) * 900 AS ws,
-        |    CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS sum_val,
+        |    SUM(CAST(value AS DECIMAL(10,2))) AS sum_dec,
         |    COUNT(*) AS cnt
         |  FROM events, range(4) g(g)
         |  GROUP BY event_type, ws)""".stripMargin,
@@ -540,7 +555,7 @@ object SparkEntry {
         |                           ROWS UNBOUNDED PRECEDING) AS grp
         |  FROM m)
         |SELECT user_id, MIN(tsec) AS sess_start,
-        |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS sum_val,
+        |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_val,
         |  COUNT(*) AS cnt
         |FROM g GROUP BY user_id, grp""".stripMargin,
 
@@ -548,11 +563,11 @@ object SparkEntry {
       """WITH w AS (
         |  SELECT user_id,
         |    (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS ws,
-        |    CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS sum_val
+        |    SUM(CAST(value AS DECIMAL(10,2))) AS sum_dec
         |  FROM events GROUP BY user_id, ws)
-        |SELECT user_id, ws, sum_val,
-        |  CAST(SUM(sum_val) OVER (PARTITION BY user_id ORDER BY ws
-        |                          ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS running_sum
+        |SELECT user_id, ws, CAST(sum_dec AS DOUBLE) AS sum_val,
+        |  CAST(SUM(sum_dec) OVER (PARTITION BY user_id ORDER BY ws
+        |                          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_sum
         |FROM w""".stripMargin,
 
     "trigger_chunks" ->
@@ -564,15 +579,15 @@ object SparkEntry {
         |      ORDER BY ts, event_id) AS rn
         |  FROM events)
         |SELECT event_type, ws, (rn - 1) // 5 AS chunk,
-        |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS sum_val,
+        |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_val,
         |  COUNT(*) AS cnt,
-        |  CAST(CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) * 100 AS BIGINT) // COUNT(*) AS mean_cents
+        |  CAST(SUM(CAST(value AS DECIMAL(10,2))) * 100 AS BIGINT) // COUNT(*) AS mean_cents
         |FROM r GROUP BY event_type, ws, chunk""".stripMargin,
 
     "fraud_alerts" ->
       """SELECT user_id,
         |  (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS ws,
-        |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS sum_val,
+        |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_val,
         |  COUNT(*) AS cnt
         |FROM events GROUP BY user_id, ws
         |HAVING CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) > 300""".stripMargin,
@@ -580,7 +595,7 @@ object SparkEntry {
     "q_rollup" ->
       """SELECT coalesce(p_brand, 'ALL') AS brand,
         |  coalesce(p_type, 'ALL') AS ptype,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |GROUP BY ROLLUP(p_brand, p_type)""".stripMargin,
@@ -588,14 +603,14 @@ object SparkEntry {
     "q_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
         |  coalesce(l_linestatus, 'ALL') AS ls,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
 
     "q_json" ->
       """SELECT CAST(props->>'k' AS BIGINT) % 10 AS k_mod,
         |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY k_mod""".stripMargin,
 
     "q_scalar_filter" ->
@@ -605,7 +620,8 @@ object SparkEntry {
         |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER () AS s,
         |    COUNT(*) OVER () AS c
         |  FROM orders)
-        |SELECT o_orderkey, o_custkey, price FROM t WHERE price * c > s""".stripMargin,
+        |SELECT o_orderkey, o_custkey, CAST(price AS DOUBLE) AS price
+        |FROM t WHERE price * c > s""".stripMargin,
 
     "q_distinct" ->
       """SELECT c_mktsegment,
@@ -650,7 +666,7 @@ object SparkEntry {
 
     "q_skew_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
 
@@ -790,7 +806,7 @@ object SparkEntry {
 
     "q_sql" ->
       """SELECT event_type, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
 
     "mm_meta" ->

@@ -17,10 +17,15 @@ import org.apache.spark.sql.types._
   */
 object Fraud {
 
-  /** Per (key, tumbling window) sums exceeding `threshold`. */
+  /** Per (key, tumbling window) sums exceeding `threshold`. The
+    * threshold compare runs on the exact DECIMAL sum; the output
+    * measure is cast to DOUBLE only in the final projection (driver
+    * hash parity — see [[Windows]] scaladoc).
+    */
   def windowAlerts(events: DataFrame, key: String, tsCol: String,
                    valCol: String, sizeSec: Long, threshold: Double): DataFrame =
-    Windows.tumblingAgg(events, key, tsCol, valCol, sizeSec)
-      .filter(col("sum_val") > lit(threshold).cast(Windows.DecOut))
-      .select(col(key), col("ws"), col("sum_val"), col("cnt"))
+    Windows.tumblingAggDec(events, key, tsCol, valCol, sizeSec)
+      .filter(col("sum_dec") > lit(threshold).cast(Windows.DecOut))
+      .select(col(key), col("ws"),
+        col("sum_dec").cast(DoubleType).as("sum_val"), col("cnt"))
 }

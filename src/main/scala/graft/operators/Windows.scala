@@ -30,7 +30,12 @@ import org.apache.spark.sql.types._
   *
   * Conventions for oracle parity: window starts are emitted as BIGINT
   * epoch seconds; double measures are summed as DECIMAL (exact and
-  * summation-order independent); ratios are rounded after exact sums.
+  * summation-order independent) and only the FINAL projection casts
+  * to DOUBLE (the driver stringifies decimals with their scale, so a
+  * DECIMAL output column hash-mismatches the oracle's float repr on
+  * any trailing-zero value); integer-cents columns are derived from
+  * the DECIMAL sum *before* that cast (a double*100→bigint cast
+  * truncates differently across engines).
   */
 object Windows {
 
@@ -41,17 +46,27 @@ object Windows {
   def windowStart(ts: Column, sizeSec: Long): Column =
     (floor(unix_timestamp(ts) / sizeSec) * sizeSec).cast(LongType)
 
+  /** Keyed tumbling-window SUM + count with the exact DECIMAL sum kept
+    * (column `sum_dec`) — internal building block for operators that
+    * filter/re-aggregate on the sum before the final double cast.
+    */
+  def tumblingAggDec(events: DataFrame, key: String, tsCol: String,
+                     valCol: String, sizeSec: Long): DataFrame =
+    events
+      .groupBy(col(key), windowStart(col(tsCol), sizeSec).as("ws"))
+      .agg(
+        sum(col(valCol).cast(Dec)).cast(DecOut).as("sum_dec"),
+        count(lit(1)).as("cnt"))
+
   /** Keyed tumbling-window SUM + count; the fraud pipeline's core
     * aggregation. One shuffle on (key, window); partial aggregation
     * happens map-side before it.
     */
   def tumblingAgg(events: DataFrame, key: String, tsCol: String,
                   valCol: String, sizeSec: Long): DataFrame =
-    events
-      .groupBy(col(key), windowStart(col(tsCol), sizeSec).as("ws"))
-      .agg(
-        sum(col(valCol).cast(Dec)).cast(DecOut).as("sum_val"),
-        count(lit(1)).as("cnt"))
+    tumblingAggDec(events, key, tsCol, valCol, sizeSec)
+      .select(col(key), col("ws"),
+        col("sum_dec").cast(DoubleType).as("sum_val"), col("cnt"))
 
   /** Keyed sliding-window aggregation via the built-in assigner.
     * Spark explodes each row into size/slide windows, then shuffles
@@ -63,13 +78,13 @@ object Windows {
       .groupBy(col(key),
         window(col(tsCol), s"$sizeSec seconds", s"$slideSec seconds").as("w"))
       .agg(
-        sum(col(valCol).cast(Dec)).cast(DecOut).as("sum_val"),
+        sum(col(valCol).cast(Dec)).cast(DecOut).as("sum_dec"),
         count(lit(1)).as("cnt"))
       .select(
         col(key),
         unix_timestamp(col("w.start")).as("ws"),
-        col("sum_val"), col("cnt"),
-        expr("cast(sum_val * 100 as bigint) div cnt").as("mean_cents"))
+        col("sum_dec").cast(DoubleType).as("sum_val"), col("cnt"),
+        expr("cast(sum_dec * 100 as bigint) div cnt").as("mean_cents"))
 
   /** Pane/slice-optimized sliding-window aggregation (same result set
     * as [[slidingAgg]]).
@@ -105,10 +120,11 @@ object Windows {
     panePartials
       .select(col(key), explode(wsCandidates).as("ws"), col("psum"), col("pcnt"))
       .groupBy(col(key), col("ws"))
-      .agg(sum(col("psum")).cast(DecOut).as("sum_val"), sum(col("pcnt")).as("cnt"))
+      .agg(sum(col("psum")).cast(DecOut).as("sum_dec"), sum(col("pcnt")).as("cnt"))
       .select(
-        col(key), col("ws"), col("sum_val"), col("cnt"),
-        expr("cast(sum_val * 100 as bigint) div cnt").as("mean_cents"))
+        col(key), col("ws"),
+        col("sum_dec").cast(DoubleType).as("sum_val"), col("cnt"),
+        expr("cast(sum_dec * 100 as bigint) div cnt").as("mean_cents"))
   }
 
   /** Gap-based session windows per key (generalizes the reference's
@@ -119,12 +135,12 @@ object Windows {
     events
       .groupBy(col(key), session_window(col(tsCol), s"$gapSec seconds").as("w"))
       .agg(
-        sum(col(valCol).cast(Dec)).cast(DecOut).as("sum_val"),
+        sum(col(valCol).cast(Dec)).cast(DecOut).as("sum_dec"),
         count(lit(1)).as("cnt"))
       .select(
         col(key),
         unix_timestamp(col("w.start")).as("sess_start"),
-        col("sum_val"), col("cnt"))
+        col("sum_dec").cast(DoubleType).as("sum_val"), col("cnt"))
 
   /** Per-key running total across tumbling windows, ordered by window
     * start — the batch analog of the reference merging each fired
@@ -133,12 +149,15 @@ object Windows {
     */
   def cumulativeWindowSum(events: DataFrame, key: String, tsCol: String,
                           valCol: String, sizeSec: Long): DataFrame = {
-    val perWindow = tumblingAgg(events, key, tsCol, valCol, sizeSec)
+    val perWindow = tumblingAggDec(events, key, tsCol, valCol, sizeSec)
     val w = Window.partitionBy(col(key)).orderBy(col("ws"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // running total accumulates in DECIMAL (association-order exact);
+    // both measures cast to DOUBLE only in the final projection
     perWindow.select(
-      col(key), col("ws"), col("sum_val"),
-      sum(col("sum_val")).over(w).cast(DecOut).as("running_sum"))
+      col(key), col("ws"),
+      col("sum_dec").cast(DoubleType).as("sum_val"),
+      sum(col("sum_dec")).over(w).cast(DecOut).cast(DoubleType).as("running_sum"))
   }
 
   /** Count-or-time hybrid trigger, batch analog: within each (key,
@@ -161,10 +180,12 @@ object Windows {
         floor((row_number().over(rankW) - 1) / maxCount).cast(LongType))
       .groupBy(col(key), col("ws"), col("chunk"))
       .agg(
-        sum(col(valCol).cast(Dec)).cast(DecOut).as("sum_val"),
+        sum(col(valCol).cast(Dec)).cast(DecOut).as("sum_dec"),
         count(lit(1)).as("cnt"))
-      .withColumn("mean_cents",
-        expr("cast(sum_val * 100 as bigint) div cnt"))
+      .select(
+        col(key), col("ws"), col("chunk"),
+        col("sum_dec").cast(DoubleType).as("sum_val"), col("cnt"),
+        expr("cast(sum_dec * 100 as bigint) div cnt").as("mean_cents"))
   }
 
   @annotation.tailrec
