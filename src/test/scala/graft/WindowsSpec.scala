@@ -47,7 +47,13 @@ class WindowsSpec extends AnyFunSuite with SparkSpec {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("ws")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val bad = cum.withColumn("expect", sum(col("sum_val")).over(w))
+    // running_sum is the exact DECIMAL prefix cast to double; re-summing the
+    // DOUBLE sum_val column here can differ in the last ulp, so accumulate
+    // the expected prefix in DECIMAL too and compare exactly after the cast.
+    val bad = cum
+      .withColumn("expect",
+        sum(col("sum_val").cast(org.apache.spark.sql.types.DecimalType(38, 2)))
+          .over(w).cast("double"))
       .filter(col("running_sum") =!= col("expect"))
     assert(bad.count() === 0)
   }
