@@ -18,9 +18,13 @@ import org.apache.spark.sql.types._
   * decimal measures to DOUBLE on both sides: the driver stringifies a
   * parquet DECIMAL with its scale ("1000.00") but the oracle value as
   * a float ("1000.0"), so any DECIMAL output column hash-mismatches
-  * on trailing-zero values (round-1 verdict). The decimal→double
-  * conversion is correctly rounded in both engines for the value
-  * ranges here, so the doubles are bit-identical.
+  * on trailing-zero values (round-1 verdict). decimal→double is only
+  * bit-identical across engines while the decimal's UNSCALED value
+  * stays under 2^53 (DuckDB converts int→double then divides; Spark
+  * rounds correctly) — a scale-6 charge sum crosses that at ~9.0e9.
+  * So money sums are emitted as integer hundredths (BIGINT "cents"):
+  * round the exact decimal to scale 2, multiply by 100, cast — exact
+  * in both engines at any data scale.
   */
 object SparkEntry {
 
@@ -46,15 +50,23 @@ object SparkEntry {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(dec(col("l_quantity"), 10, 2)).as("sum_qty_dec"),
-          outD(sum(dec(col("l_extendedprice"), 12, 2))).as("sum_base_price"),
-          outD(sum(dec(col("l_extendedprice"), 12, 2) * disc)).as("sum_disc_price"),
-          outD(sum(dec(col("l_extendedprice"), 12, 2) * disc * charge))
-            .as("sum_charge"),
+          sum(dec(col("l_extendedprice"), 12, 2)).as("sum_base_dec"),
+          sum(dec(col("l_extendedprice"), 12, 2) * disc).as("sum_disc_dec"),
+          sum(dec(col("l_extendedprice"), 12, 2) * disc * charge)
+            .as("sum_charge_dec"),
           count(lit(1)).as("count_order"))
         .select(
           col("l_returnflag"), col("l_linestatus"),
           outD(col("sum_qty_dec")).as("sum_qty"),
-          col("sum_base_price"), col("sum_disc_price"), col("sum_charge"),
+          // money sums as integer hundredths (BIGINT): decimal→double is
+          // engine-divergent once the unscaled value passes 2^53 (a scale-6
+          // sum_charge crosses that at only ~9.0e9), so round the exact
+          // decimal to scale 2 and emit fixed-point — exact at any SF.
+          expr("cast(sum_base_dec * 100 as bigint)").as("sum_base_price_cents"),
+          expr("cast(round(sum_disc_dec, 2) * 100 as bigint)")
+            .as("sum_disc_price_cents"),
+          expr("cast(round(sum_charge_dec, 2) * 100 as bigint)")
+            .as("sum_charge_cents"),
           col("count_order"),
           // exact integer-cents mean — never a rounded double ratio
           // (HALF_UP-vs-banker tie divergence, SURVEY §6)
@@ -71,9 +83,12 @@ object SparkEntry {
       c.join(o, col("c_custkey") === col("o_custkey"))
         .join(l, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), unix_timestamp(col("o_orderdate")).as("odate"))
-        .agg(outD(sum(rev)).as("revenue"))
-        .select(col("l_orderkey").as("okey"), col("revenue"), col("odate"))
-        .orderBy(col("revenue").desc, col("okey"))
+        .agg(sum(rev).as("rev_dec"))
+        // fixed-point cents, exact past the 2^53 decimal→double cliff
+        .select(col("l_orderkey").as("okey"),
+          expr("cast(round(rev_dec, 2) * 100 as bigint)").as("revenue_cents"),
+          col("odate"))
+        .orderBy(col("revenue_cents").desc, col("okey"))
         .limit(10)
     }),
 
@@ -96,7 +111,9 @@ object SparkEntry {
         .join(broadcast(sup), col("s_suppkey") === col("l_suppkey") &&
           col("s_nationkey") === col("c_nationkey"))
         .groupBy(col("n_name"))
-        .agg(outD(sum(rev)).as("revenue"))
+        .agg(sum(rev).as("rev_dec"))
+        .select(col("n_name"),
+          expr("cast(round(rev_dec, 2) * 100 as bigint)").as("revenue_cents"))
     }),
 
     "q_window_rank" -> ((s, dir) => {
@@ -128,8 +145,10 @@ object SparkEntry {
         (lit(1).cast(DecimalType(4, 2)) - dec(col("l_discount"), 4, 2))
       Tables.lineitem(s, dir)
         .groupBy(col("l_suppkey"))
-        .agg(outD(sum(rev)).as("revenue"))
-        .orderBy(col("revenue").desc, col("l_suppkey"))
+        .agg(sum(rev).as("rev_dec"))
+        .select(col("l_suppkey"),
+          expr("cast(round(rev_dec, 2) * 100 as bigint)").as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("l_suppkey"))
         .limit(15)
     }),
 
@@ -295,8 +314,10 @@ object SparkEntry {
       Dedup.exact(Tables.documents(s, dir), "doc_id", "text")),
 
     "dedup_jaccard" -> ((s, dir) =>
+      // finite df cap: the hot-shingle guard (a shingle in d docs makes
+      // d² join rows) runs through the gate, mirrored in the oracle CTE
       Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
-        shingleN = 3, minJaccard = 0.1)),
+        shingleN = 3, minJaccard = 0.1, maxShingleDf = 50)),
 
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLsh(withPlantedNearDups(Tables.documents(s, dir)),
@@ -393,9 +414,15 @@ object SparkEntry {
               |FROM events_v GROUP BY event_type""".stripMargin)
     }),
 
+    // planted EXACT copies + exact-Jaccard near-dup removal: every
+    // stage (quality filter, exact dedup, near-dup anti-join, scrub,
+    // token count) is deterministic and SQL-expressible, so the whole
+    // pipeline output is oracled. The LSH variant of the same pipeline
+    // is the approximate scale path, recall-tested in DedupSpec.
     "clean_corpus" -> ((s, dir) =>
       graft.pipeline.CleanCorpus.clean(
-        withPlantedNearDups(Tables.documents(s, dir)), "doc_id", "text")),
+        withPlantedExactCopies(Tables.documents(s, dir)), "doc_id", "text",
+        exactNearDup = true, maxShingleDf = 50)),
 
     "mm_meta" -> ((s, dir) =>
       Multimodal.withPayload(Tables.documents(s, dir), "doc_id", "text")
@@ -404,9 +431,10 @@ object SparkEntry {
           col("meta.frames").as("frames"))),
 
     "mm_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(
-        Multimodal.withPayload(Tables.documents(s, dir), "doc_id", "text"))
-        .toDF())
+      // scalar digests, not the raw array<float> — see Multimodal.featureDigest
+      Multimodal.featureDigest(
+        Multimodal.extractFeatures(
+          Multimodal.withPayload(Tables.documents(s, dir), "doc_id", "text"))))
   )
 
   /** Near-dup planting for the minhash/simhash demonstrations: each
@@ -414,6 +442,13 @@ object SparkEntry {
     * words dropped — a high-Jaccard near-duplicate derived from the
     * given corpus, so the LSH operators have true positives to find.
     */
+  /** Exact copies (ids shifted by 1e6) of every 10th document. */
+  private def withPlantedExactCopies(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    base.unionByName(base.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+  }
+
   private def withPlantedNearDups(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
     val ws = split(col("text"), " ")
@@ -433,9 +468,9 @@ object SparkEntry {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS sum_base_price_cents,
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) * 100 AS BIGINT) AS sum_disc_price_cents,
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) * 100 AS BIGINT) AS sum_charge_cents,
         |  COUNT(*) AS count_order,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) * 100 AS BIGINT) // COUNT(*) AS avg_qty_cents
         |FROM lineitem
@@ -444,7 +479,7 @@ object SparkEntry {
 
     "q3_join" ->
       """SELECT l_orderkey AS okey,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) * 100 AS BIGINT) AS revenue_cents,
         |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS odate
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -453,12 +488,12 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1996-01-01'
         |  AND l_shipdate > TIMESTAMP '1996-01-01'
         |GROUP BY l_orderkey, odate
-        |ORDER BY revenue DESC, okey
+        |ORDER BY revenue_cents DESC, okey
         |LIMIT 10""".stripMargin,
 
     "q5_multijoin" ->
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) * 100 AS BIGINT) AS revenue_cents
         |FROM region
         |JOIN nation ON n_regionkey = r_regionkey
         |JOIN customer ON c_nationkey = n_nationkey
@@ -472,7 +507,7 @@ object SparkEntry {
 
     "q_window_rank" ->
       """SELECT o_orderpriority, o_orderkey,
-        |  CAST(o_totalprice AS DECIMAL(12,2)) AS price, rnk
+        |  o_totalprice AS price, rnk
         |FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_orderpriority
@@ -491,10 +526,10 @@ object SparkEntry {
 
     "q_topk" ->
       """SELECT l_suppkey,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) * 100 AS BIGINT) AS revenue_cents
         |FROM lineitem
         |GROUP BY l_suppkey
-        |ORDER BY revenue DESC, l_suppkey
+        |ORDER BY revenue_cents DESC, l_suppkey
         |LIMIT 15""".stripMargin,
 
     "q_pivot" ->
@@ -681,7 +716,8 @@ object SparkEntry {
         |    lag(ts_sec) OVER w AS prev_sec,
         |    v - lag(v) OVER w AS dvalue
         |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id))
-        |SELECT event_id, user_id, ts_sec - prev_sec AS gap_sec, dvalue
+        |SELECT event_id, user_id, ts_sec - prev_sec AS gap_sec,
+        |  CAST(dvalue AS DOUBLE) AS dvalue
         |FROM l WHERE prev_sec IS NOT NULL""".stripMargin,
 
     "dedup_exact" ->
@@ -701,9 +737,13 @@ object SparkEntry {
         |  JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
         |sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |shj AS (
+        |  SELECT s.doc_id, s.sh FROM sh s
+        |  JOIN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 50) k
+        |    ON k.sh = s.sh),
         |inter AS (
         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
-        |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |  FROM shj x JOIN shj y ON x.sh = y.sh AND x.doc_id < y.doc_id
         |  GROUP BY x.doc_id, y.doc_id)
         |SELECT id_a, id_b,
         |  round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 3) AS jaccard
@@ -815,6 +855,119 @@ object SparkEntry {
         |  strlen(text) % 64 + 16 AS width,
         |  (strlen(text) * 7) % 64 + 16 AS height,
         |  strlen(text) % 10 + 1 AS frames
+        |FROM documents""".stripMargin,
+
+    "lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang AS lang_label, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang_label,
+        |    len(list_filter(ws, w -> w IN ('the','and','of','to','is','in','that','it'))) AS s_en,
+        |    len(list_filter(ws, w -> w IN ('el','la','de','que','y','los','en','un'))) AS s_es,
+        |    len(list_filter(ws, w -> w IN ('le','la','de','et','les','des','un','une'))) AS s_fr,
+        |    len(list_filter(ws, w -> w IN ('der','die','und','das','ist','nicht','ein','zu'))) AS s_de,
+        |    len(list_filter(ws, w -> w IN ('o','a','de','que','e','do','da','em'))) AS s_pt
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(s_en,s_es,s_fr,s_de,s_pt) <= 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en,s_es,s_fr,s_de,s_pt) THEN 'en'
+        |       WHEN s_es = greatest(s_en,s_es,s_fr,s_de,s_pt) THEN 'es'
+        |       WHEN s_fr = greatest(s_en,s_es,s_fr,s_de,s_pt) THEN 'fr'
+        |       WHEN s_de = greatest(s_en,s_es,s_fr,s_de,s_pt) THEN 'de'
+        |       ELSE 'pt' END AS lang_pred,
+        |  lang_label
+        |FROM s""".stripMargin,
+
+    // mirrors charEntropy's exact fold: p·ln(p)/ln(2) per distinct char
+    // (ln/ln(2), not native log2, to match Spark's log(base, x))
+    "text_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, string_split(text, '') AS chars,
+        |    CAST(greatest(len(string_split(text, '')), 1) AS DOUBLE) AS n
+        |  FROM documents)
+        |SELECT doc_id,
+        |  round(-coalesce(list_sum(list_transform(list_distinct(chars),
+        |    d -> (CAST(len(list_filter(chars, x -> x = d)) AS DOUBLE) / n)
+        |         * ln(CAST(len(list_filter(chars, x -> x = d)) AS DOUBLE) / n)
+        |         / ln(2))), 0.0), 3) AS entropy_bits
+        |FROM c""".stripMargin,
+
+    // full pipeline on planted exact copies: quality filter →
+    // exact dedup (keep min id per text) → exact-Jaccard near-dup
+    // anti-join (the same shingle CTEs the green dedup_jaccard oracle
+    // proved engine-portable, at the pipeline's 0.8 threshold) →
+    // PII scrub → token count.
+    "clean_corpus" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+        |q AS (
+        |  SELECT doc_id, text,
+        |    round(
+        |      least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
+        |      (CASE WHEN round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |          / greatest(len(string_split(text, ' ')), 1), 3) BETWEEN 3.0 AND 9.0
+        |          THEN 1.0 ELSE 0.5 END) * 0.3 +
+        |      least(round(CAST(len(list_filter(string_split(text, ' '),
+        |            w -> w IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |          / greatest(len(string_split(text, ' ')), 1), 3) * 4.0, 1.0) * 0.3,
+        |      3) AS quality
+        |  FROM base),
+        |f AS (SELECT * FROM q WHERE quality >= 0.3),
+        |k AS (
+        |  SELECT doc_id, text, quality,
+        |    min(doc_id) OVER (PARTITION BY text) AS keep_id
+        |  FROM f),
+        |kept AS (SELECT doc_id, text, quality FROM k WHERE doc_id = keep_id),
+        |w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM kept),
+        |sh0 AS (
+        |  SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS sh
+        |  FROM w a
+        |  JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |shj AS (
+        |  SELECT s.doc_id, s.sh FROM sh s
+        |  JOIN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 50) hot
+        |    ON hot.sh = s.sh),
+        |inter AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+        |  FROM shj x JOIN shj y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id),
+        |losers AS (
+        |  SELECT DISTINCT id_b AS doc_id FROM inter
+        |  JOIN sz sa ON sa.doc_id = id_a
+        |  JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 3) >= 0.8),
+        |s AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      'https?://[a-zA-Z0-9./_%-]+', '<URL>', 'g'),
+        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]+', '<EMAIL>', 'g'),
+        |      '[0-9]{7,}', '<NUM>', 'g') AS text,
+        |    quality
+        |  FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM losers))
+        |SELECT doc_id, text, quality,
+        |  len(string_split(text, ' ')) AS n_tokens
+        |FROM s""".stripMargin,
+
+    // feat_nonzero = distinct high nibbles over the UTF-8 payload bytes
+    // (text is ASCII, so bytes == characters); frames partition the
+    // payload, per-frame histograms are non-negative, so a mean bin is
+    // non-zero iff the nibble occurs anywhere in the payload.
+    "mm_features" ->
+      """SELECT doc_id,
+        |  strlen(text) AS n_bytes,
+        |  strlen(text) % 10 + 1 AS n_frames,
+        |  len(list_distinct(
+        |    [ord(substr(text, CAST(i AS INT), 1)) // 16
+        |     for i in range(1, strlen(text) + 1)])) AS feat_nonzero
         |FROM documents""".stripMargin
   )
 }

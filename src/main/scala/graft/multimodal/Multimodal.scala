@@ -111,6 +111,20 @@ object Multimodal {
         col("meta.frames").as("frames")))
   }
 
+  /** Driver-checkable scalar digest of the feature output. A raw
+    * `array<float>` column crashes generic tabular comparators, so the
+    * shipped query projects exact integer digests derived from the
+    * features instead. `feat_nonzero` (count of non-zero bins) is
+    * engine-portable: a mean bin is non-zero iff some payload byte has
+    * that high nibble — contributions are non-negative and can't
+    * cancel — so a SQL oracle recomputes it from the text bytes
+    * without replicating the float arithmetic.
+    */
+  def featureDigest(features: Dataset[MediaFeatures]): DataFrame =
+    features.toDF().select(
+      col("doc_id"), col("n_bytes"), col("n_frames"),
+      size(filter(col("features"), f => f > lit(0f))).as("feat_nonzero"))
+
   /** Batched decode + feature extraction over (doc_id, payload,
     * frames). Partition-local: payloads are processed in groups of
     * `batchSize` (the batch shape a vectorized decoder needs),

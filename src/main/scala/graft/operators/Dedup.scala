@@ -17,15 +17,27 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
-  /** Exact dedup by full-text equality: one hash aggregation, keep
-    * the smallest id per group. Map-side partial aggregation applies;
-    * at scale, group keys can be pre-hashed (xxhash64) to shrink
-    * shuffle width — here we group on the raw text for oracle parity.
+  /** Exact dedup: one hash aggregation, keep the smallest id per
+    * group. By default the group key is `(xxhash64(text), length)` —
+    * 16 bytes — so the shuffle carries keys, not documents; at 100 TB
+    * grouping on the raw text would shuffle every corpus byte. A
+    * same-length 64-bit collision needs ~2^32 equal-length docs
+    * (birthday bound) to become likely; pass `rawKeys = true` for the
+    * bit-exact full-text grouping where that residual risk is
+    * unacceptable. Both modes emit identical columns.
     */
-  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.groupBy(col(textCol))
-      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
-      .select(col("keep_id"), col("n_copies"), length(col(textCol)).as("text_len"))
+  def exact(docs: DataFrame, idCol: String, textCol: String,
+            rawKeys: Boolean = false): DataFrame =
+    if (rawKeys)
+      docs.groupBy(col(textCol))
+        .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"),
+          length(col(textCol)).as("text_len"))
+    else
+      docs.groupBy(xxhash64(col(textCol)).as("h"),
+          length(col(textCol)).as("text_len"))
+        .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"), col("text_len"))
 
   /** MinHash signatures: k minima of per-seed hashes over each
     * document's distinct word n-gram shingles (Broder 1997).

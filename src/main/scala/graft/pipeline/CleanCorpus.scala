@@ -20,9 +20,18 @@ import org.apache.spark.sql.functions._
   */
 object CleanCorpus {
 
+  /** `exactNearDup = false` (default) removes near-dups via
+    * MinHash-LSH — the approximate scale path (recall property-tested
+    * in DedupSpec). `exactNearDup = true` uses the exact n-gram
+    * Jaccard inverted index instead: same pipeline shape, and the
+    * whole output becomes SQL-oracle-checkable because true Jaccard
+    * (unlike minhash signatures) is engine-portable.
+    */
   def clean(docs: DataFrame, idCol: String, textCol: String,
             minQuality: Double = 0.3, shingleN: Int = 3,
-            minEstJaccard: Double = 0.8): DataFrame = {
+            minEstJaccard: Double = 0.8,
+            exactNearDup: Boolean = false,
+            maxShingleDf: Int = Int.MaxValue): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("quality", TextFunctions.qualityScore(col("text")))
       .filter(col("quality") >= minQuality)
@@ -34,11 +43,15 @@ object CleanCorpus {
       .filter(col("doc_id") === col("keep_id"))
       .drop("keep_id")
 
-    // near-dup removal: drop the HIGHER id of each LSH near-dup pair
-    val nearDupLosers = Dedup
-      .minhashLsh(exactKept, "doc_id", "text", shingleN,
-        minEstJaccard = minEstJaccard)
-      .select(col("id_b").as("doc_id")).distinct()
+    // near-dup removal: drop the HIGHER id of each near-dup pair
+    val pairs =
+      if (exactNearDup)
+        Dedup.ngramJaccard(exactKept, "doc_id", "text", shingleN,
+          minJaccard = minEstJaccard, maxShingleDf = maxShingleDf)
+      else
+        Dedup.minhashLsh(exactKept, "doc_id", "text", shingleN,
+          minEstJaccard = minEstJaccard)
+    val nearDupLosers = pairs.select(col("id_b").as("doc_id")).distinct()
 
     exactKept
       .join(nearDupLosers, Seq("doc_id"), "left_anti")

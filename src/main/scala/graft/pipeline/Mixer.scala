@@ -32,16 +32,41 @@ object Mixer {
 
   /** Greedy token-budget cut: order documents deterministically
     * (quality desc, id asc), keep the prefix whose running token sum
-    * stays within `budget`. One global sort — at 100 TB you budget
-    * per partition/source first and only rank the survivors.
+    * stays within `budget`.
+    *
+    * Distributed exact prefix, no single-partition stage: range-
+    * partition on the sort key (so partition p holds a contiguous rank
+    * range and every row in p+1 sorts after every row in p), collect
+    * ONE (partition, token-sum) row per partition, prefix-sum those on
+    * the driver, and broadcast the exclusive offsets back into a
+    * per-partition running-sum window. Selection is identical to a
+    * global-window prefix; the only driver-side data is numPartitions
+    * rows (same bounded-model pattern as IVF centroids). The explicit
+    * partition count keeps AQE from coalescing between the offset job
+    * and the final job, so `spark_partition_id` is stable across both.
     */
   def takeTokenBudget(docs: DataFrame, idCol: String, textCol: String,
                       qualityCol: String, budget: Long): DataFrame = {
-    val w = Window.orderBy(col(qualityCol).desc, col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = docs
       .withColumn("n_tokens", TextFunctions.wordCount(col(textCol)).cast(LongType))
-      .withColumn("running_tokens", sum(col("n_tokens")).over(w))
+      .repartitionByRange(parts, col(qualityCol).desc, col(idCol))
+      .withColumn("_pid", spark_partition_id())
+    val perPart = ranged.groupBy(col("_pid"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = perPart
+      .scanLeft((0, 0L)) { case ((_, acc), (pid, t)) => (pid, acc + t) }
+      .init.zip(perPart)
+      .map { case ((_, acc), (pid, _)) => pid -> acc }.toMap
+    val w = Window.partitionBy(col("_pid"))
+      .orderBy(col(qualityCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn("running_tokens",
+        sum(col("n_tokens")).over(w) +
+          coalesce(element_at(typedlit(offsets), col("_pid")), lit(0L)))
       .filter(col("running_tokens") <= budget)
+      .drop("_pid")
   }
 }

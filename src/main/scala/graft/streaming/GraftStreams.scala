@@ -20,15 +20,28 @@ object GraftStreams {
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         "true")
 
-  /** Append alert sink — the reference's AlertSink re-expressed as an
-    * idempotent-by-batch parquet appender via foreachBatch.
+  /** Append alert sink — the reference's AlertSink re-expressed as a
+    * replay-idempotent parquet appender via foreachBatch. Each
+    * micro-batch overwrites its own `batch_id=<n>` subdirectory, so a
+    * batch retried after a failure (foreachBatch gives at-least-once)
+    * replaces rather than duplicates its rows — the exactly-once
+    * analog of the reference firing each window alert exactly once
+    * (FIRE_AND_PURGE, CustomTumblingTrigger.java:26-89). Readers see
+    * one partition column `batch_id` on top of the alert schema.
     */
+  /** One micro-batch's write: overwrite this batch's own partition
+    * directory. Re-running the same (batch, batchId) — what a retry
+    * does — replaces the directory contents, never duplicates.
+    */
+  private[graft] def writeAlertBatch(batch: DataFrame, batchId: Long,
+                                     path: String): Unit =
+    batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+
   def parquetAlertSink(alerts: DataFrame, path: String,
                        checkpoint: String): StreamingQuery =
     alerts.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("append").parquet(path)
-        ()
+        writeAlertBatch(batch, batchId, path)
       }
       .option("checkpointLocation", checkpoint)
       .start()

@@ -83,7 +83,25 @@ object StreamingFraud {
               Iterator(Alert(accountId, st.firstTsMs, st.sum, st.cnt))
             else Iterator.empty
           } else {
-            var st = state.getOption.getOrElse(DetectorState(Long.MaxValue, 0d, 0L))
+            // Spark fires a key's timeout only in batches where that key
+            // receives NO data (FlatMapGroupsWithStateExec processes new
+            // data first, then timeouts for the remaining keys). So a key
+            // whose window expired but that keeps receiving data must
+            // flush the expired window HERE — otherwise the
+            // setTimeoutTimestamp below would be <= the watermark and
+            // throw, killing the query.
+            val wm = state.getCurrentWatermarkMs()
+            val pending = state.getOption
+            val expired =
+              pending.filter(st => st.firstTsMs + windowSec * 1000 <= wm)
+            val flushed = expired match {
+              case Some(st) if st.sum > threshold =>
+                Iterator.single(Alert(accountId, st.firstTsMs, st.sum, st.cnt))
+              case _ => Iterator.empty
+            }
+            var st =
+              if (expired.isDefined) DetectorState(Long.MaxValue, 0d, 0L)
+              else pending.getOrElse(DetectorState(Long.MaxValue, 0d, 0L))
             events.foreach { t =>
               val tms = t.ts.getTime
               st = DetectorState(math.min(st.firstTsMs, tms), st.sum + t.amount,
@@ -91,12 +109,11 @@ object StreamingFraud {
             }
             state.update(st)
             // earliest pending timer wins, as in Flink's timer service.
-            // This timestamp always exceeds the watermark: late rows
-            // (ts < watermark) never reach this function, and Spark
-            // fires an expired timeout (clearing state) BEFORE handing
-            // the same key new data, so firstTsMs >= watermark here.
-            state.setTimeoutTimestamp(st.firstTsMs + windowSec * 1000)
-            Iterator.empty
+            // New rows are never late (ts >= watermark) so the timer is
+            // normally > wm already; the clamp is belt-and-braces.
+            state.setTimeoutTimestamp(
+              math.max(st.firstTsMs + windowSec * 1000, wm + 1))
+            flushed
           }
       }
   }

@@ -32,6 +32,23 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(dups.filter(col("keep_id") >= 1000000L).count() === 0)
   }
 
+  test("exact dedup hashed keys: same result as raw-text keys, 16-byte shuffle") {
+    val planted = withExactCopies
+    val hashed = Dedup.exact(planted, "doc_id", "text")
+    val raw = Dedup.exact(planted, "doc_id", "text", rawKeys = true)
+    assert(hashed.exceptAll(raw).isEmpty && raw.exceptAll(hashed).isEmpty)
+    // plan audit: the aggregation exchange must partition on the
+    // (hash, length) grouping expressions, never on the document text
+    val planLines = hashed.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(planLines.nonEmpty)
+    assert(planLines.forall(l => !l.contains("text#")), planLines.mkString("\n"))
+    // and raw-keys mode is the one that shuffles the text
+    val rawLines = raw.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(rawLines.exists(_.contains("text#")), rawLines.mkString("\n"))
+  }
+
   test("minhash LSH finds the planted near-duplicates") {
     val pairs = Dedup.minhashLsh(withNearCopies, "doc_id", "text",
       shingleN = 3, k = 32, bands = 8, minEstJaccard = 0.5)

@@ -42,4 +42,22 @@ class MixerSpec extends AnyFunSuite with SparkSpec {
       .agg(max("q")).head.getDouble(0)
     assert(bestDropped <= worstKept + 1e-9)
   }
+
+  test("token budget: distributed prefix equals the naive global window") {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.withColumn("q",
+      graft.functions.TextFunctions.qualityScore(col("text")))
+    val take = Mixer.takeTokenBudget(scored, "doc_id", "text", "q", budget = 5000)
+    val w = Window.orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = scored
+      .withColumn("n_tokens", graft.functions.TextFunctions
+        .wordCount(col("text")).cast("long"))
+      .withColumn("running_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("running_tokens") <= 5000)
+    assert(take.exceptAll(naive).isEmpty && naive.exceptAll(take).isEmpty)
+    // and the distributed plan must not funnel through one task
+    val plan = take.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
 }

@@ -39,6 +39,17 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("feature digest: feat_nonzero equals distinct high nibbles of payload") {
+    val digest = Multimodal.featureDigest(Multimodal.extractFeatures(payloads))
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    val expected = payloads.select(col("doc_id"), col("payload")).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[Array[Byte]](1).map(b => (b & 0xFF) >> 4).distinct.length)
+      .toMap
+    assert(digest === expected)
+    assert(digest.nonEmpty)
+  }
+
   test("resize produces fixed-size payloads with updated metadata") {
     val resized = Multimodal.resize(payloads, 32, 16)
     val bad = resized.filter(length(col("payload")) =!= 32 * 16)

@@ -158,6 +158,18 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(written.filter(col("accountId") === 1).count() === 1)
   }
 
+  test("alert sink is replay-idempotent: a retried batch does not duplicate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_retry").toString
+    val batch = spark.range(5).select(col("id").as("accountId"),
+      (col("id") * 10.0).as("total"))
+    GraftStreams.writeAlertBatch(batch, 0L, s"$dir/out")
+    GraftStreams.writeAlertBatch(batch, 0L, s"$dir/out") // simulated retry
+    GraftStreams.writeAlertBatch(batch, 1L, s"$dir/out") // a distinct batch
+    val written = spark.read.parquet(s"$dir/out")
+    assert(written.count() === 10) // 5 per batch, retry replaced batch 0
+    assert(written.filter(col("batch_id") === 0).count() === 5)
+  }
+
   test("sliding window means emit per-slide panes (reference pane slicing)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Transaction]
@@ -336,8 +348,9 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
 
   test("pending timer fires before same-batch data, clearing the buffer") {
     // mirrors the reference: onTimer clears ALL state (FraudDetector
-    // .java:114-118); a later transaction starts a fresh buffer. Spark
-    // guarantees expired timeouts fire BEFORE the same key's new data.
+    // .java:114-118); a later transaction starts a fresh buffer. The
+    // expired window is flushed either by the timeout path (key got no
+    // data that batch) or by the data-path flush in timerDetector.
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Transaction]
     val alerts = StreamingFraud.timerDetector(input.toDS(), windowSec = 5,
@@ -360,5 +373,37 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(acct1.length === 1) // fresh 50-buffer stays below threshold
     assert(math.abs(acct1.head.getDouble(2) - 130.0) < 1e-9)
     assert(acct1.head.getLong(1) === Base + 1000)
+  }
+
+  test("key receiving data every batch still flushes its expired window") {
+    // Spark fires a key's event-time timeout only in batches where that
+    // key receives no data, so a hot key that never goes quiet must have
+    // its expired window flushed in the DATA path — otherwise the old
+    // code re-armed a timer below the watermark and the query died with
+    // IllegalArgumentException (reference FraudDetector.java:83 fires
+    // per-element timers regardless of further traffic).
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Transaction]
+    val alerts = StreamingFraud.timerDetector(input.toDS(), windowSec = 5,
+      threshold = 100.0, watermarkDelay = "2 seconds")
+    val sink = runToSink(alerts.toDF(), "t_timerhot", "append") { step =>
+      input.addData(tx(1, 60, 1), tx(1, 70, 2)) // buffer 130, timer at 6s
+      step(0)
+      input.addData(tx(1, 5, 50), tx(9, 1, 100)) // key 1 keeps receiving;
+      step(0)                                    // wm → 98s after this batch
+      // wm now 98s > timer 6s, and key 1 gets data in the SAME batch:
+      // the 135-buffer must flush as an alert and a fresh buffer start
+      input.addData(tx(1, 150, 99))
+      step(0)
+      input.addData(tx(9, 1, 200))
+      step(0)
+      input.addData(tx(9, 1, 201)) // wm → 198s fires the fresh buffer
+      step(0)
+    }
+    val acct1 = sink.filter(col("accountId") === 1).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(acct1.length === 2, s"got ${acct1.mkString(",")}")
+    assert(acct1(0) === ((Base + 1000, 135.0)))
+    assert(acct1(1) === ((Base + 99000, 150.0)))
   }
 }
