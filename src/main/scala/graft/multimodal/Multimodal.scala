@@ -15,12 +15,13 @@ case class MediaFeatures(
   * `binary` columns with typed metadata, plus a batched
   * decode/feature-extract stage.
   *
-  * The container has no image/audio codecs, so `decodeFrame` is a
-  * clearly-marked deterministic STUB; everything Spark-side — the
-  * schema (binary payload + metadata struct), the partition-local
-  * batched iteration shape, and the typed output — is real and
-  * tested. Swapping in a real decoder (JPEG/WAV/etc.) changes only
-  * the stub body.
+  * `decodeFrame` REALLY decodes RIFF/WAVE PCM payloads (pure-JVM
+  * header parse + sample extraction, see [[Wav]]); formats needing
+  * native codecs (JPEG/MP4) fall back to a clearly-marked
+  * deterministic STUB slice. Everything Spark-side — the schema
+  * (binary payload + metadata struct), the partition-local batched
+  * iteration shape, and the typed output — is real and tested.
+  * Swapping in further decoders changes only the stub body.
   *
   * Scale notes: payloads never pass through a shuffle here —
   * mapPartitions is narrow; feature extraction batches `batchSize`
@@ -49,14 +50,37 @@ object Multimodal {
         (pmod(octet_length(col(textCol)), lit(10)) + 1).as("frames")).as("meta"))
   }
 
-  /** ======== STUB: media decode =========================
-    * A real implementation would decode `payload` (JPEG/PNG/WAV/MP4
-    * frame) with a native library and emit pixel/sample frames. This
-    * deterministic stand-in treats the payload bytes as one "frame"
-    * per `frames` metadata slice.
+  /** Media decode. RIFF/WAVE PCM payloads take the REAL path: [[Wav]]
+    * parses the container headers and the "frame" is the matching
+    * block-aligned slice of the decoded sample data — no codec library
+    * needed, WAV PCM is headers + raw little-endian samples. Anything
+    * else (incl. the text-as-payload gate data) falls through to the
+    * deterministic stand-in below, which slices the raw payload —
+    * that fallback is the one remaining STUB (a JPEG/MP4 decoder
+    * would need native codecs absent from this container).
     */
-  private[multimodal] def decodeFrame(payload: Array[Byte], frame: Int,
-                                      nFrames: Int): Array[Byte] = {
+  private[graft] def decodeFrame(payload: Array[Byte], frame: Int,
+                                      nFrames: Int): Array[Byte] =
+    Wav.parse(payload) match {
+      case Some(w) =>
+        // real decode: frame f = f-th block-aligned span of samples
+        val align = math.max(1, w.bytesPerSample * w.channels)
+        val blocks = w.dataLength / align
+        val perFrame = math.max(1, blocks / math.max(1, nFrames))
+        val fromB = math.min(frame * perFrame, blocks)
+        val untilB = if (frame == nFrames - 1) blocks
+                     else math.min(fromB + perFrame, blocks)
+        java.util.Arrays.copyOfRange(payload,
+          w.dataOffset + fromB * align, w.dataOffset + untilB * align)
+      case None => sliceFrame(payload, frame, nFrames)
+    }
+
+  /** ======== STUB: non-WAV decode fallback ==============
+    * Deterministic stand-in for formats needing native codecs: treats
+    * the payload bytes as one "frame" per `frames` metadata slice.
+    */
+  private[graft] def sliceFrame(payload: Array[Byte], frame: Int,
+                                     nFrames: Int): Array[Byte] = {
     val chunk = math.max(1, payload.length / math.max(1, nFrames))
     val from = math.min(frame * chunk, payload.length)
     val until = if (frame == nFrames - 1) payload.length
