@@ -337,8 +337,13 @@ object SparkEntry {
         queryMaxId = 9, k = 5)),
 
     "ann_ivf" -> ((s, dir) =>
+      // trainFraction < 1: k-means fits on a deterministic hash-sample
+      // — the 100 TB path (training cost is independent of corpus
+      // size), and the fix for the r2 bench regression where query-time
+      // full-corpus Lloyd iterations dominated the runtime
       Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-        queryMaxId = 9, k = 5, nlist = 16, nprobe = 4)),
+        queryMaxId = 9, k = 5, nlist = 16, nprobe = 4,
+        trainFraction = 0.25)),
 
     "ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",

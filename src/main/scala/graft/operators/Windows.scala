@@ -127,6 +127,50 @@ object Windows {
         expr("cast(sum_dec * 100 as bigint) div cnt").as("mean_cents"))
   }
 
+  /** STREAMING pane-sliced sliding aggregation — the reference's
+    * CustomSlidingWindow pane state layout expressed natively in
+    * Structured Streaming as chained time-window aggregations
+    * (supported for append streams since Spark 3.4):
+    *
+    *   state store 1: tumbling gcd(size, slide) pane partials —
+    *     each input row folds into exactly ONE pane row;
+    *   state store 2: `window(window_time(pane), size, slide)`
+    *     re-aggregates pane partials into sliding windows.
+    *
+    * Soundness: `window_time(pane)` is the pane's end−1µs instant;
+    * window starts are slide-aligned and pane | slide, so the sliding
+    * windows containing that instant are exactly the windows that
+    * contain the whole pane (ws < paneStart+pane ⟺ ws ≤ paneStart for
+    * pane-aligned ws; instant < ws+size ⟺ paneStart+pane ≤ ws+size).
+    * Same result set as [[slidingAgg]]; per-element state work drops
+    * from size/slide window-row updates to one pane update, pane
+    * merges amortize across the pane's elements — the reference's
+    * pane trick (CustomSlidingWindow.java:25-127), with watermark
+    * propagation across both stateful operators handled by the
+    * streaming planner. Equivalence + two-state-store plan shape are
+    * spec-checked; the batch analog is [[paneSlidingAgg]] /
+    * [[graft.plans.PaneSlidingAggRule]].
+    */
+  def streamingPaneSlidingAgg(events: DataFrame, key: String, tsCol: String,
+                              valCol: String, sizeSec: Long, slideSec: Long,
+                              watermarkDelay: String): DataFrame = {
+    val paneSec = gcd(sizeSec, slideSec)
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(key), window(col(tsCol), s"$paneSec seconds").as("pw"))
+      .agg(sum(col(valCol).cast(Dec)).as("psum"), count(lit(1)).as("pcnt"))
+      .groupBy(col(key),
+        window(window_time(col("pw")), s"$sizeSec seconds",
+          s"$slideSec seconds").as("w"))
+      .agg(sum(col("psum")).cast(DecOut).as("sum_dec"),
+        sum(col("pcnt")).as("cnt"))
+      .select(
+        col(key),
+        unix_timestamp(col("w.start")).as("ws"),
+        col("sum_dec").cast(DoubleType).as("sum_val"), col("cnt"),
+        expr("cast(sum_dec * 100 as bigint) div cnt").as("mean_cents"))
+  }
+
   /** Gap-based session windows per key (generalizes the reference's
     * 5 s event-time timer buffer, FraudDetector.java:94-119).
     */

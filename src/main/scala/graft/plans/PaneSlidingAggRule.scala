@@ -34,7 +34,16 @@ import org.apache.spark.sql.types._
 object PaneSlidingAggRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case agg: Aggregate =>
+    // Batch plans only. A streaming sliding agg keeps ONE state row per
+    // (key, window) and merges each micro-batch's pre-shuffle partial
+    // into it, so rewriting here would stack a second stateful
+    // aggregate with its own state/watermark lifecycle behind the
+    // planner's back. The streaming pane layout is instead expressed
+    // natively by chained window re-aggregation —
+    // [[graft.operators.Windows.streamingPaneSlidingAgg]] — which the
+    // streaming planner understands (two state stores, pane partials
+    // in the first, window re-agg in the second).
+    case agg: Aggregate if !agg.isStreaming =>
       // peel an optional pruning Project and the TimeWindowing
       // validity filter off the Aggregate's child:
       //   Aggregate [Project] [Filter] Expand

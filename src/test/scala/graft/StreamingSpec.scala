@@ -375,6 +375,49 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(acct1.head.getLong(1) === Base + 1000)
   }
 
+  test("streaming pane-sliced sliding agg matches batch sliding agg (2 state stores)") {
+    // the reference's pane state layout (CustomSlidingWindow.java:
+    // 25-127) run natively in Structured Streaming: tumbling pane
+    // partials in state store 1, window re-agg of panes in store 2
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Transaction]
+    val data = Seq(tx(1, 10, 6), tx(1, 30, 8), tx(1, 5, 12), tx(2, 7, 3))
+    val paned = graft.operators.Windows.streamingPaneSlidingAgg(
+      input.toDF(), "accountId", "ts", "amount",
+      sizeSec = 10, slideSec = 5, watermarkDelay = "5 seconds")
+    var planStr = ""
+    val q = paned.writeStream.format("memory").queryName("t_panes")
+      .outputMode("append").start()
+    try {
+      input.addData(data: _*)
+      q.processAllAvailable()
+      input.addData(tx(9, 1, 60)) // watermark → 55s closes all windows
+      q.processAllAvailable()
+      input.addData(tx(9, 1, 61))
+      q.processAllAvailable()
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) { q.explain() }
+      planStr = out.toString
+    } finally q.stop()
+    // pane layout evidence: exactly two stateful aggregations
+    assert(planStr.linesIterator.count(_.contains("StateStoreSave")) === 2,
+      planStr)
+
+    val got = spark.table("t_panes")
+      .filter(col("accountId") === 1)
+      .select("accountId", "ws", "sum_val", "cnt", "mean_cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val expected = graft.operators.Windows.slidingAgg(
+      data.toDF(), "accountId", "ts", "amount", sizeSec = 10, slideSec = 5)
+      .filter(col("accountId") === 1)
+      .select("accountId", "ws", "sum_val", "cnt", "mean_cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("key receiving data every batch still flushes its expired window") {
     // Spark fires a key's event-time timeout only in batches where that
     // key receives no data, so a hot key that never goes quiet must have
