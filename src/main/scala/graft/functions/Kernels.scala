@@ -80,7 +80,12 @@ object Kernels {
     */
   def dotProduct(a: ArrayData, b: ArrayData): Double = {
     if (a == null || b == null) return 0d
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // fail fast: a silent min-length truncation would quietly corrupt
+    // similarity scores on ragged embedding data
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"graft_dot: dimension mismatch ($n vs ${b.numElements()})")
     var acc = 0d
     var i = 0
     while (i < n) {

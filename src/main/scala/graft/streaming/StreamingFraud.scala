@@ -118,6 +118,83 @@ object StreamingFraud {
       }
   }
 
+  /** One buffered transaction (the reference ListState's Tuple2). */
+  case class BufferedTx(tsMs: Long, amount: Double)
+
+  /** Per-element timer emulation state: every element's pending fire
+    * time plus the record buffer (reference FraudDetector.java keeps
+    * ListState<Tuple2> + per-element registered timers).
+    */
+  case class PerElementState(pending: Seq[Long], buffer: Seq[BufferedTx])
+
+  /** Faithful per-element-timer fraud detector. The reference
+    * (FraudDetector.java:83) registers an event-time timer at EVERY
+    * element's `ts + windowSec`; `onTimer(t)` sums buffered records in
+    * `[t - windowSec, t)`, alerts over threshold, and clears the
+    * buffer — but the OTHER registered timers stay armed, so a pending
+    * timer from an old element can later fire over records buffered
+    * after the clear. [[timerDetector]]'s single earliest-timer state
+    * diverges there (it would re-anchor on the next element); this
+    * variant keeps the full pending-timer list in state, arms Spark's
+    * single GroupState timeout at the earliest pending fire time, and
+    * drains every expired timer in event-time order on each firing or
+    * data batch (expired timers after the first see the cleared
+    * buffer, exactly like Flink's timer service draining a watermark
+    * jump).
+    */
+  def perElementTimerDetector(tx: Dataset[Transaction], windowSec: Long,
+                              threshold: Double,
+                              watermarkDelay: String = "5 seconds"): Dataset[Alert] = {
+    implicit val alertEnc: Encoder[Alert] = Encoders.product[Alert]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val stEnc: Encoder[PerElementState] = Encoders.product[PerElementState]
+    val windowMs = windowSec * 1000
+
+    // drain timers <= wm in event-time order: each scans the buffer
+    // for [t-window, t) then clears it (reference onTimer), later
+    // expired timers therefore see an empty buffer
+    def drain(accountId: Long, wm: Long,
+              st: PerElementState): (List[Alert], PerElementState) = {
+      val (expired, remaining) = st.pending.sorted.partition(_ <= wm)
+      var buffer = st.buffer
+      val alerts = expired.flatMap { t =>
+        val inWin = buffer.filter(r => r.tsMs >= t - windowMs && r.tsMs < t)
+        val sum = inWin.map(_.amount).sum
+        buffer = Nil // reference clears the whole buffer on every firing
+        if (sum > threshold)
+          Some(Alert(accountId, t - windowMs, sum, inWin.size.toLong))
+        else None
+      }.toList
+      (alerts, PerElementState(remaining, buffer))
+    }
+
+    tx.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.accountId)
+      .flatMapGroupsWithState[PerElementState, Alert](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (accountId: Long, events: Iterator[Transaction],
+         state: GroupState[PerElementState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val st0 = state.getOption.getOrElse(PerElementState(Nil, Nil))
+          val (alerts, drained) = drain(accountId, wm, st0)
+          // fold new elements: buffer the record, register its timer
+          var st = drained
+          events.foreach { t =>
+            val tms = t.ts.getTime
+            st = PerElementState(
+              if (st.pending.contains(tms + windowMs)) st.pending
+              else st.pending :+ (tms + windowMs),
+              st.buffer :+ BufferedTx(tms, t.amount))
+          }
+          if (st.pending.isEmpty) state.remove()
+          else {
+            state.update(st)
+            state.setTimeoutTimestamp(math.max(st.pending.min, wm + 1))
+          }
+          alerts.iterator
+      }
+  }
+
   /** Per-account running totals across the whole stream — the
     * reference's RocksDB merge of successive window sums under the
     * same account key (FraudDetectionJob.java:128-160) as a

@@ -45,6 +45,25 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     assert(got === Set((1L, 100L, 11L), (1L, 200L, 12L)))
   }
 
+  test("string tie-breaks order natively; left-outer keeps unmatched rows") {
+    import spark.implicits._
+    val left = Seq((1L, 100L), (2L, 50L)).toDF("k", "t_l")
+      .select(col("k"), col("t_l").cast("timestamp").as("tl"))
+    // two right rows at the same timestamp tie-broken by a STRING id
+    // ("b" > "a" — a cast-to-long tie would null both and pick either)
+    val right = Seq((1L, 100L, "a", 10L), (1L, 100L, "b", 11L))
+      .toDF("k", "t_r", "sid", "rid")
+      .select(col("k"), col("t_r").cast("timestamp").as("tr"),
+        col("sid"), col("rid"))
+    val inner = AsOfJoin.join(left, right, "k", "tl", "tr", "sid", Seq("rid"))
+      .select("k", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(inner.toSet === Set((1L, 11L))) // "b" wins the tie, k=2 dropped
+    val outer = AsOfJoin.join(left, right, "k", "tl", "tr", "sid", Seq("rid"),
+      dropUnmatched = false).select("k", "rid").collect()
+    assert(outer.length === 2)
+    assert(outer.filter(_.getLong(0) == 2L).forall(_.isNullAt(1)))
+  }
+
   test("attached right columns come atomically from the same row") {
     import spark.implicits._
     val left = Seq((1L, 100L)).toDF("k", "t_l")

@@ -4,7 +4,7 @@ import graft.functions.Kernels
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalacheck.{Gen, Prop, Properties}
-import org.scalacheck.Prop.forAll
+import org.scalacheck.Prop.{forAll, propBoolean}
 
 /** ScalaCheck property tests for the JVM kernels (pure, no Spark
   * session): algebraic guarantees the dedup/similarity operators rely
@@ -47,13 +47,25 @@ object KernelsPropSpec extends Properties("Kernels") {
     .flatMap(n => Gen.listOfN(n, Gen.choose(-10.0, 10.0)))
 
   property("dot product matches a reference fold and is symmetric") =
-    forAll(vec, vec) { (a, b) =>
-      val n = math.min(a.size, b.size)
+    forAll(vec, vec) { (a0, b0) =>
+      // equal dims: mismatched lengths fail fast (property below)
+      val n = math.min(a0.size, b0.size)
+      val (a, b) = (a0.take(n), b0.take(n))
       val ad = ArrayData.toArrayData(a.toArray)
       val bd = ArrayData.toArrayData(b.toArray)
       val got = Kernels.dotProduct(ad, bd)
       val ref = (0 until n).foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
       math.abs(got - ref) < 1e-9 &&
         math.abs(Kernels.dotProduct(bd, ad) - got) < 1e-12
+    }
+
+  property("dot product rejects mismatched dimensions") =
+    forAll(vec, vec) { (a, b) =>
+      (a.size != b.size) ==> {
+        val ad = ArrayData.toArrayData(a.toArray)
+        val bd = ArrayData.toArrayData(b.toArray)
+        try { Kernels.dotProduct(ad, bd); false }
+        catch { case _: IllegalArgumentException => true }
+      }
     }
 }

@@ -375,6 +375,36 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(acct1.head.getLong(1) === Base + 1000)
   }
 
+  test("per-element timers: a pending timer fires over records buffered after a clear") {
+    // reference FraudDetector.java:83 arms a timer at EVERY element's
+    // ts+5s and onTimer clears the buffer but not the other timers.
+    // Distinguishing scenario: acct 1 tx at t=0(60) and t=3(70) arm
+    // timers {5s, 8s}. Timer@5 fires window [0,5) → alert(ws=0, 130).
+    // A tx at t=7(120) lands in the cleared buffer; the STILL-ARMED
+    // timer@8 (from the t=3 element) fires window [3,8) → alert(ws=3,
+    // 120). An earliest-only emulation would instead re-anchor at
+    // 7+5=12 and emit ws=7 — this spec pins the reference behavior.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Transaction]
+    val alerts = StreamingFraud.perElementTimerDetector(input.toDS(),
+      windowSec = 5, threshold = 100.0, watermarkDelay = "2 seconds")
+    val sink = runToSink(alerts.toDF(), "t_perelem", "append") { step =>
+      input.addData(tx(1, 60, 0), tx(1, 70, 3)) // timers {5, 8}
+      step(0)
+      input.addData(tx(9, 1, 8)) // wm → 6 > 5: timer@5 fires [0,5) = 130
+      step(0)
+      input.addData(tx(1, 120, 7)) // buffered after the clear; timers {8, 12}
+      step(0)
+      input.addData(tx(9, 1, 11)) // wm → 9 > 8: timer@8 fires [3,8) = {7:120}
+      step(0)
+      input.addData(tx(9, 1, 20)) // wm → 18: timer@12 fires empty buffer
+      step(0)
+    }
+    val acct1 = sink.filter(col("accountId") === 1).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).sortBy(_._1)
+    assert(acct1.toSeq === Seq((Base, 130.0, 2L), (Base + 3000, 120.0, 1L)))
+  }
+
   test("streaming pane-sliced sliding agg matches batch sliding agg (2 state stores)") {
     // the reference's pane state layout (CustomSlidingWindow.java:
     // 25-127) run natively in Structured Streaming: tumbling pane
