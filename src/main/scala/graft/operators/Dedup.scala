@@ -166,8 +166,12 @@ object Dedup {
     val joinable =
       if (maxShingleDf == Int.MaxValue) shingled
       else {
+        // df >= 2: a shingle in exactly one doc yields zero join pairs
+        // (x.doc_id < y.doc_id never holds), so dropping singletons is
+        // result-identical and removes the bulk of the join input —
+        // most shingles in a natural corpus are unique.
         val df = shingled.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxShingleDf)
+          .filter(col("df") <= maxShingleDf && col("df") >= 2)
         shingled.join(df.select("sh"), "sh")
       }
 

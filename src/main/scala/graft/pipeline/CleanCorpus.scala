@@ -36,12 +36,21 @@ object CleanCorpus {
       .withColumn("quality", TextFunctions.qualityScore(col("text")))
       .filter(col("quality") >= minQuality)
 
-    // exact dedup: keep the first id per identical text
+    // exact dedup: keep the first id per identical text. The window
+    // partitions on (xxhash64, length) — 16-byte shuffle/sort keys —
+    // not the raw text (same rationale as Dedup.exact: at 100 TB a
+    // full-text key makes every shuffle comparator scan documents).
+    // Persisted: three downstream branches (shingle index, pair sizes,
+    // final anti-join) would otherwise each recompute the scan +
+    // quality + dedup shuffle — materializing the deduped corpus once
+    // before candidate generation is the standard shape at scale.
     val exactKept = base
       .withColumn("keep_id", min(col("doc_id"))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("text"))))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(xxhash64(col("text")), length(col("text")))))
       .filter(col("doc_id") === col("keep_id"))
       .drop("keep_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // near-dup removal: drop the HIGHER id of each near-dup pair
     val pairs =

@@ -48,10 +48,15 @@ object Mixer {
   def takeTokenBudget(docs: DataFrame, idCol: String, textCol: String,
                       qualityCol: String, budget: Long): DataFrame = {
     val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // persisted: the offset job and the final window job both read it,
+    // and serving both from the same materialized blocks (rather than
+    // re-running the range shuffle) is also what guarantees
+    // spark_partition_id is identical across the two jobs
     val ranged = docs
       .withColumn("n_tokens", TextFunctions.wordCount(col(textCol)).cast(LongType))
       .repartitionByRange(parts, col(qualityCol).desc, col(idCol))
       .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perPart = ranged.groupBy(col("_pid"))
       .agg(sum(col("n_tokens")).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
