@@ -374,6 +374,23 @@ object SparkEntry {
       Tables.documents(s, dir).select(col("doc_id"),
         TextFunctions.charEntropy(col("text")).as("entropy_bits"))),
 
+    // corpus-level report: per detected language, doc/token/quality/
+    // distinct rollups — the dashboard numbers a data pipeline tracks.
+    // All measures are exact integers (quality summed in milli-units
+    // derived from the already-3-decimal score) so the hash gate holds
+    // at any scale; one scan, one 5-group aggregation.
+    "corpus_stats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("text"),
+          TextFunctions.langId(col("text")).as("lang_pred"),
+          TextFunctions.qualityScore(col("text")).as("q"),
+          TextFunctions.wordCount(col("text")).cast(LongType).as("n_tokens"))
+        .groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("cast(round(q * 1000) as bigint)")).as("sum_quality_milli"),
+          sum(col("n_tokens")).as("total_tokens"),
+          countDistinct(col("text")).as("n_distinct_texts"))),
+
     "doc_fingerprint" -> ((s, dir) => {
       GraftFunctions.register(s)
       Tables.documents(s, dir).select(
@@ -883,6 +900,48 @@ object SparkEntry {
         |       ELSE 'pt' END AS lang_pred,
         |  lang_label
         |FROM s""".stripMargin,
+
+    // per-language rollup composed from the proven lang_id + quality
+    // CTEs; all measures integer-exact
+    "corpus_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, text, ws,
+        |    len(list_filter(ws, w -> w IN ('the','and','of','to','is','in','that','it'))) AS s_en,
+        |    len(list_filter(ws, w -> w IN ('el','la','de','que','y','los','en','un'))) AS s_es,
+        |    len(list_filter(ws, w -> w IN ('le','la','de','et','les','des','un','une'))) AS s_fr,
+        |    len(list_filter(ws, w -> w IN ('der','die','und','das','ist','nicht','ein','zu'))) AS s_de,
+        |    len(list_filter(ws, w -> w IN ('o','a','de','que','e','do','da','em'))) AS s_pt
+        |  FROM t),
+        |l AS (
+        |  SELECT doc_id, text, ws,
+        |    CASE WHEN greatest(s_en,s_es,s_fr,s_de,s_pt) <= 0 THEN 'und'
+        |         WHEN s_en = greatest(s_en,s_es,s_fr,s_de,s_pt) THEN 'en'
+        |         WHEN s_es = greatest(s_en,s_es,s_fr,s_de,s_pt) THEN 'es'
+        |         WHEN s_fr = greatest(s_en,s_es,s_fr,s_de,s_pt) THEN 'fr'
+        |         WHEN s_de = greatest(s_en,s_es,s_fr,s_de,s_pt) THEN 'de'
+        |         ELSE 'pt' END AS lang_pred
+        |  FROM sc),
+        |q AS (
+        |  SELECT lang_pred, text, len(ws) AS n_tokens,
+        |    round(
+        |      least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
+        |      (CASE WHEN round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |          / greatest(len(ws), 1), 3) BETWEEN 3.0 AND 9.0
+        |          THEN 1.0 ELSE 0.5 END) * 0.3 +
+        |      least(round(CAST(len(list_filter(ws,
+        |            w -> w IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |          / greatest(len(ws), 1), 3) * 4.0, 1.0) * 0.3,
+        |      3) AS quality
+        |  FROM l)
+        |SELECT lang_pred,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(round(quality * 1000) AS BIGINT)) AS BIGINT) AS sum_quality_milli,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  COUNT(DISTINCT text) AS n_distinct_texts
+        |FROM q GROUP BY lang_pred""".stripMargin,
 
     // mirrors charEntropy's exact fold: p·ln(p)/ln(2) per distinct char
     // (ln/ln(2), not native log2, to match Spark's log(base, x))
