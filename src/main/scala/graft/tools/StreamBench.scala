@@ -18,13 +18,28 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val rowsPerSec = args.headOption.map(_.toInt).getOrElse(2000000)
     val seconds = args.lift(1).map(_.toInt).getOrElse(20)
+    // pipeline under test: "tumbling" (default, the fraud pipeline),
+    // "sliding" (naive size/slide window explode), or "panes"
+    // (streamingPaneSlidingAgg) — sliding vs panes on the same
+    // size/slide measures the pane state layout's win directly.
+    val pipeline = args.lift(2).getOrElse("tumbling")
     val spark = GraftSession.builder(appName = "graft-streambench").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val metrics = Metrics.attach(spark)
     val tx = TransactionGen.stream(spark, rowsPerSecond = rowsPerSec, accounts = 1000)
-    val alerts = StreamingFraud.tumblingAlerts(tx, sizeSec = 5,
-      threshold = 100000.0, watermarkDelay = "2 seconds")
+    val alerts = pipeline match {
+      case "sliding" =>
+        StreamingFraud.slidingMeans(tx, sizeSec = 60, slideSec = 5,
+          watermarkDelay = "2 seconds")
+      case "panes" =>
+        graft.operators.Windows.streamingPaneSlidingAgg(tx, "accountId",
+          "ts", "amount", sizeSec = 60, slideSec = 5,
+          watermarkDelay = "2 seconds")
+      case _ =>
+        StreamingFraud.tumblingAlerts(tx, sizeSec = 5,
+          threshold = 100000.0, watermarkDelay = "2 seconds")
+    }
     val ckpt = java.nio.file.Files.createTempDirectory("graft_sb").toString
     val q = alerts.writeStream.format("noop")
       .queryName("streambench")
@@ -39,7 +54,7 @@ object StreamBench {
     val rps = steady.map(_.processedRowsPerSecond).filter(!_.isNaN)
     val rows = steady.map(_.numInputRows).sum
     val mean = if (rps.nonEmpty) rps.sum / rps.length else 0.0
-    println(s"""{"metric":"stream_rows_per_sec","value":$mean,"unit":"rows/sec","rows":$rows,"batches":${steady.length},"configuredRate":$rowsPerSec}""")
+    println(s"""{"metric":"stream_rows_per_sec","value":$mean,"unit":"rows/sec","rows":$rows,"batches":${steady.length},"configuredRate":$rowsPerSec,"pipeline":"$pipeline"}""")
     spark.stop()
   }
 }
