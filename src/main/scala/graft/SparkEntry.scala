@@ -374,6 +374,23 @@ object SparkEntry {
       Tables.documents(s, dir).select(col("doc_id"),
         TextFunctions.charEntropy(col("text")).as("entropy_bits"))),
 
+    // benchmark decontamination: eval set = every 10th doc, corpus =
+    // the rest; 5-gram containment of each corpus doc against the eval
+    // set's shingle union (broadcast semi-join — see Dedup.decontaminate).
+    // Integer-permille containment keeps the hash gate float-free.
+    "decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", shingleN = 5)
+    }),
+
+    // Gopher-style repetition quality signals; map-only HOF scan
+    "text_repetition" -> ((s, dir) =>
+      TextFunctions.repetitionStats(Tables.documents(s, dir),
+        "doc_id", "text", ngramN = 2)),
+
     // corpus-level report: per detected language, doc/token/quality/
     // distinct rollups — the dashboard numbers a data pipeline tracks.
     // All measures are exact integers (quality summed in milli-units
@@ -942,6 +959,60 @@ object SparkEntry {
         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
         |  COUNT(DISTINCT text) AS n_distinct_texts
         |FROM q GROUP BY lang_pred""".stripMargin,
+
+    // 5-gram containment vs the eval subset's shingle union; the
+    // string-shingle joins here mirror the hashed broadcast semi-join
+    // Spark-side (same counts modulo xxhash64 collisions ~n²/2⁶⁵)
+    "decontaminate" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |g AS (
+        |  SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word
+        |    || ' ' || d.word || ' ' || e.word AS sh
+        |  FROM w a
+        |  JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        |  JOIN w d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+        |  JOIN w e ON e.doc_id = a.doc_id AND e.pos = a.pos + 4),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM g),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0),
+        |corp AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corp GROUP BY doc_id),
+        |hit AS (
+        |  SELECT c.doc_id, COUNT(*) AS n_hit FROM corp c
+        |  JOIN bench b ON b.sh = c.sh GROUP BY c.doc_id)
+        |SELECT t.doc_id, t.n_shingles,
+        |  COALESCE(h.n_hit, 0) AS n_hit,
+        |  (1000 * COALESCE(h.n_hit, 0)) // t.n_shingles AS contain_pml
+        |FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id""".stripMargin,
+
+    // duplicate-word / duplicate-bigram permille, integer-exact
+    "text_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |wc AS (
+        |  SELECT doc_id, COUNT(*) AS n_words,
+        |    COUNT(DISTINCT word) AS n_distinct_words
+        |  FROM w GROUP BY doc_id),
+        |g AS (
+        |  SELECT a.doc_id, a.word || ' ' || b.word AS sh
+        |  FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+        |gc AS (
+        |  SELECT doc_id, COUNT(*) AS n_ngrams,
+        |    COUNT(DISTINCT sh) AS n_distinct_ngrams
+        |  FROM g GROUP BY doc_id)
+        |SELECT wc.doc_id, n_words, n_distinct_words,
+        |  (1000 * (n_words - n_distinct_words)) // n_words AS dup_word_pml,
+        |  COALESCE(n_ngrams, 0) AS n_ngrams,
+        |  COALESCE(n_distinct_ngrams, 0) AS n_distinct_ngrams,
+        |  CASE WHEN COALESCE(n_ngrams, 0) = 0 THEN 0
+        |       ELSE (1000 * (n_ngrams - n_distinct_ngrams)) // n_ngrams
+        |  END AS dup_ngram_pml
+        |FROM wc LEFT JOIN gc ON gc.doc_id = wc.doc_id""".stripMargin,
 
     // mirrors charEntropy's exact fold: p·ln(p)/ln(2) per distinct char
     // (ln/ln(2), not native log2, to match Spark's log(base, x))

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -119,6 +119,37 @@ object TextFunctions {
       c => size(filter(chars, x => x === c)).cast(DoubleType) / n)
     round(-aggregate(probs, lit(0.0d),
       (acc, p) => acc + p * log(2.0, p)), 3)
+  }
+
+  /** Repetition signals (Gopher-style quality filters): how much of a
+    * document is repeated words / repeated word n-grams. Everything is
+    * computed with array HOFs on the row itself — no explode, no
+    * shuffle — so at 100 TB this is a map-only scan that whole-stage
+    * codegen fuses into the parquet read. Ratios are integer permille
+    * (exact `div`), never floats, so engines can't disagree on ties.
+    *
+    * Emits per doc: `n_words`, `n_distinct_words`, `dup_word_pml`,
+    * `n_ngrams`, `n_distinct_ngrams`, `dup_ngram_pml`.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      ngramN: Int = 2): DataFrame = {
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast(LongType).as("n_words"),
+        size(array_distinct(col("w"))).cast(LongType).as("n_distinct_words"),
+        greatest(size(col("w")) - (ngramN - 1), lit(0))
+          .cast(LongType).as("n_ngrams"),
+        size(shinglesOfWords(col("w"), ngramN))
+          .cast(LongType).as("n_distinct_ngrams"))
+      .withColumn("dup_word_pml",
+        expr("(1000 * (n_words - n_distinct_words)) div n_words"))
+      .withColumn("dup_ngram_pml",
+        when(col("n_ngrams") === 0, lit(0L))
+          .otherwise(expr("(1000 * (n_ngrams - n_distinct_ngrams)) div n_ngrams")))
+      .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+        col("dup_word_pml"), col("n_ngrams"), col("n_distinct_ngrams"),
+        col("dup_ngram_pml"))
   }
 
   private val LangMarkers: Seq[(String, Seq[String])] = Seq(

@@ -142,6 +142,51 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Benchmark decontamination: for each corpus document, the share of
+    * its distinct word n-grams that occur anywhere in an evaluation /
+    * benchmark document set ("containment"). This is the standard
+    * pre-training hygiene pass that keeps eval answers out of the
+    * training mix; a document with high containment is a leaked copy
+    * of benchmark material, not merely similar prose.
+    *
+    * Scale shape: eval suites are megabytes while the corpus is
+    * terabytes, so the benchmark's distinct shingle-hash set is
+    * deduplicated and BROADCAST; the corpus side is one scan —
+    * explode → per-doc-distinct shingle hashes → broadcast LEFT SEMI
+    * join → count. No corpus self-join, and nothing wider than
+    * (doc_id, 8-byte hash) ever shuffles. Joining on `xxhash64` of the
+    * shingle rather than the string keeps the broadcast table and the
+    * probe keys fixed-width (collision odds ~n²/2⁶⁵ — negligible
+    * against the containment threshold).
+    *
+    * Output per corpus doc: distinct-shingle count, benchmark-hit
+    * count, and integer-permille containment (exact integer division —
+    * no float rounding to disagree across engines).
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String,
+                    shingleN: Int = 5): DataFrame = {
+    def shingles(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .select(col("doc_id"),
+        explode(TextFunctions.shinglesOfWords(col("w"), shingleN)).as("shRaw"))
+      .select(col("doc_id"), xxhash64(col("shRaw")).as("sh"))
+
+    val corpusSh = shingles(corpus) // distinct per doc (shinglesOfWords)
+    val benchSh = shingles(benchmark).select(col("sh")).distinct()
+    val totals = corpusSh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = corpusSh
+      .join(broadcast(benchSh), Seq("sh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("contain_pml",
+        expr("(1000 * n_hit) div n_shingles"))
+  }
+
   /** Exact word-n-gram Jaccard similarity pairs via an inverted-index
     * join on shingles: |A∩B| from the shingle join, |A∪B| from per-doc
     * shingle counts. `maxShingleDf` drops shingles appearing in more

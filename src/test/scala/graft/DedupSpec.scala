@@ -87,4 +87,39 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     val joined = exact.join(capped, Seq("id_a", "id_b"))
     assert(joined.filter(col("j_capped") > col("j_exact")).count() === 0)
   }
+
+  test("decontaminate: a leaked benchmark copy scores 1000 permille, " +
+    "disjoint docs score 0") {
+    import spark.implicits._
+    val bench = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // verbatim leak of bench doc 1
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      // partial leak: first 6 words of bench doc 2 + fresh tail
+      (11L, "one two three four five six apple pear plum"),
+      // fully disjoint vocabulary
+      (12L, "red green blue cyan magenta yellow black white")).toDF("doc_id", "text")
+
+    val got = Dedup.decontaminate(corpus, bench, "doc_id", "text", shingleN = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 10: 4 distinct 5-grams, all in bench → 1000 pml
+    assert(got(10L) === ((4L, 4L, 1000L)))
+    // doc 11: 5 distinct 5-grams, 2 ("one..five","two..six") in bench
+    assert(got(11L) === ((5L, 2L, 400L)))
+    assert(got(12L) === ((4L, 0L, 0L)))
+  }
+
+  test("decontaminate broadcasts the benchmark side (no corpus self-join)") {
+    val docs10 = docs
+    val plan = Dedup.decontaminate(
+      docs10.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+      docs10.filter(pmod(col("doc_id"), lit(10)) === 0),
+      "doc_id", "text", shingleN = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"))
+  }
 }

@@ -91,4 +91,26 @@ class TextSpec extends AnyFunSuite with SparkSpec {
       .select(TextFunctions.charEntropy(col("text")).as("h"))
     assert(corpus.filter(col("h") < 0 || col("h") > 6).count() === 0)
   }
+
+  test("repetition stats: exact permille on known docs, map-only plan") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),                  // 4 words, 1 distinct
+      (2L, "all words here are fully distinct"),    // 6 words, 6 distinct
+      (3L, "go go go stop")).toDF("doc_id", "text") // 4 words, 2 distinct
+    val rep = TextFunctions.repetitionStats(df, "doc_id", "text", ngramN = 2)
+    val got = rep.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // doc 1: dup words 3/4 = 750 pml; bigrams: 3 total, 1 distinct → 666
+    assert(got(1L) === ((4L, 1L, 750L, 3L, 1L, 666L)))
+    assert(got(2L) === ((6L, 6L, 0L, 5L, 5L, 0L)))
+    // doc 3: dup words 2/4 = 500; bigrams "go go","go go","go stop" →
+    // 3 total, 2 distinct → 333
+    assert(got(3L) === ((4L, 2L, 500L, 3L, 2L, 333L)))
+
+    // scale contract: no shuffle — a single map-only stage
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"repetitionStats must stay map-only, got:\n$plan")
+  }
 }
