@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{GraftFunctions, TextFunctions}
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Fraud, Similarity, Windows}
+import graft.operators.{Dedup, Fraud, RangeJoin, Similarity, Windows}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -291,6 +291,51 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           outD(sum(dec(col("value"), 10, 2))).as("sum_value"))),
 
+    // sketch surface: HLL distinct-count + approx percentile, gated by
+    // an error CONTRACT — the flags compare Spark's sketch against
+    // Spark's own exact aggregate, and the oracle recomputes the exact
+    // columns with constant-true flags. If a sketch ever leaves its
+    // tolerance the flag flips and the hash gate goes red, so the
+    // approx path is genuinely exercised without demanding
+    // bit-equality of sketch internals across engines.
+    "q_approx" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"),
+        col("user_id"), dec(col("value"), 10, 2).as("v"))
+      // medians on integer cents: the even-n midpoint is k or k.5
+      // exactly, so ×10 is an exact BIGINT in both engines — no
+      // interpolation-formula float drift can reach the hash
+      e.groupBy(col("event_type")).agg(
+        countDistinct(col("user_id")).as("n_exact"),
+        when(abs(approx_count_distinct(col("user_id"), 0.02) -
+          countDistinct(col("user_id"))).cast(DoubleType) <=
+          countDistinct(col("user_id")).cast(DoubleType) * 0.05, 1)
+          .otherwise(0).as("hll_ok"),
+        (expr("percentile(cast(v * 100 as bigint), 0.5)") * 10)
+          .cast(LongType).as("p50_decicents"),
+        when(abs(expr("percentile_approx(cast(v * 100 as bigint), 0.5, 10000)")
+          .cast(DoubleType) -
+          expr("percentile(cast(v * 100 as bigint), 0.5)")) <=
+          greatest(expr("percentile(cast(v * 100 as bigint), 0.5)") * 0.05,
+            lit(1.0)), 1)
+          .otherwise(0).as("p50_ok"))
+    }),
+
+    // keyless time-interval join: events counted into the ±60 s
+    // windows around the 50 highest-value events. Binned equi-join
+    // (operators.RangeJoin) — a naive BETWEEN join is a nested-loop
+    // cartesian at scale; binning shuffles on bin keys instead.
+    "q_range_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_id"),
+        unix_timestamp(col("ts")).as("sec"), dec(col("value"), 10, 2).as("v"))
+      val hot = e.orderBy(col("v").desc, col("event_id")).limit(50)
+        .select(col("event_id").as("hot_id"),
+          (col("sec") - 60).as("lo"), (col("sec") + 60).as("hi"))
+      RangeJoin.pointInInterval(e, hot, "sec", "lo", "hi", binWidth = 60)
+        .groupBy(col("hot_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum((col("v") * 100).cast(LongType)).as("sum_cents"))
+    }),
+
     "q_lag" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       // order by the truncated second + event_id (same collation as
@@ -318,6 +363,14 @@ object SparkEntry {
       // d² join rows) runs through the gate, mirrored in the oracle CTE
       Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
         shingleN = 3, minJaccard = 0.1, maxShingleDf = 50)),
+
+    // transitive closure of the (oracled) jaccard pair list: the
+    // pick-one-representative step of a real dedup pipeline
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(
+        Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 3, minJaccard = 0.1, maxShingleDf = 50),
+        "id_a", "id_b")),
 
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLsh(withPlantedNearDups(Tables.documents(s, dir)),
@@ -744,6 +797,36 @@ object SparkEntry {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
 
+    // exact columns recomputed; the _ok flags are the error contract
+    // (constant 1 here — Spark's sketch must stay inside tolerance)
+    "q_approx" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id,
+        |    CAST(value AS DECIMAL(10,2)) AS v
+        |  FROM events)
+        |SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS n_exact,
+        |  1 AS hll_ok,
+        |  CAST(quantile_cont(CAST(v * 100 AS BIGINT), 0.5) * 10 AS BIGINT)
+        |    AS p50_decicents,
+        |  1 AS p50_ok
+        |FROM e GROUP BY event_type""".stripMargin,
+
+    // the BETWEEN join here is what the Spark side computes via
+    // binned equi-join — identical match set, different plan shape
+    "q_range_join" ->
+      """WITH e AS (
+        |  SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    CAST(value AS DECIMAL(10,2)) AS v
+        |  FROM events),
+        |hot AS (
+        |  SELECT event_id AS hot_id, sec AS hsec FROM e
+        |  ORDER BY v DESC, event_id LIMIT 50)
+        |SELECT h.hot_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(x.v * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM hot h JOIN e x ON x.sec BETWEEN h.hsec - 60 AND h.hsec + 60
+        |GROUP BY h.hot_id""".stripMargin,
+
     "q_lag" ->
       """WITH t AS (
         |  SELECT event_id, user_id,
@@ -790,6 +873,44 @@ object SparkEntry {
         |JOIN sz sa ON sa.doc_id = id_a
         |JOIN sz sb ON sb.doc_id = id_b
         |WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 3) >= 0.1""".stripMargin,
+
+    // same pair CTEs as dedup_jaccard (proven engine-portable), then
+    // min-reachable-id per node via a recursive closure — DuckDB's
+    // recursive CTE plays the role of Spark-side label propagation
+    "dedup_clusters" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS sh
+        |  FROM w a
+        |  JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |shj AS (
+        |  SELECT s.doc_id, s.sh FROM sh s
+        |  JOIN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 50) k
+        |    ON k.sh = s.sh),
+        |inter AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+        |  FROM shj x JOIN shj y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sz sa ON sa.doc_id = id_a
+        |  JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 3) >= 0.1),
+        |e AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst)
+        |SELECT id AS doc_id, MIN(r) AS cluster_id
+        |FROM reach GROUP BY id""".stripMargin,
 
     "dedup_cosine" ->
       """WITH d AS (

@@ -142,6 +142,63 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Connected components over a near-duplicate pair list: collapses
+    * transitive duplicate chains (A~B, B~C ⇒ {A,B,C}) into clusters so
+    * a pipeline can keep exactly one representative per group — the
+    * step that turns pairwise candidates (from [[minhashLsh]] /
+    * [[simhash]] / [[ngramJaccard]]) into an actual dedup decision.
+    *
+    * Algorithm: iterative min-label propagation. Each round every node
+    * takes the minimum label among itself and its neighbours; the
+    * total Σlabel is strictly decreasing until fixpoint, so
+    * convergence is detected with one cheap aggregate per round (no
+    * expensive except/distinct diff). Rounds converge in O(component
+    * diameter) — near-dup components are shallow (dup families link
+    * through shared text), so a handful of rounds in practice;
+    * `maxIter` bounds pathological chains. Each round is one
+    * shuffle-on-node-id join + agg of the (id,label) table — nothing
+    * wider than two longs shuffles — and lineage is cut every round
+    * with a persist so the plan stays O(1) deep.
+    *
+    * Output: `(doc_id, cluster_id)` with `cluster_id` = the minimum
+    * doc id in the component, for every doc that appears in a pair.
+    */
+  def clusters(pairs: DataFrame, aCol: String, bCol: String,
+               maxIter: Int = 25): DataFrame = {
+    // undirected: keep both orientations so one join propagates both ways
+    val edges = pairs
+      .select(col(aCol).cast(LongType).as("src"), col(bCol).cast(LongType).as("dst"))
+      .union(pairs.select(col(bCol).cast(LongType).as("src"),
+        col(aCol).cast(LongType).as("dst")))
+      .distinct().persist()
+
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels.as("l")
+        .join(nbrMin.as("n"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+        .persist()
+      val s = next.agg(sum(col("label"))).head.getLong(0)
+      labels.unpersist()
+      labels = next
+      done = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Benchmark decontamination: for each corpus document, the share of
     * its distinct word n-grams that occur anywhere in an evaluation /
     * benchmark document set ("containment"). This is the standard

@@ -88,6 +88,33 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(joined.filter(col("j_capped") > col("j_exact")).count() === 0)
   }
 
+  test("clusters: transitive chains collapse to min-id components") {
+    import spark.implicits._
+    // chain 1-2-3, isolated pair 10-11, triangle 20-21-22, long chain 30..36
+    val pairs = (Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)) ++
+      (30L until 36L).map(i => (i, i + 1))).toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(got(_) == 1L))
+    assert(Seq(10L, 11L).forall(got(_) == 10L))
+    assert(Seq(20L, 21L, 22L).forall(got(_) == 20L))
+    assert((30L to 36L).forall(got(_) == 30L))
+    assert(got.size === 3 + 2 + 3 + 7)
+  }
+
+  test("clusters: every jaccard pair ends up in one cluster") {
+    val pairs = Dedup.ngramJaccard(withNearCopies, "doc_id", "text", 3, 0.5)
+    val labels = Dedup.clusters(pairs, "id_a", "id_b")
+    val broken = pairs
+      .join(labels.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("cluster_id", "ca"), "id_a")
+      .join(labels.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("cluster_id", "cb"), "id_b")
+      .filter(col("ca") =!= col("cb"))
+    assert(broken.count() === 0)
+  }
+
   test("decontaminate: a leaked benchmark copy scores 1000 permille, " +
     "disjoint docs score 0") {
     import spark.implicits._

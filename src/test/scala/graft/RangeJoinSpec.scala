@@ -1,0 +1,36 @@
+package graft
+
+import graft.operators.RangeJoin
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RangeJoinSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("binned range join: inclusive bounds, multi-bin intervals, no dups") {
+    val points = Seq((1L, 0L), (2L, 59L), (3L, 60L), (4L, 100L),
+      (5L, 179L), (6L, 180L)).toDF("pt_id", "sec")
+    // interval spans 3 bins at binWidth=60; bounds inclusive
+    val intervals = Seq((100L, 59L, 179L)).toDF("iv_id", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, intervals,
+      "sec", "lo", "hi", binWidth = 60)
+      .select("pt_id").as[Long].collect().sorted
+    assert(got === Array(2L, 3L, 4L, 5L))
+  }
+
+  test("binned range join matches the naive BETWEEN join on events") {
+    val e = Tables.events(spark, sf).select(col("event_id"),
+      unix_timestamp(col("ts")).as("sec"))
+    val hot = e.limit(40).select(col("event_id").as("hot_id"),
+      (col("sec") - 90).as("lo"), (col("sec") + 90).as("hi"))
+    val binned = RangeJoin.pointInInterval(e, hot, "sec", "lo", "hi", 60)
+      .select("event_id", "hot_id")
+    val naive = e.join(hot, col("sec") >= col("lo") && col("sec") <= col("hi"))
+      .select("event_id", "hot_id")
+    assert(binned.exceptAll(naive).isEmpty && naive.exceptAll(binned).isEmpty)
+    // and the binned plan must not be a nested-loop/cartesian join
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"expected equi-join plan:\n$plan")
+  }
+}
