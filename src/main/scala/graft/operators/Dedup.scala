@@ -165,15 +165,27 @@ object Dedup {
     */
   def clusters(pairs: DataFrame, aCol: String, bCol: String,
                maxIter: Int = 25): DataFrame = {
-    // undirected: keep both orientations so one join propagates both ways
-    val edges = pairs
-      .select(col(aCol).cast(LongType).as("src"), col(bCol).cast(LongType).as("dst"))
-      .union(pairs.select(col(bCol).cast(LongType).as("src"),
-        col(aCol).cast(LongType).as("dst")))
-      .distinct().persist()
+    // materialize the (possibly expensive) pair plan ONCE — the
+    // union below reads it twice, and without the persist each
+    // orientation would re-run the whole candidate-generation job
+    val p = pairs
+      .select(col(aCol).cast(LongType).as("src"),
+        col(bCol).cast(LongType).as("dst"))
+      .persist()
+    // undirected: keep both orientations so one join propagates both
+    // ways. localCheckpoint — not persist — because every round's plan
+    // re-embeds its inputs' LOGICAL plans: with persist, round k
+    // re-analyzes the whole candidate-generation tree k times over
+    // (measured 3× slowdown at 6 rounds); the checkpoint truncates the
+    // plan to the materialized partitions, so each round analyzes a
+    // three-node plan regardless of what produced the edges.
+    val edges = p
+      .union(p.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    p.unpersist()
 
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
+      .withColumn("label", col("id")).localCheckpoint(true)
     var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
     var iter = 0
     var done = false
@@ -187,15 +199,13 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
-        .persist()
+        .localCheckpoint(true)
       val s = next.agg(sum(col("label"))).head.getLong(0)
-      labels.unpersist()
       labels = next
       done = s == prevSum
       prevSum = s
       iter += 1
     }
-    edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
@@ -258,11 +268,18 @@ object Dedup {
     // join on the 64-bit shingle hash, not the string: same
     // intersection counts (collisions ~n²/2^65) with far smaller
     // shuffle keys
+    // persisted: four consumers (per-doc sizes, the df histogram, and
+    // both sides of the pair join) would each re-run the scan +
+    // shingle explosion + hash otherwise. The cached rows are two
+    // longs each — smaller than the text they derive from — and
+    // MEMORY_AND_DISK spills rather than OOMs at scale; the
+    // re-compute-4× alternative costs more in every regime.
     val shingled = docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
       .select(col("doc_id"),
         explode(TextFunctions.shinglesOfWords(col("w"), shingleN)).as("shRaw"))
       .select(col("doc_id"), xxhash64(col("shRaw")).as("sh"))
+      .persist()
     val sizes = shingled.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
 
     val joinable =
