@@ -115,6 +115,29 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(broken.count() === 0)
   }
 
+  test("clusters matches a union-find oracle on seeded random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: classic union-find over the same edges
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> find(id.toInt).toLong).toMap
+      val got = Dedup.clusters(edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // same membership: min-id per component must agree
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
   test("decontaminate: a leaked benchmark copy scores 1000 permille, " +
     "disjoint docs score 0") {
     import spark.implicits._

@@ -18,6 +18,27 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
     assert(got === Array(2L, 3L, 4L, 5L))
   }
 
+  test("binned join matches naive join on seeded random intervals") {
+    for (seed <- Seq(3, 11)) {
+      val rnd = new scala.util.Random(seed)
+      val points = (1 to 300).map(i => (i.toLong, rnd.nextInt(1000).toLong))
+        .toDF("pt_id", "sec")
+      val ivs = (1 to 40).map { i =>
+        val lo = rnd.nextInt(1000).toLong
+        (i.toLong + 1000, lo, lo + rnd.nextInt(200).toLong)
+      }.toDF("iv_id", "lo", "hi")
+      for (bw <- Seq(7L, 64L, 1000L)) {
+        val binned = RangeJoin.pointInInterval(points, ivs, "sec", "lo", "hi", bw)
+          .select("pt_id", "iv_id")
+        val naive = points
+          .join(ivs, col("sec") >= col("lo") && col("sec") <= col("hi"))
+          .select("pt_id", "iv_id")
+        assert(binned.exceptAll(naive).isEmpty && naive.exceptAll(binned).isEmpty,
+          s"seed $seed binWidth $bw")
+      }
+    }
+  }
+
   test("binned range join matches the naive BETWEEN join on events") {
     val e = Tables.events(spark, sf).select(col("event_id"),
       unix_timestamp(col("ts")).as("sec"))
