@@ -1135,19 +1135,27 @@ object SparkEntry {
         |  END AS dup_ngram_pml
         |FROM wc LEFT JOIN gc ON gc.doc_id = wc.doc_id""".stripMargin,
 
-    // mirrors charEntropy's exact fold: p·ln(p)/ln(2) per distinct char
-    // (ln/ln(2), not native log2, to match Spark's log(base, x))
+    // mirrors charEntropy's fold TERM-FOR-TERM: same sorted distinct
+    // order, same p * (ln(p)/ln(2)) association, same left fold from
+    // 0.0 — float summation is order- and association-sensitive, so
+    // anything less is a latent ulp flake at the round(.,3) boundary
     "text_entropy" ->
       """WITH c AS (
         |  SELECT doc_id, string_split(text, '') AS chars,
         |    CAST(greatest(len(string_split(text, '')), 1) AS DOUBLE) AS n
-        |  FROM documents)
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_transform(list_sort(list_distinct(chars)),
+        |      d -> (CAST(len(list_filter(chars, x -> x = d)) AS DOUBLE) / n)
+        |           * (ln(CAST(len(list_filter(chars, x -> x = d)) AS DOUBLE) / n)
+        |              / ln(2))) AS terms
+        |  FROM c)
         |SELECT doc_id,
-        |  round(-coalesce(list_sum(list_transform(list_distinct(chars),
-        |    d -> (CAST(len(list_filter(chars, x -> x = d)) AS DOUBLE) / n)
-        |         * ln(CAST(len(list_filter(chars, x -> x = d)) AS DOUBLE) / n)
-        |         / ln(2))), 0.0), 3) AS entropy_bits
-        |FROM c""".stripMargin,
+        |  round(-CASE WHEN len(terms) = 0 THEN 0.0
+        |    ELSE list_reduce(list_prepend(0.0, terms), (acc, x) -> acc + x)
+        |  END, 3) AS entropy_bits
+        |FROM t""".stripMargin,
 
     // full pipeline on planted exact copies: quality filter →
     // exact dedup (keep min id per text) → exact-Jaccard near-dup

@@ -115,7 +115,11 @@ object TextFunctions {
   def charEntropy(text: Column): Column = {
     val chars = split(text, "")
     val n = greatest(size(chars), lit(1)).cast(DoubleType)
-    val probs = transform(array_distinct(chars),
+    // sorted distinct chars: float summation is order-sensitive, and
+    // the DuckDB oracle folds in the same sorted order — unordered
+    // distinct would let the two engines round differently at ulp
+    // scale (then diverge after round(.,3) on half-way sums)
+    val probs = transform(array_sort(array_distinct(chars)),
       c => size(filter(chars, x => x === c)).cast(DoubleType) / n)
     round(-aggregate(probs, lit(0.0d),
       (acc, p) => acc + p * log(2.0, p)), 3)

@@ -44,9 +44,13 @@ object Wav {
     var data: Option[(Int, Int)] = None     // offset, length
     while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
       val id = tag(bytes, off)
-      val size = u32(bytes, off + 4).toInt
+      // u32 size stays a Long until bounds-checked: truncating first
+      // lets a crafted size (e.g. 0xFFFFFFF8 → -8) pass the check as a
+      // negative Int, wedging the loop / producing negative lengths
+      val sizeL = u32(bytes, off + 4)
       val body = off + 8
-      if (body + size > bytes.length) return None
+      if (body.toLong + sizeL > bytes.length) return None
+      val size = sizeL.toInt // safe: ≤ bytes.length here
       id match {
         case "fmt " if size >= 16 =>
           val audioFormat = u16(bytes, body)

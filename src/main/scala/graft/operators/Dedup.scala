@@ -186,7 +186,10 @@ object Dedup {
 
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
-    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
+    if (labels.isEmpty) return labels
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+
+    var prevSum = sumLabels(labels)
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -194,20 +197,39 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nbr_label"))
-      val next = labels.as("l")
+      val stepped = labels.as("l")
         .join(nbrMin.as("n"), Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
+      // pointer jump: also replace each label by its label's label —
+      // the min-id travels 2^k hops after k rounds instead of k, so
+      // convergence is O(log diameter) and maxIter=25 covers any
+      // component a real corpus can produce (diameter ≤ 2^25)
+      val next = stepped.as("s")
+        .join(stepped.select(col("id").as("label"),
+          col("label").as("jump")).as("j"), Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("jump"), col("label")))
+            .as("label"))
         .localCheckpoint(true)
-      val s = next.agg(sum(col("label"))).head.getLong(0)
+      val s = sumLabels(next)
       labels = next
       done = s == prevSum
       prevSum = s
       iter += 1
     }
+    if (!done) throw new IllegalStateException(
+      s"Dedup.clusters did not converge in $maxIter rounds — " +
+        "component diameter exceeds 2^maxIter?")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
+
+  /** Σlabel of a label table — the monotone convergence metric for
+    * [[clusters]] (labels only ever decrease).
+    */
+  private def sumLabels(labels: DataFrame): Long =
+    labels.agg(sum(col("label"))).head.getLong(0)
 
   /** Benchmark decontamination: for each corpus document, the share of
     * its distinct word n-grams that occur anywhere in an evaluation /
@@ -273,7 +295,11 @@ object Dedup {
     // shingle explosion + hash otherwise. The cached rows are two
     // longs each — smaller than the text they derive from — and
     // MEMORY_AND_DISK spills rather than OOMs at scale; the
-    // re-compute-4× alternative costs more in every regime.
+    // re-compute-4× alternative costs more in every regime. The cache
+    // lives until session eviction (the result is lazy, so this
+    // function has no point at which unpersist would be safe); a
+    // long-lived session interleaving many corpora should
+    // `spark.catalog.clearCache()` between runs.
     val shingled = docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
       .select(col("doc_id"),

@@ -30,7 +30,10 @@ object StreamBench {
     val tx = TransactionGen.stream(spark, rowsPerSecond = rowsPerSec, accounts = 1000)
     val alerts = pipeline match {
       case "sliding" =>
-        StreamingFraud.slidingMeans(tx, sizeSec = 60, slideSec = 5,
+        // same decimal arithmetic as "panes" — the delta isolates the
+        // per-row window-state replication, not the aggregate cost
+        graft.operators.Windows.streamingNaiveSlidingAgg(tx, "accountId",
+          "ts", "amount", sizeSec = 60, slideSec = 5,
           watermarkDelay = "2 seconds")
       case "panes" =>
         graft.operators.Windows.streamingPaneSlidingAgg(tx, "accountId",

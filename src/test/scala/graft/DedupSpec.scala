@@ -115,6 +115,14 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(broken.count() === 0)
   }
 
+  test("clusters of an empty pair list is empty, not a crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val got = Dedup.clusters(empty, "id_a", "id_b")
+    assert(got.columns.toSeq === Seq("doc_id", "cluster_id"))
+    assert(got.count() === 0)
+  }
+
   test("clusters matches a union-find oracle on seeded random graphs") {
     import spark.implicits._
     for (seed <- Seq(1, 7, 42)) {

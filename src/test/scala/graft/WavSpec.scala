@@ -45,6 +45,17 @@ class WavSpec extends AnyFunSuite with SparkSpec {
     java.nio.ByteBuffer.wrap(overrun).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .putInt(40, 100000)
     assert(Wav.parse(overrun).isEmpty)
+
+    // adversarial size fields: 0xFFFFFFF8 truncates to -8 as an Int —
+    // must be rejected, not loop forever / yield negative lengths
+    val negSize = base.clone()
+    java.nio.ByteBuffer.wrap(negSize).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, 0xFFFFFFF8) // fmt chunk size
+    assert(Wav.parse(negSize).isEmpty)
+    val negData = base.clone()
+    java.nio.ByteBuffer.wrap(negData).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, 0xFFFFFFF8) // data chunk size
+    assert(Wav.parse(negData).isEmpty)
   }
 
   test("decodeFrame takes the real WAV path: frames are block-aligned sample spans") {

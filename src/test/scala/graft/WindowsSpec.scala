@@ -25,6 +25,17 @@ class WindowsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("streaming naive sliding agg equals the pane variant (batch run)") {
+    // the StreamBench "sliding" baseline must be result-identical to
+    // "panes" — the benchmark's delta is then state layout alone
+    val naive = Windows.streamingNaiveSlidingAgg(
+      events, "event_type", "ts", "value", 3600, 900, "0 seconds")
+    val pane = Windows.streamingPaneSlidingAgg(
+      events, "event_type", "ts", "value", 3600, 900, "0 seconds")
+    assert(naive.count() > 0)
+    assert(naive.exceptAll(pane).isEmpty && pane.exceptAll(naive).isEmpty)
+  }
+
   test("tumbling agg partitions every row into exactly one window") {
     val agg = Windows.tumblingAgg(events, "user_id", "ts", "value", 21600)
     assert(agg.agg(sum("cnt")).head.getLong(0) === events.count())
