@@ -194,6 +194,43 @@ object SparkEntry {
     "fraud_alerts" -> ((s, dir) =>
       Fraud.windowAlerts(Tables.events(s, dir), "user_id", "ts", "value", 86400, 300.0)),
 
+    // window-function breadth: ranking + distribution + frame
+    // functions in one pass; ratios are IEEE-identical in both engines
+    // (same ints, same division), tie-free ordering via o_orderkey
+    "q_window_funcs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          rank().over(w).as("rnk"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          ntile(4).over(w).as("quartile"),
+          first(col("o_orderkey")).over(w).as("top_key"),
+          last(col("o_orderkey")).over(wFull).as("bottom_key"))
+    }),
+
+    // explicit GROUPING SETS (beyond rollup/cube): all four sets with
+    // GROUPING() ids; integer-cents measures hold at any scale
+    "q_grouping_sets" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT
+              |  COALESCE(l_returnflag, 'ALL') AS rf,
+              |  COALESCE(l_linestatus, 'ALL') AS ls,
+              |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT)
+              |    AS sum_qty_cents,
+              |  COUNT(*) AS n,
+              |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+              |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+              |FROM lineitem_v
+              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+              |  (l_returnflag), (l_linestatus), ())""".stripMargin)
+    }),
+
     "q_rollup" -> ((s, dir) => {
       val rev = dec(col("l_extendedprice"), 12, 2) *
         (lit(1).cast(DecimalType(4, 2)) - dec(col("l_discount"), 4, 2))
@@ -796,6 +833,36 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_window_funcs" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  rank() OVER w AS rnk,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  ntile(4) OVER w AS quartile,
+        |  first_value(o_orderkey) OVER w AS top_key,
+        |  last_value(o_orderkey) OVER
+        |    (PARTITION BY o_orderpriority
+        |     ORDER BY o_totalprice DESC, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS bottom_key
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT
+        |  COALESCE(l_returnflag, 'ALL') AS rf,
+        |  COALESCE(l_linestatus, 'ALL') AS ls,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT)
+        |    AS sum_qty_cents,
+        |  COUNT(*) AS n,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus), ())""".stripMargin,
 
     // exact columns recomputed; the _ok flags are the error contract
     // (constant 1 here — Spark's sketch must stay inside tolerance)

@@ -479,4 +479,35 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(acct1(0) === ((Base + 1000, 135.0)))
     assert(acct1(1) === ((Base + 99000, 150.0)))
   }
+
+  test("alert sink recovers from its checkpoint: stop/restart is exactly-once") {
+    // the RocksDB/HDFS state + offset log in the checkpoint dir must
+    // carry a stopped query across a restart with no re-emitted and no
+    // lost alerts (reference: RocksDB-backed state surviving restarts)
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_recover").toString
+    val input = MemoryStream[Transaction]
+    val alerts = StreamingFraud.tumblingAlerts(input.toDF(), sizeSec = 10,
+      threshold = 100.0, watermarkDelay = "5 seconds")
+    val q1 = GraftStreams.parquetAlertSink(alerts, s"$dir/out", s"$dir/ckpt")
+    try {
+      input.addData(tx(1, 200, 1)) // acct 1 in window [0,10)
+      q1.processAllAvailable()
+      input.addData(tx(9, 1, 30)) // watermark 25s closes it → alert
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(spark.read.parquet(s"$dir/out")
+      .filter(col("accountId") === 1).count() === 1)
+
+    // restart from the same checkpoint, stream continues
+    input.addData(tx(2, 300, 41), tx(9, 1, 70)) // acct 2 in [40,50), closed
+    val q2 = GraftStreams.parquetAlertSink(alerts, s"$dir/out", s"$dir/ckpt")
+    try q2.processAllAvailable() finally q2.stop()
+
+    val written = spark.read.parquet(s"$dir/out")
+    assert(written.filter(col("accountId") === 1).count() === 1,
+      "restart must not re-emit the pre-stop alert")
+    assert(written.filter(col("accountId") === 2).count() === 1,
+      "post-restart data must flow through recovered state")
+  }
 }
