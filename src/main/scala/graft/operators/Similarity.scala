@@ -64,48 +64,55 @@ object Similarity {
         round(col("sim"), 3).as("cosine"))
   }
 
-  /** Approximate top-k via IVF (inverted-file) coarse quantization:
-    * k-means centroids partition the corpus into `nlist` inverted
-    * lists; a query probes only its `nprobe` nearest lists.
-    *
-    * Training runs `iters` Lloyd steps as DataFrame jobs (assign =
-    * broadcast-centroid argmin, update = per-dimension mean via
-    * posexplode); only the nlist×dim centroid MODEL is collected to
-    * the driver — at 100 TB you train on a sample and the index
-    * assignment stays a single narrow pass. Search cost per query is
-    * ~corpus×nprobe/nlist.
+  /** A trained IVF coarse quantizer: just the nlist×dim centroid
+    * matrix. Train ONCE (on a sample at corpus scale), then reuse
+    * across any number of [[ivfSearch]] calls / sessions — the model
+    * is a plain value, trivially (de)serializable.
     */
-  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
-              queryMaxId: Long, k: Int, nlist: Int = 16, nprobe: Int = 4,
-              iters: Int = 3, trainFraction: Double = 1.0): DataFrame = {
+  case class IvfModel(centroids: Array[Array[Double]]) {
+    def nlist: Int = centroids.length
+    def dim: Int = centroids.headOption.map(_.length).getOrElse(0)
+  }
+
+  // Centroids travel as ONE typedLit (a codegen reference object,
+  // not inlined doubles) so the generated code is byte-identical
+  // across Lloyd iterations and the codegen cache hits — baking the
+  // values in as scalar literals recompiled ~1 s of Janino per
+  // iteration. argmin = array_min over struct(dist², idx)
+  // (field-order comparison: min distance, then min idx).
+  private def centLit(cs: Array[Array[Double]]): Column =
+    typedlit(cs.map(c => (c.map(x => x * x).sum, c.toSeq)).toSeq)
+
+  /** Nearest-centroid id for the `vecd` column under ‖c‖²−2·c·v
+    * (rank-equivalent to L2 for fixed v).
+    */
+  private def assignCol(cs: Array[Array[Double]]): Column = {
+    val scored = transform(centLit(cs), (c, i) =>
+      struct((c.getField("_1") - lit(2.0) * dot(col("vecd"), c.getField("_2")))
+        .as("d"), i.as("i")))
+    array_min(scored).getField("i")
+  }
+
+  /** Train an IVF model: `iters` Lloyd steps as DataFrame jobs
+    * (assign = broadcast-centroid argmin, update = one hash
+    * aggregation of per-dimension means); only the nlist×dim centroid
+    * MODEL is collected to the driver. At 100 TB train on
+    * `trainFraction` of the corpus — a deterministic hash-sample
+    * (reproducible, partitioning-independent) is plenty to fit nlist
+    * centroids — and train ONCE: the returned model is a value you
+    * persist and reuse, so training cost is independent of query
+    * traffic.
+    */
+  def ivfTrain(embeddings: DataFrame, idCol: String, vecCol: String,
+               nlist: Int = 16, iters: Int = 3,
+               trainFraction: Double = 1.0): IvfModel = {
     val e = withNorm(embeddings, vecCol)
-      .select(col(idCol).as("id"), col("vecd"), col("nrm"))
-
-    // Centroids travel as ONE typedLit (a codegen reference object,
-    // not inlined doubles) so the generated code is byte-identical
-    // across Lloyd iterations and the codegen cache hits — baking the
-    // values in as scalar literals recompiled ~1 s of Janino per
-    // iteration. argmin = array_min over struct(dist², idx)
-    // (field-order comparison: min distance, then min idx).
-    def centLit(cs: Array[Array[Double]]): Column =
-      typedlit(cs.map(c => (c.map(x => x * x).sum, c.toSeq)).toSeq)
-
-    def assign(cs: Array[Array[Double]]): Column = {
-      val scored = transform(centLit(cs), (c, i) =>
-        struct((c.getField("_1") - lit(2.0) * dot(col("vecd"), c.getField("_2")))
-          .as("d"), i.as("i")))
-      array_min(scored).getField("i")
-    }
-
-    // training working set: cached for the Lloyd iterations so each
-    // step reads memory, not parquet. At corpus scale pass
-    // trainFraction < 1: a deterministic hash-sample (reproducible,
-    // partitioning-independent) is plenty to fit nlist centroids.
+      .select(col(idCol).as("id"), col("vecd"))
     val sampled =
       if (trainFraction >= 1.0) e
       else e.filter(pmod(xxhash64(col("id"), lit(0x1df7L)), lit(1000000L))
         .cast(org.apache.spark.sql.types.DoubleType) / 1000000.0 < trainFraction)
-    val train = sampled.select(col("id"), col("vecd")).persist()
+    val train = sampled.persist()
     // deterministic init: the nlist lowest-id vectors
     var centroids: Array[Array[Double]] = train.orderBy(col("id")).limit(nlist)
       .select(col("vecd")).collect()
@@ -117,7 +124,7 @@ object Similarity {
       // means (map-side partials; no explode, no second shuffle)
       val dimAggs = (0 until dim).map(i =>
         avg(element_at(col("vecd"), i + 1)).as(s"d$i"))
-      val updated = train.select(assign(centroids).as("cl"), col("vecd"))
+      val updated = train.select(assignCol(centroids).as("cl"), col("vecd"))
         .groupBy(col("cl")).agg(dimAggs.head, dimAggs.tail: _*)
         .collect()
         .map(r => r.getInt(0) -> Array.tabulate(dim)(i => r.getDouble(i + 1)))
@@ -125,8 +132,21 @@ object Similarity {
       centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i))).toArray
     }
     train.unpersist(blocking = false)
+    IvfModel(centroids)
+  }
 
-    val indexed = e.withColumn("cl", assign(centroids))
+  /** Search a trained [[IvfModel]]: assign the corpus to inverted
+    * lists in one narrow pass, probe each query's `nprobe` nearest
+    * lists. Search cost per query is ~corpus×nprobe/nlist; no
+    * training jobs run here.
+    */
+  def ivfSearch(model: IvfModel, embeddings: DataFrame, idCol: String,
+                vecCol: String, queryMaxId: Long, k: Int,
+                nprobe: Int = 4): DataFrame = {
+    val e = withNorm(embeddings, vecCol)
+      .select(col(idCol).as("id"), col("vecd"), col("nrm"))
+    val centroids = model.centroids
+    val indexed = e.withColumn("cl", assignCol(centroids))
     // query probes: nprobe nearest centroids by the same metric
     val probes = {
       val scored = transform(centLit(centroids), (c, i) =>
@@ -149,6 +169,16 @@ object Similarity {
       .select(col("q_id"), col("id").as("neighbor_id"), col("rank"),
         round(col("sim"), 3).as("cosine"))
   }
+
+  /** Train-then-search convenience ([[ivfTrain]] + [[ivfSearch]]).
+    * One-shot jobs only — anything serving repeated queries should
+    * train once and call [[ivfSearch]] with the saved model.
+    */
+  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+              queryMaxId: Long, k: Int, nlist: Int = 16, nprobe: Int = 4,
+              iters: Int = 3, trainFraction: Double = 1.0): DataFrame =
+    ivfSearch(ivfTrain(embeddings, idCol, vecCol, nlist, iters, trainFraction),
+      embeddings, idCol, vecCol, queryMaxId, k, nprobe)
 
   /** Approximate top-k via random-hyperplane LSH with the standard
     * AND-OR construction: `tables` independent signatures of `bits`

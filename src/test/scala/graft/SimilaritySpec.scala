@@ -75,6 +75,29 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(hit >= 20, s"sampled-training recall too low: $hit/50")
   }
 
+  test("IVF model trains once and serves repeated searches") {
+    val model = Similarity.ivfTrain(emb, "vec_id", "embedding", nlist = 8)
+    assert(model.nlist === 8 && model.dim > 0)
+    val s1 = Similarity.ivfSearch(model, emb, "vec_id", "embedding", 9, 5,
+      nprobe = 4)
+    val s2 = Similarity.ivfSearch(model, emb, "vec_id", "embedding", 9, 5,
+      nprobe = 4)
+    // deterministic: two searches over one model agree exactly, and
+    // match the one-shot convenience path (same nlist/iters/nprobe)
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+    val oneShot = Similarity.ivfTopK(emb, "vec_id", "embedding", 9, 5,
+      nlist = 8, nprobe = 4)
+    assert(s1.exceptAll(oneShot).isEmpty && oneShot.exceptAll(s1).isEmpty)
+    // the model is a plain value — reusable across sessions via any
+    // serialization; round-trip through java serialization here
+    val bos = new java.io.ByteArrayOutputStream()
+    new java.io.ObjectOutputStream(bos).writeObject(model)
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[Similarity.IvfModel]
+    assert(back.centroids.map(_.toSeq).toSeq === model.centroids.map(_.toSeq).toSeq)
+  }
+
   test("identical vectors have cosine 1") {
     val dup = emb.limit(5)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
