@@ -194,6 +194,32 @@ object SparkEntry {
     "fraud_alerts" -> ((s, dir) =>
       Fraud.windowAlerts(Tables.events(s, dir), "user_id", "ts", "value", 86400, 300.0)),
 
+    // ordered-selection aggregates (max_by/min_by with a composite
+    // tie-break key so both engines pick the same row) + FILTER-clause
+    // conditional aggregation; cents measures, integer-exact
+    "q_aggfuncs" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      // the selection key is a zero-padded (cents, orderkey) string:
+      // lexicographic order == numeric order, and DuckDB's arg_max
+      // accepts it where a ROW/struct key would be rejected
+      s.sql("""SELECT o_orderpriority,
+              |  max_by(o_orderkey,
+              |    concat(lpad(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+              |        * 100 AS BIGINT) AS STRING), 14, '0'),
+              |      lpad(CAST(o_orderkey AS STRING), 14, '0')))
+              |    AS priciest_key,
+              |  min_by(o_orderkey,
+              |    concat(lpad(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+              |        * 100 AS BIGINT) AS STRING), 14, '0'),
+              |      lpad(CAST(o_orderkey AS STRING), 14, '0')))
+              |    AS cheapest_key,
+              |  COUNT(*) FILTER (WHERE o_totalprice > 150000.0) AS n_big,
+              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100)
+              |    FILTER (WHERE o_totalprice > 150000.0) AS BIGINT)
+              |    AS big_cents
+              |FROM orders_v GROUP BY o_orderpriority""".stripMargin)
+    }),
+
     // window-function breadth: ranking + distribution + frame
     // functions in one pass; ratios are IEEE-identical in both engines
     // (same ints, same division), tie-free ordering via o_orderkey
@@ -833,6 +859,24 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+
+    // arg_max/arg_min on the same zero-padded composite string key
+    "q_aggfuncs" ->
+      """SELECT o_orderpriority,
+        |  arg_max(o_orderkey,
+        |    lpad(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+        |        * 100 AS BIGINT) AS VARCHAR), 14, '0')
+        |      || lpad(CAST(o_orderkey AS VARCHAR), 14, '0'))
+        |    AS priciest_key,
+        |  arg_min(o_orderkey,
+        |    lpad(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+        |        * 100 AS BIGINT) AS VARCHAR), 14, '0')
+        |      || lpad(CAST(o_orderkey AS VARCHAR), 14, '0'))
+        |    AS cheapest_key,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 150000.0) AS n_big,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100)
+        |    FILTER (WHERE o_totalprice > 150000.0) AS BIGINT) AS big_cents
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "q_window_funcs" ->
       """SELECT o_orderkey, o_orderpriority,
