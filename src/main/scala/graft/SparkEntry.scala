@@ -194,6 +194,21 @@ object SparkEntry {
     "fraud_alerts" -> ((s, dir) =>
       Fraud.windowAlerts(Tables.events(s, dir), "user_id", "ts", "value", 86400, 300.0)),
 
+    // custom typed aggregate: bounded top-k with map-side partial
+    // merge — the shuffle carries ≤4k-row buffers per group per map
+    // task, not every order (contrast q_window_rank's full sort)
+    "q_topk_agg" -> ((s, dir) => {
+      val cents = (dec(col("o_totalprice"), 12, 2) * 100).cast(LongType)
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(graft.functions.TopKAgg.topK(5)(cents, col("o_orderkey"))
+          .as("top"))
+        .select(col("o_orderpriority"),
+          posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("o_orderpriority"), (col("pos") + 1).as("rnk"),
+          col("e._2").as("o_orderkey"), col("e._1").as("price_cents"))
+    }),
+
     // ordered-selection aggregates (max_by/min_by with a composite
     // tie-break key so both engines pick the same row) + FILTER-clause
     // conditional aggregation; cents measures, integer-exact
@@ -859,6 +874,19 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+
+    // the window-rank formulation is the ORACLE for the custom
+    // bounded-heap aggregate — equal output proves the aggregate
+    "q_topk_agg" ->
+      """SELECT o_orderpriority, rnk, o_orderkey, price_cents FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS price_cents,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |        AS BIGINT) DESC, o_orderkey) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 5""".stripMargin,
 
     // arg_max/arg_min on the same zero-padded composite string key
     "q_aggfuncs" ->
