@@ -148,17 +148,19 @@ object Dedup {
     * step that turns pairwise candidates (from [[minhashLsh]] /
     * [[simhash]] / [[ngramJaccard]]) into an actual dedup decision.
     *
-    * Algorithm: iterative min-label propagation. Each round every node
-    * takes the minimum label among itself and its neighbours; the
-    * total Σlabel is strictly decreasing until fixpoint, so
+    * Algorithm: iterative min-label propagation with pointer jumping.
+    * Each round every node takes the minimum label among itself and
+    * its neighbours, then additionally adopts its label's label (the
+    * jump), so the minimum id travels 2^k hops after k rounds and
+    * convergence is O(log diameter) — `maxIter` = 25 covers any
+    * component a real corpus can produce, and the function throws
+    * rather than return inconsistent labels if it is ever exceeded.
+    * The total Σlabel is strictly decreasing until fixpoint, so
     * convergence is detected with one cheap aggregate per round (no
-    * expensive except/distinct diff). Rounds converge in O(component
-    * diameter) — near-dup components are shallow (dup families link
-    * through shared text), so a handful of rounds in practice;
-    * `maxIter` bounds pathological chains. Each round is one
-    * shuffle-on-node-id join + agg of the (id,label) table — nothing
-    * wider than two longs shuffles — and lineage is cut every round
-    * with a persist so the plan stays O(1) deep.
+    * expensive except/distinct diff). Each round is two joins + an agg
+    * over the (id,label) table — nothing wider than two longs
+    * shuffles — and lineage is cut every round with localCheckpoint so
+    * round k's plan does not re-embed rounds 1..k-1.
     *
     * Output: `(doc_id, cluster_id)` with `cluster_id` = the minimum
     * doc id in the component, for every doc that appears in a pair.
@@ -197,11 +199,15 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nbr_label"))
+      // checkpointed: the jump join below reads `stepped` on BOTH
+      // sides — left lazy, the edges⋈labels aggregation would run
+      // twice per round unless ReuseExchange happens to kick in
       val stepped = labels.as("l")
         .join(nbrMin.as("n"), Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
+        .localCheckpoint(true)
       // pointer jump: also replace each label by its label's label —
       // the min-id travels 2^k hops after k rounds instead of k, so
       // convergence is O(log diameter) and maxIter=25 covers any

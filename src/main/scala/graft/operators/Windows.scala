@@ -173,25 +173,16 @@ object Windows {
 
   /** The naive counterpart of [[streamingPaneSlidingAgg]]: one
     * sliding-window groupBy, so Spark replicates every row into
-    * size/slide window states. IDENTICAL aggregate arithmetic and
-    * output columns as the pane variant — this exists so a benchmark
-    * of pane-vs-naive measures the state layout alone, not a decimal
-    * vs double difference.
+    * size/slide window states. Delegates to [[slidingAgg]] so the
+    * aggregate arithmetic and output columns are identical to the
+    * pane variant BY CONSTRUCTION — a pane-vs-naive benchmark then
+    * measures the state layout alone.
     */
   def streamingNaiveSlidingAgg(events: DataFrame, key: String, tsCol: String,
                                valCol: String, sizeSec: Long, slideSec: Long,
                                watermarkDelay: String): DataFrame =
-    events
-      .withWatermark(tsCol, watermarkDelay)
-      .groupBy(col(key),
-        window(col(tsCol), s"$sizeSec seconds", s"$slideSec seconds").as("w"))
-      .agg(sum(col(valCol).cast(Dec)).cast(DecOut).as("sum_dec"),
-        count(lit(1)).as("cnt"))
-      .select(
-        col(key),
-        unix_timestamp(col("w.start")).as("ws"),
-        col("sum_dec").cast(DoubleType).as("sum_val"), col("cnt"),
-        expr("cast(sum_dec * 100 as bigint) div cnt").as("mean_cents"))
+    slidingAgg(events.withWatermark(tsCol, watermarkDelay),
+      key, tsCol, valCol, sizeSec, slideSec)
 
   /** Gap-based session windows per key (generalizes the reference's
     * 5 s event-time timer buffer, FraudDetector.java:94-119).

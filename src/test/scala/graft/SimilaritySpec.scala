@@ -82,12 +82,11 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       nprobe = 4)
     val s2 = Similarity.ivfSearch(model, emb, "vec_id", "embedding", 9, 5,
       nprobe = 4)
-    // deterministic: two searches over one model agree exactly, and
-    // match the one-shot convenience path (same nlist/iters/nprobe)
+    // deterministic: two searches over ONE model agree exactly.
+    // (Two independently TRAINED models are not compared bit-exactly:
+    // avg() partials merge in shuffle-fetch order, so re-training can
+    // differ in the last ulp and flip a Voronoi-boundary vector.)
     assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
-    val oneShot = Similarity.ivfTopK(emb, "vec_id", "embedding", 9, 5,
-      nlist = 8, nprobe = 4)
-    assert(s1.exceptAll(oneShot).isEmpty && oneShot.exceptAll(s1).isEmpty)
     // the model is a plain value — reusable across sessions via any
     // serialization; round-trip through java serialization here
     val bos = new java.io.ByteArrayOutputStream()
