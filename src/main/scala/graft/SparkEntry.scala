@@ -384,9 +384,12 @@ object SparkEntry {
       // interpolation-formula float drift can reach the hash
       e.groupBy(col("event_type")).agg(
         countDistinct(col("user_id")).as("n_exact"),
+        // tolerance 10% against a 2%-rsd sketch (5 sigma): wide enough
+        // that a regenerated dataset or different SF cannot flip the
+        // flag without a genuine sketch bug
         when(abs(approx_count_distinct(col("user_id"), 0.02) -
           countDistinct(col("user_id"))).cast(DoubleType) <=
-          countDistinct(col("user_id")).cast(DoubleType) * 0.05, 1)
+          countDistinct(col("user_id")).cast(DoubleType) * 0.10, 1)
           .otherwise(0).as("hll_ok"),
         (expr("percentile(cast(v * 100 as bigint), 0.5)") * 10)
           .cast(LongType).as("p50_decicents"),
@@ -433,6 +436,12 @@ object SparkEntry {
     }),
 
     // ---- C-block: training-data pipeline ------------------------------
+    // default (hashed) mode: groups on (xxhash64(text), length) — a
+    // deliberate semantic choice over raw text (a same-length 64-bit
+    // collision would merge two distinct docs; odds need ~2^32
+    // equal-length docs). The oracle groups on raw text, so the gate
+    // also proves hashed ≡ raw on this corpus; pass rawKeys=true
+    // where the residual collision risk is unacceptable.
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir), "doc_id", "text")),
 
@@ -450,14 +459,35 @@ object SparkEntry {
           shingleN = 3, minJaccard = 0.1, maxShingleDf = 50),
         "id_a", "id_b")),
 
+    // LSH candidates + exact-Jaccard verify: the output pair set is
+    // engine-independent (LSH miss probability at j>=0.5 is <=1e-4
+    // with k=64/bands=32, and the driver data's pairs all sit at
+    // j>=0.7 where it is <=4e-10), so the full exact-pair SQL is a
+    // real oracle for the LSH pipeline. Probabilistic-output variant
+    // (est-jaccard, no verify): Dedup.minhashLsh, spec-checked.
     "dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashLsh(withPlantedNearDups(Tables.documents(s, dir)),
-        "doc_id", "text", shingleN = 3, k = 32, bands = 8, minEstJaccard = 0.5)),
+      Dedup.minhashLshVerified(withPlantedNearDups(Tables.documents(s, dir)),
+        "doc_id", "text", shingleN = 3, k = 64, bands = 32, minJaccard = 0.5)),
 
+    // simhash pair values are engine-internal 64-bit hashes, so the
+    // gate is a planted-recovery CONTRACT (q_approx pattern): the
+    // planted near-dups are doc_id-derived — SQL-expressible — and
+    // the flag demands >=80% of them back from the full
+    // signature→pigeonhole→hamming pipeline (measured: 100% at
+    // sf0.01, 97.4% at sf0.1).
     "dedup_simhash" -> ((s, dir) => {
       GraftFunctions.register(s)
-      Dedup.simhash(withPlantedNearDups(Tables.documents(s, dir)),
+      val pairs = Dedup.simhash(withPlantedNearDups(Tables.documents(s, dir)),
         "doc_id", "text", chunks = 8, maxHamming = 7)
+      val expected = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1000000L).as("id_b"))
+      expected
+        .join(pairs.select(col("id_a"), col("id_b"), lit(1).as("hit")),
+          Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_planted"),
+          when(sum(coalesce(col("hit"), lit(0))) * 1000 >=
+            count(lit(1)) * 800, 1).otherwise(0).as("sim_recall_ok"))
     }),
 
     "dedup_cosine" -> ((s, dir) =>
@@ -467,18 +497,28 @@ object SparkEntry {
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         queryMaxId = 9, k = 5)),
 
-    "ann_ivf" -> ((s, dir) =>
-      // trainFraction < 1: k-means fits on a deterministic hash-sample
-      // — the 100 TB path (training cost is independent of corpus
-      // size), and the fix for the r2 bench regression where query-time
-      // full-corpus Lloyd iterations dominated the runtime
-      Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-        queryMaxId = 9, k = 5, nlist = 16, nprobe = 4,
-        trainFraction = 0.25)),
+    // approximate-index gates are recall CONTRACTS vs the exact
+    // brute-force top-k (computed Spark-side; the intersection never
+    // crosses engines, so sketch internals stay engine-private while
+    // a recall collapse flips the flag and fails the hash gate).
+    // ivf: trainFraction < 1 — k-means fits on a deterministic
+    // hash-sample, the 100 TB path where training cost is independent
+    // of corpus size. Measured recall 82%/70% (sf0.01/sf0.1) vs the
+    // 400-permille gate.
+    "ann_ivf" -> ((s, dir) => {
+      val approx = Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id",
+        "embedding", queryMaxId = 9, k = 5, nlist = 16, nprobe = 6,
+        trainFraction = 0.25)
+      annRecallContract(s, dir, approx, minPermille = 400, flag = "ivf_recall_ok")
+    }),
 
-    "ann_lsh" -> ((s, dir) =>
-      Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-        queryMaxId = 9, k = 5, bits = 8)),
+    // multi-probe LSH (flip-1-bit buckets): measured recall 50%/68%
+    // (sf0.01/sf0.1) vs the 300-permille gate
+    "ann_lsh" -> ((s, dir) => {
+      val approx = Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id",
+        "embedding", queryMaxId = 9, k = 5, bits = 8, multiProbe = true)
+      annRecallContract(s, dir, approx, minPermille = 300, flag = "lsh_recall_ok")
+    }),
 
     "lang_id" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
@@ -539,14 +579,28 @@ object SparkEntry {
           sum(col("n_tokens")).as("total_tokens"),
           countDistinct(col("text")).as("n_distinct_texts"))),
 
+    // fingerprint values are engine-internal, so the gate is a
+    // PROPERTY contract over the whole corpus: injectivity (distinct
+    // texts -> distinct fingerprints; a collision makes fp_collisions
+    // > 0) and order sensitivity (reversing the token sequence of any
+    // non-palindromic doc must change the fingerprint). Per-doc
+    // fingerprint/simhash values stay available via
+    // GraftFunctions.fingerprint/simhash (spec-checked).
     "doc_fingerprint" -> ((s, dir) => {
       GraftFunctions.register(s)
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        graft.functions.GraftFunctions.fingerprint(
-          TextFunctions.words(col("text"))).as("fingerprint"),
-        graft.functions.GraftFunctions.simhash(
-          TextFunctions.words(col("text"))).as("simhash"))
+      Tables.documents(s, dir)
+        .select(col("text"), TextFunctions.words(col("text")).as("w"))
+        .select(col("text"), col("w"), reverse(col("w")).as("wr"))
+        .select(col("text"),
+          graft.functions.GraftFunctions.fingerprint(col("w")).as("fp"),
+          graft.functions.GraftFunctions.fingerprint(col("wr")).as("fp_rev"),
+          (col("w") === col("wr")).as("palin"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_texts"),
+          (countDistinct(col("text")) - countDistinct(col("fp")))
+            .as("fp_collisions"),
+          sum(when(!col("palin") && col("fp") === col("fp_rev"), 1L)
+            .otherwise(0L)).as("fp_order_violations"))
     }),
 
     "text_scrub" -> ((s, dir) => {
@@ -619,6 +673,25 @@ object SparkEntry {
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
   }
 
+  /** Single-row ANN recall contract: |approx ∩ exact top-k| over the
+    * exact top-k pair count, gated at `minPermille`. Exact side and
+    * intersection are computed in THIS engine, so the oracle only
+    * re-states the SQL-expressible pair count plus a constant-true
+    * flag — the q_approx error-contract pattern applied to ANN.
+    */
+  private def annRecallContract(s: SparkSession, dir: String,
+                                approx: DataFrame, minPermille: Int,
+                                flag: String): DataFrame = {
+    val exact = Similarity.bruteForceTopK(Tables.embeddings(s, dir),
+      "vec_id", "embedding", queryMaxId = 9, k = 5)
+      .select(col("q_id"), col("neighbor_id"))
+    exact.join(approx.select(col("q_id"), col("neighbor_id"), lit(1).as("hit")),
+        Seq("q_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_exact_pairs"),
+        when(sum(coalesce(col("hit"), lit(0))) * 1000 >=
+          count(lit(1)) * minPermille, 1).otherwise(0).as(flag))
+  }
+
   private def withPlantedNearDups(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
     val ws = split(col("text"), " ")
@@ -631,8 +704,12 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles. Same table names as the parquet files; column
   // aliases match the Spark side exactly. Ops with engine-internal
-  // hashes (minhash, simhash, lsh, langid, fingerprint, mm decode)
-  // are intentionally omitted → driver records a rows-only check.
+  // hashes gate through contracts instead of value parity: exact-
+  // verified output (dedup_minhash), planted-recovery / recall /
+  // property flags (dedup_simhash, ann_lsh, ann_ivf,
+  // doc_fingerprint) — the oracle re-states the SQL-expressible
+  // columns plus constant-true flags, so a quality collapse flips a
+  // flag and fails the hash gate.
   // ------------------------------------------------------------------
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -1012,6 +1089,67 @@ object SparkEntry {
         |JOIN sz sa ON sa.doc_id = id_a
         |JOIN sz sb ON sb.doc_id = id_b
         |WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 3) >= 0.1""".stripMargin,
+
+    // the exact pair set the LSH+verify pipeline must reproduce:
+    // planted near-dups (doc_id-derived, mirrored from
+    // withPlantedNearDups) + the dedup_jaccard CTEs, uncapped, at the
+    // verify threshold. Valid because verified-LSH output is
+    // deterministic: every pair at j>=0.5 shares >=1 of 32 two-row
+    // bands w.p. >= 1-1e-4 (>= 1-4e-10 at the j>=0.7 this data has).
+    "dedup_minhash" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(list_slice(string_split(text, ' '), 1,
+        |      greatest(len(string_split(text, ' ')) - 2, 1)), ' ') AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM docs),
+        |sh0 AS (
+        |  SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS sh
+        |  FROM w a
+        |  JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+        |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id)
+        |SELECT id_a, id_b,
+        |  round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 3) AS jaccard
+        |FROM inter
+        |JOIN sz sa ON sa.doc_id = id_a
+        |JOIN sz sb ON sb.doc_id = id_b
+        |WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 3) >= 0.5""".stripMargin,
+
+    // planted-recovery contract: the pipeline must find >=80% of the
+    // doc_id-derived planted pairs (measured 97-100%)
+    "dedup_simhash" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted, 1 AS sim_recall_ok
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+
+    // recall contracts vs brute-force exact top-5 over 10 queries
+    "ann_ivf" ->
+      """SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_exact_pairs,
+        |  1 AS ivf_recall_ok
+        |FROM embeddings WHERE vec_id <= 9""".stripMargin,
+    "ann_lsh" ->
+      """SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_exact_pairs,
+        |  1 AS lsh_recall_ok
+        |FROM embeddings WHERE vec_id <= 9""".stripMargin,
+
+    // fingerprint property contract: injectivity over distinct texts
+    // + order sensitivity (both violation counts must be zero)
+    "doc_fingerprint" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT text) AS BIGINT) AS n_texts,
+        |  CAST(0 AS BIGINT) AS fp_collisions,
+        |  CAST(0 AS BIGINT) AS fp_order_violations
+        |FROM documents""".stripMargin,
 
     // same pair CTEs as dedup_jaccard (proven engine-portable), then
     // min-reachable-id per node via a recursive closure — DuckDB's

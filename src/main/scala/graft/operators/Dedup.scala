@@ -107,6 +107,75 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** MinHash-LSH candidates, exactly verified: band-bucket candidate
+    * generation (as [[minhashLsh]]) followed by a true word-n-gram
+    * Jaccard computation restricted to the candidates, emitting only
+    * pairs with exact jaccard >= `minJaccard`.
+    *
+    * This is the production dedup shape at corpus scale — LSH prunes
+    * the pair space from O(n²) to near-linear, then the exact verify
+    * (a join bounded by candidates × shingles-per-doc, NOT by the
+    * corpus) removes LSH's false positives. The output is therefore a
+    * deterministic, engine-independent pair set: identical to
+    * [[ngramJaccard]] at the same threshold whenever LSH recall at
+    * `minJaccard` is ~1, which the default parameters guarantee — with
+    * k=64, bands=32 (2 rows/band) a pair at jaccard j shares ≥1 band
+    * w.p. 1-(1-j²)^32: miss probability 1e-4 at j=0.5, 4e-10 at
+    * j=0.7. That determinism is what lets the driver gate this query
+    * against the exact-pair SQL oracle.
+    *
+    * One shingle table feeds signatures, sizes and the verify join
+    * (persisted; rows are two longs — cache lifetime note as in
+    * [[ngramJaccard]]).
+    */
+  def minhashLshVerified(docs: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int = 3, k: Int = 64, bands: Int = 32,
+                         minJaccard: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val shingled = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .select(col("doc_id"),
+        explode(TextFunctions.shinglesOfWords(col("w"), shingleN)).as("shRaw"))
+      .select(col("doc_id"), xxhash64(col("shRaw")).as("sh"))
+      .persist()
+    val sizes = shingled.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"m$i"))
+    val banded = shingled.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(((b * rows) until ((b + 1) * rows))
+              .map(i => col(s"m$i")): _*).as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+
+    // a pair sharing several bands would double-count in the verify
+    // aggregation: dedup candidates first (cheap — candidate volume,
+    // not corpus volume)
+    val cand = banded.alias("a").join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    val inter = cand
+      .join(shingled.select(col("doc_id").as("id_a"), col("sh")), "id_a")
+      .join(shingled.select(col("doc_id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast(DoubleType) /
+          (col("sz_a") + col("sz_b") - col("inter")), 3))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** SimHash near-duplicate pairs: 64-bit signature per document
     * (custom codegen'd kernel), candidate generation by pigeonhole on
     * `chunks` signature chunks (pairs within Hamming distance

@@ -117,6 +117,9 @@ object Similarity {
     var centroids: Array[Array[Double]] = train.orderBy(col("id")).limit(nlist)
       .select(col("vecd")).collect()
       .map(_.getSeq[Double](0).toArray)
+    require(centroids.nonEmpty,
+      s"empty IVF training sample (trainFraction=$trainFraction over " +
+        "this input selected zero rows) — raise trainFraction")
 
     val dim = centroids.headOption.map(_.length).getOrElse(0)
     for (_ <- 0 until iters) {

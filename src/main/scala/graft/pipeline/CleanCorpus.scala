@@ -44,6 +44,9 @@ object CleanCorpus {
     // final anti-join) would otherwise each recompute the scan +
     // quality + dedup shuffle — materializing the deduped corpus once
     // before candidate generation is the standard shape at scale.
+    // Cache lifetime: clean() returns a lazy plan, so there is no
+    // safe unpersist point inside this function; the blocks live
+    // until session eviction (same note as Dedup.ngramJaccard).
     val exactKept = base
       .withColumn("keep_id", min(col("doc_id"))
         .over(org.apache.spark.sql.expressions.Window

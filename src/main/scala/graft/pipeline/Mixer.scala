@@ -51,7 +51,9 @@ object Mixer {
     // persisted: the offset job and the final window job both read it,
     // and serving both from the same materialized blocks (rather than
     // re-running the range shuffle) is also what guarantees
-    // spark_partition_id is identical across the two jobs
+    // spark_partition_id is identical across the two jobs. Cache
+    // lifetime: the result is lazy, so no unpersist point exists here;
+    // blocks live until session eviction (same note as ngramJaccard)
     val ranged = docs
       .withColumn("n_tokens", TextFunctions.wordCount(col(textCol)).cast(LongType))
       .repartitionByRange(parts, col(qualityCol).desc, col(idCol))

@@ -20,6 +20,14 @@ object GraftStreams {
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         "true")
 
+  /** One micro-batch's write: overwrite this batch's own partition
+    * directory. Re-running the same (batch, batchId) — what a retry
+    * does — replaces the directory contents, never duplicates.
+    */
+  private[graft] def writeAlertBatch(batch: DataFrame, batchId: Long,
+                                     path: String): Unit =
+    batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+
   /** Append alert sink — the reference's AlertSink re-expressed as a
     * replay-idempotent parquet appender via foreachBatch. Each
     * micro-batch overwrites its own `batch_id=<n>` subdirectory, so a
@@ -29,14 +37,6 @@ object GraftStreams {
     * (FIRE_AND_PURGE, CustomTumblingTrigger.java:26-89). Readers see
     * one partition column `batch_id` on top of the alert schema.
     */
-  /** One micro-batch's write: overwrite this batch's own partition
-    * directory. Re-running the same (batch, batchId) — what a retry
-    * does — replaces the directory contents, never duplicates.
-    */
-  private[graft] def writeAlertBatch(batch: DataFrame, batchId: Long,
-                                     path: String): Unit =
-    batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
-
   def parquetAlertSink(alerts: DataFrame, path: String,
                        checkpoint: String): StreamingQuery =
     alerts.writeStream

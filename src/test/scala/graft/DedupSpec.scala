@@ -49,6 +49,19 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(rawLines.exists(_.contains("text#")), rawLines.mkString("\n"))
   }
 
+  test("verified minhash LSH output equals exact ngramJaccard at the threshold") {
+    // the property the driver oracle relies on: LSH recall ~1 at the
+    // verify threshold makes candidates+exact-verify ≡ the full
+    // inverted-index exact pair set
+    val planted = withNearCopies
+    val verified = Dedup.minhashLshVerified(planted, "doc_id", "text",
+      shingleN = 3, k = 64, bands = 32, minJaccard = 0.5)
+    val exact = Dedup.ngramJaccard(planted, "doc_id", "text",
+      shingleN = 3, minJaccard = 0.5)
+    assert(verified.exceptAll(exact).isEmpty && exact.exceptAll(verified).isEmpty)
+    assert(verified.count() > 0)
+  }
+
   test("minhash LSH finds the planted near-duplicates") {
     val pairs = Dedup.minhashLsh(withNearCopies, "doc_id", "text",
       shingleN = 3, k = 32, bands = 8, minEstJaccard = 0.5)
