@@ -268,25 +268,24 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nbr_label"))
-      // checkpointed: the jump join below reads `stepped` on BOTH
-      // sides — left lazy, the edges⋈labels aggregation would run
-      // twice per round unless ReuseExchange happens to kick in
-      val stepped = labels.as("l")
+      // pointer jump against the ROUND-ENTRY labels (not the
+      // neighbor-min output): l'(v) = min(l(v), min_{u∈N(v)} l(u),
+      // l(l(v))). Jumping on the stale table shortcuts one fewer hop
+      // per round than jumping on the updated one, but both are
+      // O(log diameter), and this formulation needs only ONE
+      // materialization per round instead of two — the jump side
+      // reads `labels`, which round entry already checkpointed, so
+      // nothing here is computed twice. maxIter=25 covers any
+      // component a real corpus can produce.
+      val jump = labels.select(col("id").as("label"),
+        col("label").as("jump"))
+      val next = labels.as("l")
         .join(nbrMin.as("n"), Seq("id"), "left")
+        .join(jump.as("j"), Seq("label"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("label"))
-        .localCheckpoint(true)
-      // pointer jump: also replace each label by its label's label —
-      // the min-id travels 2^k hops after k rounds instead of k, so
-      // convergence is O(log diameter) and maxIter=25 covers any
-      // component a real corpus can produce (diameter ≤ 2^25)
-      val next = stepped.as("s")
-        .join(stepped.select(col("id").as("label"),
-          col("label").as("jump")).as("j"), Seq("label"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("jump"), col("label")))
-            .as("label"))
+          least(col("label"),
+            least(coalesce(col("nbr_label"), col("label")),
+              coalesce(col("jump"), col("label")))).as("label"))
         .localCheckpoint(true)
       val s = sumLabels(next)
       labels = next
