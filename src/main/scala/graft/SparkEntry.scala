@@ -3,6 +3,7 @@ package graft
 import graft.functions.{GraftFunctions, TextFunctions}
 import graft.multimodal.Multimodal
 import graft.operators.{Dedup, Fraud, RangeJoin, Similarity, Windows}
+import graft.pipeline.Mixer
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -445,6 +446,20 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir), "doc_id", "text")),
 
+    // incremental ingest: even-id docs re-arrive as a new batch (ids
+    // +2e6) — those ≡0 (mod 4) byte-identical (must drop), ≡2 (mod 4)
+    // edited (must keep). The oracle's NOT EXISTS is on raw text, so
+    // the gate again proves hashed-key ≡ raw anti-join semantics.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          when(pmod(col("doc_id"), lit(4)) === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" incr"))).as("text"))
+      Dedup.incremental(batch, docs, "doc_id", "text")
+        .select(col("doc_id"), col("text_len"))
+    }),
+
     "dedup_jaccard" -> ((s, dir) =>
       // finite df cap: the hot-shingle guard (a shingle in d docs makes
       // d² join rows) runs through the gate, mirrored in the oracle CTE
@@ -561,6 +576,27 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 === 0),
         "doc_id", "text", shingleN = 5)
     }),
+
+    // same task through the very-large-eval-set path: bloom-sketch
+    // prefilter (native BloomFilterAggregate/MightContain) + residual
+    // shuffle semi-join. Bit-identical output — same oracle SQL — so
+    // the gate proves the bloom path exact, not just plausible.
+    "decontaminate_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", shingleN = 5, bloomPrefilter = true)
+    }),
+
+    // token-budget cut ordered by (n_chars desc, doc_id): the
+    // distributed prefix sum (range partition + broadcast offsets,
+    // no single-partition sort) must equal the naive global window —
+    // which is exactly what the oracle computes
+    "mix_budget" -> ((s, dir) =>
+      Mixer.takeTokenBudget(Tables.documents(s, dir), "doc_id", "text",
+          qualityCol = "n_chars", budget = 15000L)
+        .select(col("doc_id"), col("n_tokens"), col("running_tokens"))),
 
     // Gopher-style repetition quality signals; map-only HOF scan
     "text_repetition" -> ((s, dir) =>
@@ -714,6 +750,33 @@ object SparkEntry {
         concat_ws(" ", slice(ws, lit(1), greatest(size(ws) - 2, lit(1)))).as("text"))
     base.unionByName(mutated)
   }
+
+  // 5-gram containment vs the eval subset's shingle union; shared by
+  // the broadcast and bloom-prefiltered paths (bit-identical outputs)
+  private val decontaminateOracle =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+      |    generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |g AS (
+      |  SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word
+      |    || ' ' || d.word || ' ' || e.word AS sh
+      |  FROM w a
+      |  JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      |  JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+      |  JOIN w d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+      |  JOIN w e ON e.doc_id = a.doc_id AND e.pos = a.pos + 4),
+      |sh AS (SELECT DISTINCT doc_id, sh FROM g),
+      |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0),
+      |corp AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corp GROUP BY doc_id),
+      |hit AS (
+      |  SELECT c.doc_id, COUNT(*) AS n_hit FROM corp c
+      |  JOIN bench b ON b.sh = c.sh GROUP BY c.doc_id)
+      |SELECT t.doc_id, t.n_shingles,
+      |  COALESCE(h.n_hit, 0) AS n_hit,
+      |  (1000 * COALESCE(h.n_hit, 0)) // t.n_shingles AS contain_pml
+      |FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id""".stripMargin
 
   // ------------------------------------------------------------------
   // DuckDB oracles. Same table names as the parquet files; column
@@ -1372,33 +1435,36 @@ object SparkEntry {
         |  COUNT(DISTINCT text) AS n_distinct_texts
         |FROM q GROUP BY lang_pred""".stripMargin,
 
-    // 5-gram containment vs the eval subset's shingle union; the
-    // string-shingle joins here mirror the hashed broadcast semi-join
-    // Spark-side (same counts modulo xxhash64 collisions ~n²/2⁶⁵)
-    "decontaminate" ->
-      """WITH w AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
-        |    generate_subscripts(string_split(text, ' '), 1) AS pos
-        |  FROM documents),
-        |g AS (
-        |  SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word
-        |    || ' ' || d.word || ' ' || e.word AS sh
-        |  FROM w a
-        |  JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-        |  JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
-        |  JOIN w d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
-        |  JOIN w e ON e.doc_id = a.doc_id AND e.pos = a.pos + 4),
-        |sh AS (SELECT DISTINCT doc_id, sh FROM g),
-        |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0),
-        |corp AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
-        |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corp GROUP BY doc_id),
-        |hit AS (
-        |  SELECT c.doc_id, COUNT(*) AS n_hit FROM corp c
-        |  JOIN bench b ON b.sh = c.sh GROUP BY c.doc_id)
-        |SELECT t.doc_id, t.n_shingles,
-        |  COALESCE(h.n_hit, 0) AS n_hit,
-        |  (1000 * COALESCE(h.n_hit, 0)) // t.n_shingles AS contain_pml
-        |FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id""".stripMargin,
+    // string-shingle joins mirroring the hashed semi-join Spark-side
+    // (same counts modulo xxhash64 collisions ~n²/2⁶⁵); the bloom
+    // variant shares the SQL because its path must be exact
+    "decontaminate" -> decontaminateOracle,
+    "decontaminate_bloom" -> decontaminateOracle,
+
+    // incremental ingest: raw-text NOT EXISTS mirror of the
+    // hashed-key anti-join
+    "dedup_incremental" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN text
+        |         ELSE text || ' incr' END AS text
+        |  FROM documents WHERE doc_id % 2 = 0)
+        |SELECT b.doc_id, length(b.text) AS text_len
+        |FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.text = b.text)""".stripMargin,
+
+    // naive global-window prefix — must equal Spark's distributed
+    // range-partitioned prefix exactly
+    "mix_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |    SUM(len(string_split(text, ' '))) OVER (
+        |      ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS running_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, running_tokens
+        |FROM t WHERE running_tokens <= 15000""".stripMargin,
 
     // duplicate-word / duplicate-bigram permille, integer-exact
     "text_repetition" ->

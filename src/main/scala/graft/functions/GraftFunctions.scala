@@ -1,6 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -21,6 +23,8 @@ object GraftFunctions {
   val SimHashName = "graft_simhash64"
   val FingerprintName = "graft_fingerprint64"
   val DotName = "graft_dot"
+  val BloomAggName = "graft_bloom_agg"
+  val BloomContainsName = "graft_bloom_contains"
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -34,6 +38,14 @@ object GraftFunctions {
       "built-in")
     registry.createOrReplaceTempFunction(DotName, exprs =>
       DotProduct(exprs(0), exprs(1)), "built-in")
+    // Spark's OWN bloom-filter expressions (what InjectRuntimeFilter
+    // plans internally), surfaced as callable functions: the agg
+    // builds a binary sketch over long hashes, might-contain tests it
+    // with codegen — no UDF, no sketch-library round-trip
+    registry.createOrReplaceTempFunction(BloomAggName, exprs =>
+      new BloomFilterAggregate(exprs(0), exprs(1), exprs(2)), "built-in")
+    registry.createOrReplaceTempFunction(BloomContainsName, exprs =>
+      BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
   }
 
   /** Codegen'd dot product of two array<double> columns. */
@@ -49,4 +61,15 @@ object GraftFunctions {
     * expressions: XOR + popcount via bit_count).
     */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Bloom-filter aggregate over a bigint column → binary sketch. */
+  def bloomAgg(values: Column, estimatedItems: Column,
+               numBits: Column): Column =
+    call_function(BloomAggName, values, estimatedItems, numBits)
+
+  /** Membership probe of a [[bloomAgg]] sketch (false positives at
+    * the configured rate, never false negatives).
+    */
+  def bloomContains(bloom: Column, value: Column): Column =
+    call_function(BloomContainsName, bloom, value)
 }

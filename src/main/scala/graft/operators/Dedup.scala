@@ -39,6 +39,26 @@ object Dedup {
         .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
         .select(col("keep_id"), col("n_copies"), col("text_len"))
 
+  /** Incremental exact dedup — the daily-batch-vs-corpus step: keep
+    * only the `newDocs` whose text does not already exist in
+    * `corpus`. Anti-join on (xxhash64(text), length): the corpus — the
+    * BIG side — enters the shuffle as a distinct key-only projection
+    * (16 bytes/doc, no text), so ingesting a day's crawl against a
+    * 100 TB corpus moves corpus keys, not corpus bytes. Same residual
+    * collision tradeoff as [[exact]] hashed mode (and the driver
+    * oracle's raw-text NOT EXISTS proves hashed ≡ raw on the gate
+    * corpus).
+    */
+  def incremental(newDocs: DataFrame, corpus: DataFrame,
+                  idCol: String, textCol: String): DataFrame =
+    newDocs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        xxhash64(col(textCol)).as("h"),
+        length(col(textCol)).as("text_len"))
+      .join(corpus.select(xxhash64(col(textCol)).as("h"),
+          length(col(textCol)).as("text_len")).distinct(),
+        Seq("h", "text_len"), "left_anti")
+      .select(col("doc_id"), col("text"), col("text_len"))
+
   /** MinHash signatures: k minima of per-seed hashes over each
     * document's distinct word n-gram shingles (Broder 1997).
     *
@@ -325,10 +345,23 @@ object Dedup {
     * Output per corpus doc: distinct-shingle count, benchmark-hit
     * count, and integer-permille containment (exact integer division —
     * no float rounding to disagree across engines).
+    *
+    * @param bloomPrefilter the VERY-large-eval-set path: when the
+    * benchmark shingle set is too big to broadcast as an exact set, a
+    * bloom sketch (built by Spark's native `BloomFilterAggregate`, ~10
+    * bits/item at fpp=0.01 — an order of magnitude under the exact
+    * set) prefilters the corpus scan, and only the surviving ~1%+hits
+    * reach a SHUFFLE semi-join that removes the bloom's false
+    * positives. Output is bit-identical to the broadcast path: blooms
+    * have no false negatives, and every false positive dies in the
+    * residual exact join. The sketch is pulled to the driver once
+    * (bounded model, same pattern as IVF centroids).
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     idCol: String, textCol: String,
-                    shingleN: Int = 5): DataFrame = {
+                    shingleN: Int = 5,
+                    bloomPrefilter: Boolean = false,
+                    bloomFpp: Double = 0.01): DataFrame = {
     def shingles(df: DataFrame) = df
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
       .select(col("doc_id"),
@@ -336,12 +369,33 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("shRaw")).as("sh"))
 
     val corpusSh = shingles(corpus) // distinct per doc (shinglesOfWords)
-    val benchSh = shingles(benchmark).select(col("sh")).distinct()
+    val benchShLazy = shingles(benchmark).select(col("sh")).distinct()
     val totals = corpusSh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"))
-    val hits = corpusSh
-      .join(broadcast(benchSh), Seq("sh"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    val hits =
+      if (!bloomPrefilter)
+        corpusSh
+          .join(broadcast(benchShLazy), Seq("sh"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      else {
+        // three consumers of the bench shingle set (count, sketch,
+        // residual join): materialize once (cache lifetime note as in
+        // ngramJaccard)
+        val benchSh = benchShLazy.persist()
+        GraftFunctions.register(corpus.sparkSession)
+        val n = math.max(benchSh.count(), 1L)
+        // optimal sizing: -n·ln(fpp)/ln²2 bits
+        val numBits = math.ceil(
+          -n * math.log(bloomFpp) / (math.log(2) * math.log(2))).toLong
+        val bf = benchSh
+          .agg(GraftFunctions.bloomAgg(col("sh"), lit(n), lit(numBits))
+            .as("bf"))
+          .head.getAs[Array[Byte]]("bf")
+        corpusSh
+          .filter(GraftFunctions.bloomContains(lit(bf), col("sh")))
+          .join(benchSh, Seq("sh"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      }
 
     totals.join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),

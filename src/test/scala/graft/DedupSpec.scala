@@ -101,6 +101,31 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(joined.filter(col("j_capped") > col("j_exact")).count() === 0)
   }
 
+  test("incremental dedup drops exact re-arrivals, keeps edited docs") {
+    val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        when(pmod(col("doc_id"), lit(4)) === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" x"))).as("text"))
+    val kept = Dedup.incremental(batch, docs, "doc_id", "text")
+    // exact copies (id ≡ 0 mod 4 before the shift) must all be gone
+    assert(kept.filter(pmod(col("doc_id") - 2000000L, lit(4)) === 0).count() === 0)
+    // every edited doc survives (its text exists nowhere in the corpus)
+    val edited = batch.filter(pmod(col("doc_id") - 2000000L, lit(4)) =!= 0).count()
+    assert(kept.count() === edited)
+  }
+
+  test("bloom-prefiltered decontaminate equals the broadcast-exact path") {
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val exact = Dedup.decontaminate(corpus, bench, "doc_id", "text", shingleN = 5)
+    val bloom = Dedup.decontaminate(corpus, bench, "doc_id", "text", shingleN = 5,
+      bloomPrefilter = true)
+    assert(bloom.exceptAll(exact).isEmpty && exact.exceptAll(bloom).isEmpty)
+    // and the contract it relies on: some docs have hits, so the
+    // bloom path's residual join is actually exercised
+    assert(bloom.filter(col("n_hit") > 0).count() > 0)
+  }
+
   test("clusters: transitive chains collapse to min-id components") {
     import spark.implicits._
     // chain 1-2-3, isolated pair 10-11, triangle 20-21-22, long chain 30..36
