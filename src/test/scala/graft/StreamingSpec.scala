@@ -510,4 +510,29 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(written.filter(col("accountId") === 2).count() === 1,
       "post-restart data must flow through recovered state")
   }
+
+  test("streaming top-k keeps a bounded per-key leaderboard across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Transaction]
+    val board = StreamingTopK.topKAmounts(input.toDS(), k = 3)
+    val sink = runToSink(board.toDF(), "t_topk", "update") { step =>
+      input.addData(tx(1, 10, 1), tx(1, 50, 2), tx(1, 30, 3), tx(1, 20, 4))
+      step(0)
+      // 40 enters, evicting 20; 5 must not displace anything
+      input.addData(tx(1, 40, 5), tx(1, 5, 6))
+      step(0)
+    }
+    // update-mode memory sink keeps every batch's emission:
+    // batch 1 board = 50,30,20; batch 2 board = 50,40,30
+    val rows = sink.collect()
+    assert(rows.forall(_.getInt(1) <= 3), "state must stay bounded at k")
+    val forty = rows.filter(_.getDouble(2) == 40.0)
+    assert(forty.length === 1 && forty.head.getInt(1) === 2,
+      "40 must enter the merged board at rank 2")
+    assert(rows.count(_.getDouble(2) == 20.0) === 1,
+      "evicted entry must not be re-emitted after batch 1")
+    assert(!rows.exists(_.getDouble(2) == 5.0),
+      "a sub-board amount must never appear")
+    assert(rows.filter(_.getInt(1) == 1).forall(_.getDouble(2) == 50.0))
+  }
 }
