@@ -418,6 +418,33 @@ object SparkEntry {
           sum((col("v") * 100).cast(LongType)).as("sum_cents"))
     }),
 
+    // ordered-event funnel (view → click → purchase per user): ONE
+    // shuffle — per-user sorted per-step second lists, then the
+    // sequential-min walk runs as array HOFs on the grouped row.
+    // Seconds-granularity ordering (>=) keeps both engines identical;
+    // -1 fills keep the output null-free for the hash gate.
+    "q_funnel" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"),
+        col("event_type"), unix_timestamp(col("ts")).as("sec"))
+      e.groupBy(col("user_id")).agg(
+          min(when(col("event_type") === "view", col("sec"))).as("t1"),
+          sort_array(collect_list(when(col("event_type") === "click",
+            col("sec")))).as("clicks"),
+          sort_array(collect_list(when(col("event_type") === "purchase",
+            col("sec")))).as("purch"))
+        .withColumn("t2",
+          array_min(filter(col("clicks"), c => c >= col("t1"))))
+        .withColumn("t3",
+          array_min(filter(col("purch"), p => p >= col("t2"))))
+        .select(col("user_id"),
+          coalesce(col("t1"), lit(-1L)).as("t_view"),
+          coalesce(col("t2"), lit(-1L)).as("t_click"),
+          coalesce(col("t3"), lit(-1L)).as("t_purchase"),
+          (when(col("t1").isNotNull, 1).otherwise(0) +
+            when(col("t2").isNotNull, 1).otherwise(0) +
+            when(col("t3").isNotNull, 1).otherwise(0)).as("stage"))
+    }),
+
     "q_lag" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       // order by the truncated second + event_id (same collation as
@@ -735,7 +762,10 @@ object SparkEntry {
     val exact = Similarity.bruteForceTopK(Tables.embeddings(s, dir),
       "vec_id", "embedding", queryMaxId = 9, k = 5)
       .select(col("q_id"), col("neighbor_id"))
-    exact.join(approx.select(col("q_id"), col("neighbor_id"), lit(1).as("hit")),
+    // both sides are queries×k rows — broadcast the approx side so
+    // the intersection never shuffles the (already tiny) tables
+    exact.join(broadcast(approx.select(col("q_id"), col("neighbor_id"),
+          lit(1).as("hit"))),
         Seq("q_id", "neighbor_id"), "left")
       .agg(count(lit(1)).as("n_exact_pairs"),
         when(sum(coalesce(col("hit"), lit(0))) * 1000 >=
@@ -1119,6 +1149,39 @@ object SparkEntry {
         |  CAST(SUM(CAST(x.v * 100 AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM hot h JOIN e x ON x.sec BETWEEN h.hsec - 60 AND h.hsec + 60
         |GROUP BY h.hot_id""".stripMargin,
+
+    // sequential-min funnel walk as dependent CTEs; -1 fills mirror
+    // the Spark side exactly
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |s1 AS (
+        |  SELECT user_id, MIN(sec) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(e.sec) AS t2 FROM e
+        |  JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.sec >= s1.t1
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(e.sec) AS t3 FROM e
+        |  JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.sec >= s2.t2
+        |  GROUP BY e.user_id)
+        |SELECT u.user_id,
+        |  COALESCE(s1.t1, -1) AS t_view,
+        |  COALESCE(s2.t2, -1) AS t_click,
+        |  COALESCE(s3.t3, -1) AS t_purchase,
+        |  (CASE WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END +
+        |   CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END +
+        |   CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END) AS stage
+        |FROM u
+        |LEFT JOIN s1 ON s1.user_id = u.user_id
+        |LEFT JOIN s2 ON s2.user_id = u.user_id
+        |LEFT JOIN s3 ON s3.user_id = u.user_id""".stripMargin,
 
     "q_lag" ->
       """WITH t AS (
