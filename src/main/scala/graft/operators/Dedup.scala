@@ -206,8 +206,13 @@ object Dedup {
     require(64 % chunks == 0, "chunks must divide 64")
     val chunkBits = 64 / chunks
     val mask = (1L << chunkBits) - 1
+    // persisted: the pigeonhole self-join reads the signature table on
+    // BOTH sides — without it the doc scan + simhash kernel run twice
+    // (measured ~2× the signature cost at sf0.1). Rows are two longs;
+    // cache lifetime note as in ngramJaccard.
     val withSig = docs.select(col(idCol).as("doc_id"),
       GraftFunctions.simhash(TextFunctions.words(col(textCol))).as("sig"))
+      .persist()
 
     val chunked = withSig.select(
       col("doc_id"), col("sig"),
@@ -254,8 +259,17 @@ object Dedup {
     * Output: `(doc_id, cluster_id)` with `cluster_id` = the minimum
     * doc id in the component, for every doc that appears in a pair.
     */
+  /** @param driverEdgeThreshold edge lists at or below this size take
+    * a driver union-find instead of distributed rounds: one collect of
+    * two-long rows (≤1 MB at the default) replaces O(log diameter)
+    * join+checkpoint jobs — the same bounded-model tradeoff as the IVF
+    * centroid pull or Mixer's per-partition offsets, and near-dup pair
+    * lists are almost always tiny relative to their corpus. Identical
+    * output (spec-checked); pass 0 to force the distributed path.
+    */
   def clusters(pairs: DataFrame, aCol: String, bCol: String,
-               maxIter: Int = 25): DataFrame = {
+               maxIter: Int = 25,
+               driverEdgeThreshold: Long = 65536): DataFrame = {
     // materialize the (possibly expensive) pair plan ONCE — the
     // union below reads it twice, and without the persist each
     // orientation would re-run the whole candidate-generation job
@@ -263,6 +277,30 @@ object Dedup {
       .select(col(aCol).cast(LongType).as("src"),
         col(bCol).cast(LongType).as("dst"))
       .persist()
+
+    val nEdges = p.count()
+    if (nEdges <= driverEdgeThreshold) {
+      val spark = pairs.sparkSession
+      val es = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+      p.unpersist(blocking = false)
+      // path-compressed union-find keeping the MINIMUM id as root —
+      // same representative choice as min-label propagation
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val px = parent.getOrElse(x, x)
+        if (px == x) x
+        else { val r = find(px); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val ids = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSeq.distinct
+      import spark.implicits._
+      return ids.map(id => (id, find(id))).toDF("doc_id", "cluster_id")
+    }
     // undirected: keep both orientations so one join propagates both
     // ways. localCheckpoint — not persist — because every round's plan
     // re-embeds its inputs' LOGICAL plans: with persist, round k

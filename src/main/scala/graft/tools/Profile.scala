@@ -1,7 +1,8 @@
 package graft.tools
 
 import graft.Tables
-import graft.functions.TextFunctions
+import graft.functions.{GraftFunctions, TextFunctions}
+import graft.operators.Dedup
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -18,52 +19,60 @@ object Profile {
 
     def time[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
-      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+      println(f"[profile] $name%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
     }
 
     val docs = Tables.documents(spark, dir)
-    val shingled = docs
-      .select(col("doc_id"),
-        explode(TextFunctions.wordShingles(col("text"), 3)).as("shRaw"))
-      .select(col("doc_id"), xxhash64(col("shRaw")).as("sh"))
+    GraftFunctions.register(spark)
+    val ws = split(col("text"), " ")
+    val planted = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ", slice(ws, lit(1), greatest(size(ws) - 2, lit(1))))
+            .as("text")))
 
-    time("explode+hash count")(shingled.count())
-    time("explode+hash count again")(shingled.count())
-    val sizes = shingled.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    time("sizes")(sizes.count())
-    val inter = shingled.alias("a")
-      .join(shingled.alias("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    time("inter pairs")(inter.count())
-    val joined = inter
-      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
-    time("full")(joined.count())
-    inter.explain("formatted")
+    // --- dedup_simhash stages ---
+    val sigs = planted.select(col("doc_id"),
+      GraftFunctions.simhash(TextFunctions.words(col("text"))).as("sig"))
+    time("simhash sigs (warm)")(sigs.count())
+    time("simhash sigs")(sigs.count())
+    time("simhash pairs full")(Dedup.simhash(planted, "doc_id", "text",
+      chunks = 8, maxHamming = 7).count())
+    time("simhash pairs again")(Dedup.simhash(planted, "doc_id", "text",
+      chunks = 8, maxHamming = 7).count())
 
-    val emb = Tables.embeddings(spark, dir)
-    time("ivf total")(graft.operators.Similarity.ivfTopK(
-      emb, "vec_id", "embedding", 9, 5).count())
-    val e2 = graft.operators.Similarity.withNorm(emb, "embedding")
-      .select(col("vec_id").as("id"), col("vecd"), col("nrm"))
-    time("withNorm count")(e2.count())
-    time("withNorm count2")(e2.count())
+    // --- dedup_jaccard stages ---
+    time("jaccard df50 0.1")(Dedup.ngramJaccard(docs, "doc_id", "text",
+      3, 0.1, 50).count())
+    time("jaccard df50 0.1 again")(Dedup.ngramJaccard(docs, "doc_id", "text",
+      3, 0.1, 50).count())
 
-    // pane rule effect: stock vs extensions session on sliding agg
-    val ev = Tables.events(spark, dir)
-    val stock = graft.operators.Windows.slidingAgg(ev, "event_type", "ts", "value", 3600, 900)
-    time("sliding stock warm")(stock.count())
-    time("sliding stock")(stock.count())
-    org.apache.spark.sql.SparkSession.clearActiveSession()
-    org.apache.spark.sql.SparkSession.clearDefaultSession()
-    val ext = org.apache.spark.sql.SparkSession.builder().master("local[32]")
-      .withExtensions(new graft.GraftExtensions).getOrCreate()
-    val ev2 = Tables.events(ext, dir)
-    val pane = graft.operators.Windows.slidingAgg(ev2, "event_type", "ts", "value", 3600, 900)
-    time("sliding pane-rule warm")(pane.count())
-    time("sliding pane-rule")(pane.count())
+    // --- clusters on prebuilt tiny pairs (round overhead only) ---
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.1, 50)
+      .localCheckpoint(true)
+    time("clusters rounds only")(Dedup.clusters(pairs, "id_a", "id_b").count())
+
+    // --- clean_corpus stages ---
+    val base = docs.select(col("doc_id"), col("text"))
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .filter(col("quality") >= 0.3)
+    time("cc base quality")(base.count())
+    val exactKept = base
+      .withColumn("keep_id", min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(xxhash64(col("text")), length(col("text")))))
+      .filter(col("doc_id") === col("keep_id"))
+    time("cc exactKept")(exactKept.count())
+    time("clean_corpus full")(graft.pipeline.CleanCorpus.clean(
+      docs, "doc_id", "text").count())
+    time("clean_corpus full again")(graft.pipeline.CleanCorpus.clean(
+      docs, "doc_id", "text").count())
+
+    // --- minhash verified stages ---
+    time("minhash verified")(Dedup.minhashLshVerified(planted,
+      "doc_id", "text").count())
+    time("minhash verified again")(Dedup.minhashLshVerified(planted,
+      "doc_id", "text").count())
     spark.stop()
   }
 }

@@ -177,10 +177,16 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       }
       val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
         .map(id => id -> find(id.toInt).toLong).toMap
-      val got = Dedup.clusters(edges.toDF("id_a", "id_b"), "id_a", "id_b")
+      // distributed label-propagation path (threshold 0 forces it)
+      val distributed = Dedup.clusters(edges.toDF("id_a", "id_b"),
+          "id_a", "id_b", driverEdgeThreshold = 0)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      // same membership: min-id per component must agree
-      assert(got === expected, s"seed $seed")
+      assert(distributed === expected, s"distributed, seed $seed")
+      // driver union-find fast path (default threshold) must agree
+      val driverPath = Dedup.clusters(edges.toDF("id_a", "id_b"),
+          "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(driverPath === expected, s"driver path, seed $seed")
     }
   }
 
