@@ -617,9 +617,10 @@ object SparkEntry {
     }),
 
     // token-budget cut ordered by (n_chars desc, doc_id): the
-    // distributed prefix sum (range partition + broadcast offsets,
-    // no single-partition sort) must equal the naive global window —
-    // which is exactly what the oracle computes
+    // distributed two-level prefix sum (per-quality-bucket sums +
+    // offset join; deterministic, no partition-id dependence, no
+    // corpus-scale single-partition stage) must equal the naive
+    // global window — which is exactly what the oracle computes
     "mix_budget" -> ((s, dir) =>
       Mixer.takeTokenBudget(Tables.documents(s, dir), "doc_id", "text",
           qualityCol = "n_chars", budget = 15000L)

@@ -40,6 +40,11 @@ object CleanCorpus {
     // partitions on (xxhash64, length) — 16-byte shuffle/sort keys —
     // not the raw text (same rationale as Dedup.exact: at 100 TB a
     // full-text key makes every shuffle comparator scan documents).
+    // Collision semantics inherited from that choice: a same-length
+    // 64-bit collision (birthday bound ~2^32 equal-length docs) would
+    // DROP a distinct document here, not just merge a count — use
+    // Dedup.exact(rawKeys = true) semantics instead if that residual
+    // risk is unacceptable for the corpus.
     // Persisted: three downstream branches (shingle index, pair sizes,
     // final anti-join) would otherwise each recompute the scan +
     // quality + dedup shuffle — materializing the deduped corpus once

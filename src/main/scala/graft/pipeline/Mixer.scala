@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -34,46 +34,54 @@ object Mixer {
     * (quality desc, id asc), keep the prefix whose running token sum
     * stays within `budget`.
     *
-    * Distributed exact prefix, no single-partition stage: range-
-    * partition on the sort key (so partition p holds a contiguous rank
-    * range and every row in p+1 sorts after every row in p), collect
-    * ONE (partition, token-sum) row per partition, prefix-sum those on
-    * the driver, and broadcast the exclusive offsets back into a
-    * per-partition running-sum window. Selection is identical to a
-    * global-window prefix; the only driver-side data is numPartitions
-    * rows (same bounded-model pattern as IVF centroids). The explicit
-    * partition count keeps AQE from coalescing between the offset job
-    * and the final job, so `spark_partition_id` is stable across both.
+    * Distributed exact prefix, deterministic by construction: the
+    * corpus never passes through a single task AND no step depends on
+    * physical partitioning. Rows are grouped by `bucketExpr` — any
+    * expression MONOTONE in the quality order (default: the quality
+    * value itself), so each bucket is a contiguous slice of the global
+    * (quality desc, id) order. Per-bucket token sums (one row per
+    * distinct bucket, bounded by the quality DOMAIN, not the corpus)
+    * get exclusive running offsets via a window over that tiny side
+    * table; the offsets join back on the bucket key (AQE broadcasts
+    * the small side) and a per-bucket window adds the within-bucket
+    * prefix. Selection is identical to a global-window prefix.
+    *
+    * Contrast with the earlier design (range-partition +
+    * `spark_partition_id` + driver-side offset collect): that one's
+    * OUTPUT depended on two jobs observing identical sampled range
+    * bounds, a cache-coherence property rather than a plan property.
+    * Here every value is a pure function of the data.
+    *
+    * Scale notes: the offsets window is a single task over
+    * |distinct bucket| rows of 16 bytes — for an integer quality like
+    * `n_chars` that is the value domain (thousands at most). For a
+    * continuous quality column pass a quantized `bucketExpr` (e.g.
+    * `floor(col("q") * 64)`) to keep the bucket count bounded; the
+    * per-bucket corpus window then carries corpus/|buckets| rows per
+    * task. `qualityCol` must be non-null.
     */
   def takeTokenBudget(docs: DataFrame, idCol: String, textCol: String,
-                      qualityCol: String, budget: Long): DataFrame = {
-    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
-    // persisted: the offset job and the final window job both read it,
-    // and serving both from the same materialized blocks (rather than
-    // re-running the range shuffle) is also what guarantees
-    // spark_partition_id is identical across the two jobs. Cache
-    // lifetime: the result is lazy, so no unpersist point exists here;
-    // blocks live until session eviction (same note as ngramJaccard)
-    val ranged = docs
+                      qualityCol: String, budget: Long,
+                      bucketExpr: Option[Column] = None): DataFrame = {
+    val withTok = docs
       .withColumn("n_tokens", TextFunctions.wordCount(col(textCol)).cast(LongType))
-      .repartitionByRange(parts, col(qualityCol).desc, col(idCol))
-      .withColumn("_pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val perPart = ranged.groupBy(col("_pid"))
-      .agg(sum(col("n_tokens")).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = perPart
-      .scanLeft((0, 0L)) { case ((_, acc), (pid, t)) => (pid, acc + t) }
-      .init.zip(perPart)
-      .map { case ((_, acc), (pid, _)) => pid -> acc }.toMap
-    val w = Window.partitionBy(col("_pid"))
+      .withColumn("_b", bucketExpr.getOrElse(col(qualityCol)))
+    // one (bucket, token-sum) row per distinct bucket; map-side combine
+    // shrinks the shuffle to |buckets| rows per input partition
+    val offs = withTok.groupBy(col("_b"))
+      .agg(sum(col("n_tokens")).as("_bt"))
+      .withColumn("_off",
+        coalesce(
+          sum(col("_bt")).over(Window.orderBy(col("_b").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .drop("_bt")
+    val w = Window.partitionBy(col("_b"))
       .orderBy(col(qualityCol).desc, col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged
-      .withColumn("running_tokens",
-        sum(col("n_tokens")).over(w) +
-          coalesce(element_at(typedlit(offsets), col("_pid")), lit(0L)))
+    withTok.join(offs, "_b")
+      .withColumn("running_tokens", sum(col("n_tokens")).over(w) + col("_off"))
       .filter(col("running_tokens") <= budget)
-      .drop("_pid")
+      .drop("_b", "_off")
   }
 }

@@ -47,7 +47,6 @@ class MixerSpec extends AnyFunSuite with SparkSpec {
     import org.apache.spark.sql.expressions.Window
     val scored = docs.withColumn("q",
       graft.functions.TextFunctions.qualityScore(col("text")))
-    val take = Mixer.takeTokenBudget(scored, "doc_id", "text", "q", budget = 5000)
     val w = Window.orderBy(col("q").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val naive = scored
@@ -55,9 +54,18 @@ class MixerSpec extends AnyFunSuite with SparkSpec {
         .wordCount(col("text")).cast("long"))
       .withColumn("running_tokens", sum(col("n_tokens")).over(w))
       .filter(col("running_tokens") <= 5000)
-    assert(take.exceptAll(naive).isEmpty && naive.exceptAll(take).isEmpty)
-    // and the distributed plan must not funnel through one task
-    val plan = take.queryExecution.executedPlan.toString
-    assert(!plan.contains("SinglePartition"), plan)
+    // default bucket (= the quality value) and a coarse quantized
+    // bucket must BOTH reproduce the global-window selection exactly
+    for (bucket <- Seq(None, Some(floor(col("q") * 8)))) {
+      val take = Mixer.takeTokenBudget(scored, "doc_id", "text", "q",
+        budget = 5000, bucketExpr = bucket)
+      assert(take.exceptAll(naive).isEmpty && naive.exceptAll(take).isEmpty,
+        s"bucket=$bucket")
+      // the corpus-scale window must be hash-partitioned on the bucket;
+      // the only single-task stage is the per-bucket offsets window,
+      // whose input is one 16-byte row per distinct bucket value
+      val plan = take.queryExecution.executedPlan.toString
+      assert(plan.contains("hashpartitioning(_b"), plan)
+    }
   }
 }
