@@ -626,6 +626,58 @@ object SparkEntry {
           qualityCol = "n_chars", budget = 15000L)
         .select(col("doc_id"), col("n_tokens"), col("running_tokens"))),
 
+    // concat-and-chunk packing into 512-token training windows; the
+    // distributed prefix (64-doc buckets) must reproduce the oracle's
+    // naive global running sum exactly
+    "pack_sequences" -> ((s, dir) =>
+      Mixer.packSequences(Tables.documents(s, dir), "doc_id", "text",
+        seqLen = 512L, bucketSize = 64L)),
+
+    // temperature-reweighted source sampling: integer-only keep test
+    // (floor-sqrt weights, Lehmer draw, cross-multiplied threshold) so
+    // the oracle reproduces the exact selected set in pure SQL
+    "mix_temperature" -> ((s, dir) =>
+      Mixer.temperatureMix(Tables.documents(s, dir), "doc_id", "source",
+          targetTotal = 150L)
+        .select(col("doc_id"), col("source"))),
+
+    // span-level duplication: per doc, how many 5-gram positions occur
+    // in another doc, and the longest verbatim shared run
+    "dup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(Tables.documents(s, dir), "doc_id", "text",
+        spanN = 5)),
+
+    // per-source document cap: keep the top 5 docs per source by
+    // (n_chars desc, doc_id) — the crawl-style per-domain quota
+    "q_domain_cap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= 5)
+    }),
+
+    // ordered set aggregation: sorted-distinct listagg per source plus
+    // counts — deterministic (sorted) so both engines emit one string
+    "q_listagg" -> ((s, dir) =>
+      Tables.documents(s, dir).groupBy(col("source")).agg(
+        array_join(sort_array(collect_set(col("lang"))), ",").as("langs"),
+        count(lit(1)).as("n_docs"))),
+
+    // wide→long unpivot of the per-flag measure sums (integer cents);
+    // oracled as a UNION ALL, the portable spelling of UNPIVOT
+    "q_unpivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupBy(col("l_returnflag")).agg(
+          (sum(dec(col("l_quantity"), 10, 2)) * 100).cast(LongType).as("qty_c"),
+          (sum(dec(col("l_extendedprice"), 12, 2)) * 100).cast(LongType).as("price_c"),
+          (sum(dec(col("l_discount"), 10, 2)) * 100).cast(LongType).as("disc_c"),
+          (sum(dec(col("l_tax"), 10, 2)) * 100).cast(LongType).as("tax_c"))
+        .select(col("l_returnflag"),
+          expr("stack(4, 'qty', qty_c, 'price', price_c, " +
+            "'disc', disc_c, 'tax', tax_c) as (measure, value_cents)"))),
+
     // Gopher-style repetition quality signals; map-only HOF scan
     "text_repetition" -> ((s, dir) =>
       TextFunctions.repetitionStats(Tables.documents(s, dir),
@@ -1529,6 +1581,99 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, n_tokens, running_tokens
         |FROM t WHERE running_tokens <= 15000""".stripMargin,
+
+    // naive global concat-and-chunk layout — must equal Spark's
+    // bucketed two-level prefix exactly
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |    COALESCE(SUM(len(string_split(text, ' '))) OVER (
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS start_tok
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  start_tok // 512 AS pack_id,
+        |  start_tok % 512 AS pack_offset
+        |FROM t""".stripMargin,
+
+    // same integer keep test, spelled in SQL: w = floor(sqrt(count)),
+    // keep iff draw·Z·c < M·target·w with draw = (id·48271) mod M
+    "mix_temperature" ->
+      """WITH c AS (
+        |  SELECT source, COUNT(*) AS n,
+        |    CAST(floor(sqrt(COUNT(*))) AS BIGINT) AS w
+        |  FROM documents GROUP BY source),
+        |z AS (SELECT SUM(w) AS z FROM c)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN c ON c.source = d.source CROSS JOIN z
+        |WHERE ((d.doc_id * 48271) % 1000003) * z.z * c.n
+        |      < 1000003 * 150 * c.w""".stripMargin,
+
+    // positional 5-gram spans; shared = span text in >=2 distinct
+    // docs; runs via gaps-and-islands (pos - row_number)
+    "dup_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s0 AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, len(w) - 4)) AS pos, w
+        |  FROM d WHERE len(w) >= 5),
+        |s AS (
+        |  SELECT doc_id, pos,
+        |    array_to_string(w[pos:pos+4], ' ') AS sh
+        |  FROM s0),
+        |shared AS (
+        |  SELECT sh FROM s GROUP BY sh
+        |  HAVING MIN(doc_id) <> MAX(doc_id)),
+        |m AS (SELECT s.doc_id, s.pos FROM s SEMI JOIN shared USING (sh)),
+        |r AS (
+        |  SELECT doc_id, pos,
+        |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+        |      AS g
+        |  FROM m),
+        |rc AS (SELECT doc_id, g, COUNT(*) AS run FROM r GROUP BY doc_id, g),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(run) AS BIGINT) AS n_dup_spans,
+        |    CAST(MAX(run) AS BIGINT) AS max_dup_run
+        |  FROM rc GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(greatest(len(string_split(t.text, ' ')) - 4, 0) AS BIGINT)
+        |    AS n_spans,
+        |  COALESCE(a.n_dup_spans, 0) AS n_dup_spans,
+        |  COALESCE(a.max_dup_run, 0) AS max_dup_run
+        |FROM documents t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "q_domain_cap" ->
+      """SELECT doc_id, source, n_chars, rk FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5""".stripMargin,
+
+    "q_listagg" ->
+      """SELECT source,
+        |  string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) * 100 AS BIGINT) AS qty_c,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS price_c,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(10,2))) * 100 AS BIGINT) AS disc_c,
+        |    CAST(SUM(CAST(l_tax AS DECIMAL(10,2))) * 100 AS BIGINT) AS tax_c
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'qty' AS measure, qty_c AS value_cents FROM a
+        |UNION ALL
+        |SELECT l_returnflag, 'price', price_c FROM a
+        |UNION ALL
+        |SELECT l_returnflag, 'disc', disc_c FROM a
+        |UNION ALL
+        |SELECT l_returnflag, 'tax', tax_c FROM a""".stripMargin,
 
     // duplicate-word / duplicate-bigram permille, integer-exact
     "text_repetition" ->

@@ -363,6 +363,58 @@ object Dedup {
   private def sumLabels(labels: DataFrame): Long =
     labels.agg(sum(col("label"))).head.getLong(0)
 
+  /** Span-level duplication signals — the position-aware counterpart
+    * of document-level dedup (the "dedup the substring, not the doc"
+    * idea from suffix-array training-data dedup): for every document,
+    * how many of its word `spanN`-gram positions also occur in some
+    * OTHER document, and the longest consecutive run of such
+    * positions. A long max run means a big verbatim block is shared
+    * even when the documents as wholes are distinct — the signal a
+    * pipeline uses to cut spans rather than drop docs.
+    *
+    * Shape at scale: positional span hashes (8-byte `xxhash64`, never
+    * the span text) → the shared-span set via one aggregation (`min ≠
+    * max` doc id — no distinct count needed) → semi-join back →
+    * gaps-and-islands (`pos - row_number`) for runs. Everything
+    * shuffles hashes and positions; the corpus text stays in the scan
+    * stage. The span table feeds two consumers (shared-set build and
+    * the semi-join), hence the persist (cache-lifetime note as in
+    * [[ngramJaccard]]).
+    *
+    * Output per doc: `(doc_id, n_spans, n_dup_spans, max_dup_run)`,
+    * zeros for docs shorter than `spanN` words.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     spanN: Int = 5): DataFrame = {
+    val w = split(col(textCol), " ")
+    val spans = docs
+      .select(col(idCol).as("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= spanN)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), size(col("w")) - (spanN - 1)),
+          i => xxhash64(concat_ws(" ", slice(col("w"), i, lit(spanN))))))
+        .as(Seq("p0", "sh")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("sh"))
+      .persist()
+    val shared = spans.groupBy(col("sh"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx")).select(col("sh"))
+    val marked = spans.join(shared, Seq("sh"), "left_semi")
+    val runs = marked
+      .withColumn("_g", col("pos") - row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .groupBy(col("doc_id"), col("_g")).agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("run")).as("n_dup_spans"), max(col("run")).as("max_dup_run"))
+    docs.select(col(idCol).as("doc_id"),
+        greatest(size(w) - (spanN - 1), lit(0)).cast(LongType).as("n_spans"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"))
+  }
+
   /** Benchmark decontamination: for each corpus document, the share of
     * its distinct word n-grams that occur anywhere in an evaluation /
     * benchmark document set ("containment"). This is the standard

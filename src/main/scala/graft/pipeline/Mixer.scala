@@ -84,4 +84,86 @@ object Mixer {
       .filter(col("running_tokens") <= budget)
       .drop("_b", "_off")
   }
+
+  /** Concat-and-chunk sequence packing — the standard way training
+    * examples are formed from a cleaned corpus: documents are laid out
+    * end-to-end in a deterministic order (ascending id) and the
+    * resulting token stream is cut into fixed `seqLen` windows. Each
+    * document is assigned the pack its FIRST token lands in plus its
+    * offset there, which is all a loader needs to materialize examples
+    * (a doc may straddle a boundary; the start-position convention
+    * keeps assignment a pure per-doc function of the prefix sum).
+    *
+    * Same deterministic two-level prefix as [[takeTokenBudget]], with
+    * ascending-id buckets of `bucketSize` documents: per-bucket sums →
+    * exclusive offsets over the tiny bucket table → within-bucket
+    * window. No collect, no partition-id dependence, no corpus-scale
+    * single-partition stage.
+    *
+    * Output: `(id, n_tokens, pack_id, pack_offset)`, all BIGINT —
+    * `pack_id = start_tok / seqLen`, `pack_offset = start_tok mod
+    * seqLen` where `start_tok` is the exclusive token prefix.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    seqLen: Long, bucketSize: Long = 4096L): DataFrame = {
+    val withTok = docs
+      .select(col(idCol), TextFunctions.wordCount(col(textCol))
+        .cast(LongType).as("n_tokens"))
+      .withColumn("_b", floor(col(idCol).cast(LongType) / bucketSize))
+    val offs = withTok.groupBy(col("_b"))
+      .agg(sum(col("n_tokens")).as("_bt"))
+      .withColumn("_off",
+        coalesce(
+          sum(col("_bt")).over(Window.orderBy(col("_b"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .drop("_bt")
+    val w = Window.partitionBy(col("_b")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withTok.join(offs, "_b")
+      .withColumn("_start",
+        sum(col("n_tokens")).over(w) + col("_off") - col("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        floor(col("_start") / seqLen).cast(LongType).as("pack_id"),
+        pmod(col("_start"), lit(seqLen)).cast(LongType).as("pack_offset"))
+  }
+
+  /** Temperature-reweighted source sampling (the "α-mixing" of
+    * multilingual / multi-source training sets): source s with c_s
+    * documents gets sampling weight ∝ c_s^α (α < 1 upweights small
+    * sources), scaled so the expected kept total is `targetTotal`.
+    *
+    * Engine-portable by integer arithmetic throughout: the weight is
+    * `floor(sqrt(c_s))` (α = 0.5; IEEE sqrt is correctly rounded, so
+    * its floor is identical in any engine), and the keep test
+    *
+    *   draw · Z · c_s  <  M · targetTotal · w_s
+    *
+    * is a 64-bit integer cross-multiplication of the real-valued
+    * threshold `targetTotal·w_s/(Z·c_s)` against the deterministic
+    * per-row draw `(id·48271) mod M` (Lehmer; M = 1000003) — no float
+    * ever enters the selection, so an exact-set SQL oracle holds on
+    * any engine. Caps at fraction 1 naturally (inequality always true
+    * when the threshold exceeds M).
+    *
+    * Scale: one tiny per-source count aggregate joined back broadcast;
+    * the corpus pass itself is narrow. Overflow headroom: draw < M ≈
+    * 1e6, so the comparison is exact while Z·c_s < 9·10^12 (holds to
+    * ~billion-doc sources with hundreds of sources); past that, cast
+    * the two comparison sides to DECIMAL(38,0) — the per-source table
+    * is tiny, so the wider arithmetic costs nothing.
+    */
+  def temperatureMix(docs: DataFrame, idCol: String, strataCol: String,
+                     targetTotal: Long): DataFrame = {
+    val m = 1000003L
+    val weights = docs.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_w", floor(sqrt(col("_c"))).cast(LongType))
+    val z = weights.agg(sum(col("_w")).as("_z"))
+    val fr = broadcast(weights.crossJoin(broadcast(z)))
+    val draw = pmod(col(idCol).cast(LongType) * 48271L, lit(m))
+    docs.join(fr, strataCol)
+      .filter(draw * col("_z") * col("_c") < lit(m * targetTotal) * col("_w"))
+      .drop("_c", "_w", "_z")
+  }
 }

@@ -214,6 +214,43 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(got(12L) === ((4L, 0L, 0L)))
   }
 
+  test("duplicateSpans: planted shared block yields the exact run, " +
+      "disjoint docs score zero") {
+    import spark.implicits._
+    // b and c share the verbatim 8-word block; a is disjoint
+    val toy = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "p q r s t u v w one two three four five six seven eight"),
+      (3L, "one two three four five six seven eight x y z")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(toy, "doc_id", "text", spanN = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1: 6 spans, none shared
+    assert(got(1L) === ((6L, 0L, 0L)))
+    // docs 2/3 share "one..eight": 4 consecutive 5-gram positions
+    assert(got(2L) === ((12L, 4L, 4L)))
+    assert(got(3L) === ((7L, 4L, 4L)))
+    // a doc shorter than the span is reported with zeros, not dropped
+    val short = Dedup.duplicateSpans(
+      Seq((9L, "just four words here")).toDF("doc_id", "text"),
+      "doc_id", "text", spanN = 5).collect()
+    assert(short.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq === Seq((9L, 0L, 0L, 0L)))
+  }
+
+  test("duplicateSpans: a doc repeating its own span is NOT flagged " +
+      "(cross-document only)") {
+    import spark.implicits._
+    val toy = Seq(
+      (1L, "a b c d e a b c d e"),
+      (2L, "totally different words in this second document here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(toy, "doc_id", "text", spanN = 5)
+      .filter(col("n_dup_spans") > 0).count()
+    assert(got === 0)
+  }
+
   test("decontaminate broadcasts the benchmark side (no corpus self-join)") {
     val docs10 = docs
     val plan = Dedup.decontaminate(

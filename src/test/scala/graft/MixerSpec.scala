@@ -68,4 +68,52 @@ class MixerSpec extends AnyFunSuite with SparkSpec {
       assert(plan.contains("hashpartitioning(_b"), plan)
     }
   }
+
+  test("sequence packing equals the naive global layout for any bucket size") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = docs
+      .select(col("doc_id"), graft.functions.TextFunctions
+        .wordCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"),
+        floor(col("start_tok") / 512).cast("long").as("pack_id"),
+        pmod(col("start_tok"), lit(512L)).as("pack_offset"))
+    // bucket size 1 (every doc its own bucket), a non-divisor, the
+    // shipped default scale, and one bucket holding everything
+    for (bs <- Seq(1L, 7L, 64L, 1000000L)) {
+      val got = Mixer.packSequences(docs, "doc_id", "text", 512L, bs)
+      assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
+        s"bucketSize=$bs")
+    }
+  }
+
+  test("temperature mix: selection matches an independent BigInt " +
+      "recomputation, is deterministic, and lands near the target") {
+    val target = 150L
+    val out = Mixer.temperatureMix(docs, "doc_id", "source", target)
+      .select("doc_id", "source")
+    val out2 = Mixer.temperatureMix(docs, "doc_id", "source", target)
+      .select("doc_id", "source")
+    assert(out.exceptAll(out2).isEmpty && out2.exceptAll(out).isEmpty)
+    // independent driver-side recomputation of the integer keep test
+    val counts = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val weights = counts.map { case (s, c) =>
+      s -> math.sqrt(c.toDouble).toLong }
+    val z = weights.values.sum
+    val m = 1000003L
+    val expected = docs.select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, src) =>
+        val draw = BigInt(id) * 48271 % m
+        draw * z * counts(src) < BigInt(m) * target * weights(src)
+      }.toSet
+    val got = out.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === expected)
+    // the Lehmer draw is uniform enough that the kept total sits near
+    // the target (loose band: ±30%)
+    assert(math.abs(got.size - target) <= target * 3 / 10, s"kept ${got.size}")
+  }
 }
