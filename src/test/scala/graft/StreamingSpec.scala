@@ -535,4 +535,37 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "a sub-board amount must never appear")
     assert(rows.filter(_.getInt(1) == 1).forall(_.getDouble(2) == 50.0))
   }
+
+  test("streaming exact dedup drops in-horizon duplicates, evicts " +
+      "state past the watermark, re-admits after eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val ts = (sec: Long) => new java.sql.Timestamp(Base + sec * 1000)
+    val docs = StreamingDedup.exactDedupStream(
+      input.toDF().toDF("ts", "text"), "ts", "text",
+      watermarkDelay = "10 seconds")
+    val sink = runToSink(docs, "t_dedup", "append") { step =>
+      // same text twice in one batch + again in the next, in-horizon
+      input.addData(ts(1) -> "alpha doc", ts(2) -> "alpha doc",
+        ts(3) -> "beta doc")
+      step(0)
+      input.addData(ts(5) -> "alpha doc")
+      step(0)
+      // advance the watermark far past 1s+10s → alpha's state evicts
+      input.addData(ts(100) -> "gamma doc")
+      step(0)
+      // re-arrival AFTER eviction is emitted again (bounded-horizon
+      // contract), and is itself dedup state for what follows
+      input.addData(ts(101) -> "alpha doc", ts(102) -> "alpha doc")
+      step(0)
+    }
+    val texts = sink.collect().map(r => (r.getTimestamp(0).getTime -
+      Base) / 1000 -> r.getString(1))
+    assert(texts.count(_._2 == "alpha doc") === 2,
+      s"one pre-eviction + one post-eviction emission, got $texts")
+    assert(texts.contains(1L -> "alpha doc") &&
+      texts.contains(101L -> "alpha doc"))
+    assert(texts.count(_._2 == "beta doc") === 1)
+    assert(texts.count(_._2 == "gamma doc") === 1)
+  }
 }
