@@ -567,6 +567,17 @@ object SparkEntry {
       annRecallContract(s, dir, approx, minPermille = 300, flag = "lsh_recall_ok")
     }),
 
+    // product quantization: corpus compressed to m=8 codes/vector,
+    // ADC table-lookup scoring, exact re-rank of the k survivors
+    "ann_pq" -> ((s, dir) => {
+      val model = pqModels.getOrElseUpdate(dir,
+        Similarity.pqTrain(Tables.embeddings(s, dir), "vec_id", "embedding",
+          m = 8, ksub = 16, iters = 3, trainFraction = 0.5))
+      val approx = Similarity.pqSearch(model, Tables.embeddings(s, dir),
+        "vec_id", "embedding", queryMaxId = 9, k = 5)
+      annRecallContract(s, dir, approx, minPermille = 400, flag = "pq_recall_ok")
+    }),
+
     "lang_id" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         TextFunctions.langId(col("text")).as("lang_pred"),
@@ -802,6 +813,10 @@ object SparkEntry {
     */
   private val ivfModels =
     scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfModel]
+
+  /** Same train-once memoization for the product quantizer. */
+  private val pqModels =
+    scala.collection.concurrent.TrieMap.empty[String, Similarity.PqModel]
 
   /** Single-row ANN recall contract: |approx ∩ exact top-k| over the
     * exact top-k pair count, gated at `minPermille`. Exact side and
@@ -1333,6 +1348,10 @@ object SparkEntry {
     "ann_lsh" ->
       """SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_exact_pairs,
         |  1 AS lsh_recall_ok
+        |FROM embeddings WHERE vec_id <= 9""".stripMargin,
+    "ann_pq" ->
+      """SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_exact_pairs,
+        |  1 AS pq_recall_ok
         |FROM embeddings WHERE vec_id <= 9""".stripMargin,
 
     // fingerprint property contract: injectivity over distinct texts

@@ -83,15 +83,18 @@ object Similarity {
   private def centLit(cs: Array[Array[Double]]): Column =
     typedlit(cs.map(c => (c.map(x => x * x).sum, c.toSeq)).toSeq)
 
-  /** Nearest-centroid id for the `vecd` column under ‖c‖²−2·c·v
+  /** Nearest-centroid id for vector column `v` under ‖c‖²−2·c·v
     * (rank-equivalent to L2 for fixed v).
     */
-  private def assignCol(cs: Array[Array[Double]]): Column = {
+  private def assignTo(cs: Array[Array[Double]], v: Column): Column = {
     val scored = transform(centLit(cs), (c, i) =>
-      struct((c.getField("_1") - lit(2.0) * dot(col("vecd"), c.getField("_2")))
+      struct((c.getField("_1") - lit(2.0) * dot(v, c.getField("_2")))
         .as("d"), i.as("i")))
     array_min(scored).getField("i")
   }
+
+  private def assignCol(cs: Array[Array[Double]]): Column =
+    assignTo(cs, col("vecd"))
 
   /** Train an IVF model: `iters` Lloyd steps as DataFrame jobs
     * (assign = broadcast-centroid argmin, update = one hash
@@ -182,6 +185,142 @@ object Similarity {
               iters: Int = 3, trainFraction: Double = 1.0): DataFrame =
     ivfSearch(ivfTrain(embeddings, idCol, vecCol, nlist, iters, trainFraction),
       embeddings, idCol, vecCol, queryMaxId, k, nprobe)
+
+  /** A trained product quantizer: `m` per-subspace codebooks of
+    * `ksub` centroids over `dim/m`-dimensional subvectors (Jégou et
+    * al., "Product Quantization for Nearest Neighbor Search"). Like
+    * [[IvfModel]] a plain value — train once (on a sample at corpus
+    * scale), persist, reuse. The compressed corpus representation is
+    * `m` small codes per vector (m bytes at ksub ≤ 256) instead of
+    * `dim` floats: at 100 TB this is the difference between an index
+    * that fits executor memory and one that does not.
+    */
+  case class PqModel(codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+    def ksub: Int = codebooks.headOption.map(_.length).getOrElse(0)
+    def dsub: Int =
+      codebooks.headOption.flatMap(_.headOption).map(_.length).getOrElse(0)
+    def dim: Int = m * dsub
+  }
+
+  private def subvec(v: Column, s: Int, dsub: Int): Column =
+    slice(v, s * dsub + 1, dsub)
+
+  /** Unit-normalized `vecd` (zero vectors pass through unscaled).
+    * PQ trains/encodes/probes on the unit sphere so that L2 rank —
+    * what ADC approximates — coincides with cosine rank, the metric
+    * every other operator here reports: ‖a−b‖² = 2−2·cos(a,b) on
+    * unit vectors.
+    */
+  private def unitVec: Column =
+    when(col("nrm") > 0.0, transform(col("vecd"), x => x / col("nrm")))
+      .otherwise(col("vecd"))
+
+  /** Train a [[PqModel]]: per subspace, the same Lloyd loop as
+    * [[ivfTrain]] (broadcast-centroid argmin assignment, one hash
+    * aggregation of per-dimension means per step) over the sliced
+    * subvectors; only the m×ksub×dsub codebook is collected. Same
+    * train-on-a-sample / train-once economics as IVF.
+    */
+  def pqTrain(embeddings: DataFrame, idCol: String, vecCol: String,
+              m: Int = 8, ksub: Int = 16, iters: Int = 3,
+              trainFraction: Double = 1.0): PqModel = {
+    val e = withNorm(embeddings, vecCol)
+      .select(col(idCol).as("id"), unitVec.as("vecd"))
+    val sampled =
+      if (trainFraction >= 1.0) e
+      else e.filter(pmod(xxhash64(col("id"), lit(0x9c7fL)), lit(1000000L))
+        .cast(DoubleType) / 1000000.0 < trainFraction)
+    val train = sampled.persist()
+    val first = train.orderBy(col("id")).limit(ksub)
+      .select(col("vecd")).collect().map(_.getSeq[Double](0).toArray)
+    require(first.nonEmpty,
+      s"empty PQ training sample (trainFraction=$trainFraction over " +
+        "this input selected zero rows) — raise trainFraction")
+    val dim = first.head.length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val books = (0 until m).map { s =>
+      // deterministic init: subvectors of the ksub lowest-id vectors
+      var cb = first.map(v => v.slice(s * dsub, (s + 1) * dsub))
+      for (_ <- 0 until iters) {
+        val dimAggs = (0 until dsub).map(i =>
+          avg(element_at(col("sv"), i + 1)).as(s"d$i"))
+        val updated = train
+          .select(subvec(col("vecd"), s, dsub).as("sv"))
+          .select(assignTo(cb, col("sv")).as("cl"), col("sv"))
+          .groupBy(col("cl")).agg(dimAggs.head, dimAggs.tail: _*)
+          .collect()
+          .map(r => r.getInt(0) -> Array.tabulate(dsub)(i => r.getDouble(i + 1)))
+          .toMap
+        cb = cb.indices.map(i => updated.getOrElse(i, cb(i))).toArray
+      }
+      cb
+    }.toArray
+    train.unpersist(blocking = false)
+    PqModel(books)
+  }
+
+  /** Asymmetric-distance search over a trained [[PqModel]]: the
+    * corpus is encoded ONCE into m-code rows (a narrow pass — at
+    * scale this compressed index is what you'd persist), each QUERY
+    * precomputes its m×ksub table of `‖c‖²−2·q_s·c` partial
+    * distances, and scoring a corpus row is m table lookups
+    * (`zip_with` + `aggregate`) instead of a dim-length dot product.
+    * The approximate top-k per query is then re-ranked with the true
+    * cosine on the k survivors only — the standard ADC + exact
+    * re-rank shape.
+    *
+    * Ordering inside the approximate phase is (adc distance, id) —
+    * fully deterministic for a fixed model.
+    */
+  /** @param rerankFactor ADC keeps a shortlist of `k·rerankFactor`
+    * candidates per query and the exact re-rank selects the final k
+    * from it — the standard shortlist trick: ADC's job is to not
+    * MISS a true neighbor, the exact pass fixes its ordering noise.
+    */
+  def pqSearch(model: PqModel, embeddings: DataFrame, idCol: String,
+               vecCol: String, queryMaxId: Long, k: Int,
+               rerankFactor: Int = 5): DataFrame = {
+    val dsub = model.dsub
+    val e = withNorm(embeddings, vecCol)
+      .select(col(idCol).as("id"), col("vecd"), col("nrm"),
+        unitVec.as("u"))
+    val codes = array((0 until model.m).map(s =>
+      assignTo(model.codebooks(s), subvec(col("u"), s, dsub))): _*)
+    val encoded = e.select(col("id"), col("vecd"), col("nrm"),
+      codes.as("codes"))
+    // per-query ADC tables: tbl[s][j] = ‖cb[s][j]‖² − 2·q_s·cb[s][j]
+    // over the unit-normalized query subvectors
+    val tbl = array((0 until model.m).map { s =>
+      transform(centLit(model.codebooks(s)), c =>
+        c.getField("_1") -
+          lit(2.0) * dot(subvec(col("q_u"), s, dsub), c.getField("_2")))
+    }: _*)
+    val queries = e.filter(col("id") <= queryMaxId)
+      .select(col("id").as("q_id"), col("vecd").as("q_vec"),
+        col("nrm").as("q_nrm"), col("u").as("q_u"))
+      .withColumn("tbl", tbl)
+      .drop("q_u")
+    val scored = encoded.join(broadcast(queries), col("id") =!= col("q_id"))
+      .withColumn("adist",
+        aggregate(
+          zip_with(col("codes"), col("tbl"),
+            (code, t) => element_at(t, code + 1)),
+          lit(0.0), (acc, x) => acc + x))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k * rerankFactor)
+      // exact re-rank of the shortlist: true cosine, keep the top k
+      .withColumn("sim",
+        cosinePrenormed(col("vecd"), col("q_vec"), col("nrm"), col("q_nrm")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("id").as("neighbor_id"), col("rank"),
+        round(col("sim"), 3).as("cosine"))
+  }
 
   /** Approximate top-k via random-hyperplane LSH with the standard
     * AND-OR construction: `tables` independent signatures of `bits`

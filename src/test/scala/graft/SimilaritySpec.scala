@@ -75,6 +75,30 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(hit >= 20, s"sampled-training recall too low: $hit/50")
   }
 
+  test("PQ ADC search achieves reasonable recall vs brute force") {
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 9, 5)
+      .select("q_id", "neighbor_id")
+    val model = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 3)
+    val approx = Similarity.pqSearch(model, emb, "vec_id", "embedding", 9, 5)
+      .select("q_id", "neighbor_id")
+    val hit = exact.join(approx, Seq("q_id", "neighbor_id")).count()
+    // 8 subspaces × 16 centroids quantize 64 dims; ADC keeps most of
+    // the true top-5 in a 500-vector corpus
+    assert(hit >= 25, s"PQ recall too low: $hit/50")
+  }
+
+  test("PQ search against one model is deterministic and bounded at k") {
+    val model = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 2, trainFraction = 0.5)
+    val a = Similarity.pqSearch(model, emb, "vec_id", "embedding", 9, 5)
+    val b = Similarity.pqSearch(model, emb, "vec_id", "embedding", 9, 5)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    val perQuery = a.groupBy("q_id").count().collect()
+    assert(perQuery.forall(_.getLong(1) == 5))
+    assert(perQuery.length == 10)
+  }
+
   test("IVF model trains once and serves repeated searches") {
     val model = Similarity.ivfTrain(emb, "vec_id", "embedding", nlist = 8)
     assert(model.nlist === 8 && model.dim > 0)
