@@ -3,7 +3,7 @@ package graft
 import graft.functions.{GraftFunctions, TextFunctions}
 import graft.multimodal.Multimodal
 import graft.operators.{Dedup, Fraud, RangeJoin, Similarity, Windows}
-import graft.pipeline.Mixer
+import graft.pipeline.{Mixer, Snapshots}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -688,6 +688,20 @@ object SparkEntry {
         .select(col("l_returnflag"),
           expr("stack(4, 'qty', qty_c, 'price', price_c, " +
             "'disc', disc_c, 'tax', tax_c) as (measure, value_cents)"))),
+
+    // snapshot-version diff: %10==1 docs exist only in the new
+    // snapshot (added), %10==2 only in the old (removed), %5==0 are
+    // edited (changed); the 24-byte-key full-outer join must classify
+    // identically to the oracle's raw-text comparison
+    "corpus_delta" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val oldSnap = docs.filter(col("doc_id") % 10 =!= 1)
+      val newSnap = docs.filter(col("doc_id") % 10 =!= 2)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      Snapshots.corpusDelta(oldSnap, newSnap, "doc_id", "text")
+    }),
 
     // Gopher-style repetition quality signals; map-only HOF scan
     "text_repetition" -> ((s, dir) =>
@@ -1693,6 +1707,22 @@ object SparkEntry {
         |SELECT l_returnflag, 'disc', disc_c FROM a
         |UNION ALL
         |SELECT l_returnflag, 'tax', tax_c FROM a""".stripMargin,
+
+    // raw-text full-outer mirror of the 24-byte-key diff
+    "corpus_delta" ->
+      """WITH old AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 1),
+        |new AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 10 <> 2)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text = n.text THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM old o FULL OUTER JOIN new n ON n.doc_id = o.doc_id""".stripMargin,
 
     // duplicate-word / duplicate-bigram permille, integer-exact
     "text_repetition" ->

@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.Mixer
+import graft.pipeline.{Mixer, Snapshots}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -115,5 +115,17 @@ class MixerSpec extends AnyFunSuite with SparkSpec {
     // the Lehmer draw is uniform enough that the kept total sits near
     // the target (loose band: ±30%)
     assert(math.abs(got.size - target) <= target * 3 / 10, s"kept ${got.size}")
+  }
+
+  test("corpus delta classifies added/removed/changed/unchanged") {
+    import spark.implicits._
+    val oldSnap = Seq(1L -> "one", 2L -> "two", 3L -> "three")
+      .toDF("doc_id", "text")
+    val newSnap = Seq(2L -> "two", 3L -> "three edited", 4L -> "four")
+      .toDF("doc_id", "text")
+    val got = Snapshots.corpusDelta(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
   }
 }

@@ -536,6 +536,76 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(rows.filter(_.getInt(1) == 1).forall(_.getDouble(2) == 50.0))
   }
 
+  test("streaming session windows close on gap timeout and merge " +
+      "overlapping activity") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Transaction]
+    // same session_window aggregation as the batch sessionAgg
+    // (Windows.scala), run as a stream: a session emits when the
+    // watermark passes its (last event + gap) end
+    val sessions = input.toDF()
+      .withWatermark("ts", "2 seconds")
+      .groupBy(col("accountId"),
+        session_window(col("ts"), "10 seconds").as("w"))
+      .agg(count(lit(1)).as("n_tx"), sum(col("amount")).as("total"))
+      .select(col("accountId"), col("n_tx"), col("total"))
+    val sink = runToSink(sessions, "t_sess", "append") { step =>
+      // events 1s,5s,12s chain into ONE session (gaps < 10s) even
+      // though 1→12 exceeds the gap; account 2 is a separate session
+      input.addData(tx(1, 10, 1), tx(1, 20, 5), tx(1, 30, 12), tx(2, 7, 3))
+      step(0)
+      // watermark far past 12s+10s → both sessions close
+      input.addData(tx(9, 1, 60))
+      step(0)
+      input.addData(tx(9, 1, 90)) // close account 9's session too
+      step(0)
+    }
+    val rows = sink.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows.contains((1L, 3L, 60.0)),
+      s"chained events must merge into one session: $rows")
+    assert(rows.contains((2L, 1L, 7.0)))
+  }
+
+  test("stream-stream LEFT OUTER interval join emits unmatched rows " +
+      "once state can expire") {
+    implicit val sqlCtx = spark.sqlContext
+    val inA = MemoryStream[Transaction]
+    val inB = MemoryStream[Transaction]
+    val a = inA.toDF().select(col("accountId").as("a_acct"),
+      col("amount").as("a_amount"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", "5 seconds")
+    val b = inB.toDF().select(col("accountId").as("b_acct"),
+      col("amount").as("b_amount"), col("ts").as("b_ts"))
+      .withWatermark("b_ts", "5 seconds")
+    val joined = a.join(b,
+      col("a_acct") === col("b_acct") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 10 seconds"),
+      "left_outer")
+    val q = joined.writeStream.format("memory").queryName("t_ssj_lo")
+      .outputMode("append").start()
+    try {
+      inA.addData(tx(1, 100, 0), tx(2, 5, 0))
+      inB.addData(tx(1, 7, 4)) // matches a(1); a(2) never matches
+      q.processAllAvailable()
+      // watermark must pass a_ts + 10s + delay before the unmatched
+      // left row can be emitted with nulls
+      inA.addData(tx(9, 1, 60)); inB.addData(tx(9, 1, 60))
+      q.processAllAvailable()
+      inA.addData(tx(9, 1, 90)); inB.addData(tx(9, 1, 90))
+      q.processAllAvailable()
+    } finally { q.processAllAvailable(); q.stop() }
+    val rows = spark.table("t_ssj_lo").collect()
+    val matched = rows.filter(r => !r.isNullAt(4))
+    assert(matched.exists(r => r.getLong(0) == 1 && r.getDouble(4) == 7.0),
+      "in-interval pair must join")
+    val unmatchedAccts = rows.filter(_.isNullAt(4)).map(_.getLong(0)).toSet
+    assert(unmatchedAccts.contains(2L),
+      s"expired unmatched left row must emit with nulls, got " +
+        rows.mkString("; "))
+  }
+
   test("streaming exact dedup drops in-horizon duplicates, evicts " +
       "state past the watermark, re-admits after eviction") {
     implicit val sqlCtx = spark.sqlContext
