@@ -749,6 +749,43 @@ object SparkEntry {
             .otherwise(0L)).as("fp_order_violations"))
     }),
 
+    // canonical normalization pass (lowercase, ASCII-class strip,
+    // whitespace collapse); emits the normalized text itself plus its
+    // token count — the input contract for downstream dedup
+    "text_normalize" -> ((s, dir) => {
+      val norm = TextFunctions.normalize(col("text"))
+      Tables.documents(s, dir).select(col("doc_id"),
+        norm.as("norm_text"),
+        TextFunctions.wordCount(norm).as("norm_tokens"))
+    }),
+
+    // fixed-width value histogram in integer cents (bin = 10-unit
+    // buckets): exact BIGINT arithmetic end to end
+    "q_histogram" -> ((s, dir) => {
+      val cents = (dec(col("value"), 10, 2) * 100).cast(LongType)
+      Tables.events(s, dir)
+        .select(floor(cents / 1000).cast(LongType).as("bin"), cents.as("c"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_events"), sum(col("c")).as("sum_cents"))
+    }),
+
+    // zero-filled hourly scaffold per event type: sequence over the
+    // corpus hour range × distinct types, outer-joined to the counts —
+    // the gaps-visible time-series view a dashboard needs
+    "q_gen_series" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 3600).cast(LongType).as("hr"))
+      val hours = e.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"))).as("hr"))
+      val types = e.select(col("event_type")).distinct()
+      val counts = e.groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("n"))
+      types.crossJoin(hours)
+        .join(counts, Seq("event_type", "hr"), "left")
+        .select(col("event_type"), col("hr"),
+          coalesce(col("n"), lit(0L)).as("n"))
+    }),
+
     "text_scrub" -> ((s, dir) => {
       import graft.functions.TextFunctions._
       // plant deterministic PII derived from doc_id so the scrubber
@@ -1478,6 +1515,35 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS bpe_tokens,
         |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4) AS BIGINT) AS est_tokens
         |FROM documents""".stripMargin,
+
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+        |  len(string_split(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))
+        |    AS norm_tokens
+        |FROM documents""".stripMargin,
+
+    "q_histogram" ->
+      """WITH c AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS c
+        |  FROM events)
+        |SELECT c // 1000 AS bin, COUNT(*) AS n_events,
+        |  SUM(c) AS sum_cents
+        |FROM c GROUP BY bin""".stripMargin,
+
+    "q_gen_series" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr
+        |  FROM events),
+        |b AS (SELECT unnest(generate_series(MIN(hr), MAX(hr))) AS hr FROM e),
+        |t AS (SELECT DISTINCT event_type FROM e),
+        |c AS (SELECT event_type, hr, COUNT(*) AS n FROM e GROUP BY 1, 2)
+        |SELECT t.event_type, b.hr, COALESCE(c.n, 0) AS n
+        |FROM t CROSS JOIN b
+        |LEFT JOIN c ON c.event_type = t.event_type AND c.hr = b.hr""".stripMargin,
 
     "text_scrub" ->
       """WITH p AS (

@@ -107,6 +107,17 @@ object TextFunctions {
     regexp_count(text, lit(EmailRe)) + regexp_count(text, lit(UrlRe)) +
       regexp_count(text, lit(LongDigitsRe))
 
+  /** Canonical text normalization — the pre-dedup/pre-tokenize pass
+    * (CCNet-style): lowercase, strip everything outside [a-z0-9 ],
+    * collapse whitespace runs, trim. Engine-portable by construction:
+    * plain ASCII class regexes behave identically under Java regex
+    * and RE2, so the oracle can re-state it verbatim. Map-only — no
+    * shuffle, stays in the scan stage.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
   /** Shannon entropy (bits/char) of the character distribution — a
     * cheap gibberish/boilerplate signal (natural text ~4 bits/char;
     * repeated filler much lower). Native HOFs over the char array:
