@@ -508,9 +508,9 @@ object Dedup {
     // join on the 64-bit shingle hash, not the string: same
     // intersection counts (collisions ~n²/2^65) with far smaller
     // shuffle keys
-    // persisted: four consumers (per-doc sizes, the df histogram, and
-    // both sides of the pair join) would each re-run the scan +
-    // shingle explosion + hash otherwise. The cached rows are two
+    // persisted: two consumers (per-doc sizes, the posting-list
+    // aggregation) would each re-run the scan + shingle explosion +
+    // hash otherwise. The cached rows are two
     // longs each — smaller than the text they derive from — and
     // MEMORY_AND_DISK spills rather than OOMs at scale; the
     // re-compute-4× alternative costs more in every regime. The cache
@@ -526,22 +526,21 @@ object Dedup {
       .persist()
     val sizes = shingled.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
 
-    val joinable =
-      if (maxShingleDf == Int.MaxValue) shingled
-      else {
-        // df >= 2: a shingle in exactly one doc yields zero join pairs
-        // (x.doc_id < y.doc_id never holds), so dropping singletons is
-        // result-identical and removes the bulk of the join input —
-        // most shingles in a natural corpus are unique.
-        val df = shingled.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxShingleDf && col("df") >= 2)
-        shingled.join(df.select("sh"), "sh")
-      }
-
-    val inter = joinable.alias("a")
-      .join(joinable.alias("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    // ONE aggregation replaces the old df-histogram + equi-self-join
+    // pipeline (three shuffles of the shingle table → one): group each
+    // shingle's postings into a sorted id list, drop singletons (a
+    // shingle in one doc yields no a<b pair — result-identical — and
+    // most shingles in a natural corpus are unique) and hot shingles
+    // past `maxShingleDf` (the d² skew guard), then explode the
+    // ordered pairs with array HOFs. List length is bounded by the df
+    // cap, so no group row can blow up a task.
+    val inter = shingled.groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxShingleDf)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids")) - i - 1),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .agg(count(lit(1)).as("inter"))
 
     inter
