@@ -46,6 +46,44 @@ object Profile {
       3, 0.1, 50).count())
     time("jaccard df50 0.1 again")(Dedup.ngramJaccard(docs, "doc_id", "text",
       3, 0.1, 50).count())
+    // warm sub-stages over an already-cached shingle table
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        explode(TextFunctions.shinglesOfWords(col("w"), 3)).as("shRaw"))
+      .select(col("doc_id"), xxhash64(col("shRaw")).as("sh"))
+      .persist()
+    time("  shingle cache fill")(sh.count())
+    time("  sizes agg")(sh.groupBy(col("doc_id")).count().count())
+    val postings = sh.groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= 50)
+    time("  postings agg")(postings.count())
+    time("  pair explode+count")(postings
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids")) - i - 1),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a"), col("p.b")).count().count())
+    val pc = postings.persist()
+    pc.count()
+    time("  raw pair volume")(println("[profile]   pairs total: " + pc
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids")) - i - 1),
+          y => struct(x.as("a"), y.as("b")))))).as("p")).count()))
+    time("  pairs via chained generators")(pc
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(slice(col("ids"), col("i") + lit(2),
+          size(col("ids")) - col("i") - 1)).as("b"))
+      .groupBy(col("a"), col("b")).count().count())
+    time("  pairs via chained generators 2")(pc
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(slice(col("ids"), col("i") + lit(2),
+          size(col("ids")) - col("i") - 1)).as("b"))
+      .groupBy(col("a"), col("b")).count().count())
+    pc.unpersist()
+    sh.unpersist()
 
     // --- clusters on prebuilt tiny pairs (round overhead only) ---
     val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.1, 50)
