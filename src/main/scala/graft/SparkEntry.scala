@@ -256,6 +256,38 @@ object SparkEntry {
           last(col("o_orderkey")).over(wFull).as("bottom_key"))
     }),
 
+    // event-time RANGE frame (value-based window bounds, a different
+    // operator class from the row-frame windows above): per user, the
+    // trailing-1-hour running spend at each event, integer cents
+    "q_range_frame" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+        .rangeBetween(-3600L, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("sec"),
+          (dec(col("value"), 10, 2) * 100).cast(LongType).as("c"))
+        .select(col("event_id"), col("user_id"), col("sec"),
+          sum(col("c")).over(w).as("hour_cents"),
+          count(lit(1)).over(w).cast(LongType).as("hour_n"))
+    }),
+
+    // null-semantics parity: a planted nullable key must form its own
+    // group, COUNT(col) skips nulls while COUNT(*) does not, and
+    // min/max ignore nulls — the corners engines disagree on first
+    "q_null_semantics" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(when(col("event_type") === "error", lit(null))
+            .otherwise(col("event_type")).as("et"),
+          when(col("value") < 1.0, lit(null))
+            .otherwise((dec(col("value"), 10, 2) * 100).cast(LongType))
+            .as("c"))
+        .groupBy(col("et")).agg(
+          count(lit(1)).as("n_rows"),
+          count(col("c")).as("n_vals"),
+          min(col("c")).as("min_c"),
+          max(col("c")).as("max_c"))),
+
     // explicit GROUPING SETS (beyond rollup/cube): all four sets with
     // GROUPING() ids; integer-cents measures hold at any scale
     "q_grouping_sets" -> ((s, dir) => {
@@ -1208,6 +1240,29 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100)
         |    FILTER (WHERE o_totalprice > 150000.0) AS BIGINT) AS big_cents
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_range_frame" ->
+      """SELECT event_id, user_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |  SUM(CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT)) OVER w
+        |    AS hour_cents,
+        |  COUNT(*) OVER w AS hour_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_null_semantics" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN event_type = 'error' THEN NULL
+        |              ELSE event_type END AS et,
+        |    CASE WHEN value < 1.0 THEN NULL
+        |         ELSE CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT)
+        |    END AS c
+        |  FROM events)
+        |SELECT et, COUNT(*) AS n_rows, COUNT(c) AS n_vals,
+        |  MIN(c) AS min_c, MAX(c) AS max_c
+        |FROM t GROUP BY et""".stripMargin,
 
     "q_window_funcs" ->
       """SELECT o_orderkey, o_orderpriority,

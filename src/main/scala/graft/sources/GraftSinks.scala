@@ -40,4 +40,33 @@ object GraftSinks {
       .parquet(path)
     df.sparkSession.read.parquet(path)
   }
+
+  /** Small-files compaction — the maintenance pass every long-lived
+    * table needs: streaming sinks and per-batch appends accumulate
+    * files far below the efficient task size, and a 100 TB table read
+    * through millions of kilobyte files is scheduler-bound, not
+    * IO-bound. Rewrites `path` into `ceil(bytes / targetFileBytes)`
+    * files (at least one), sized from the CURRENT on-disk footprint.
+    *
+    * The rewrite goes through a temp directory + atomic-ish swap
+    * (write compacted → delete original → rename), so a crash
+    * mid-compaction leaves either the original or the compacted copy
+    * readable at `path + suffix`, never a half-deleted table. Row
+    * content is preserved exactly; file-level ordering is not
+    * guaranteed (parquet readers must not rely on it).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetFileBytes: Long = 128L << 20): Long = {
+    import org.apache.hadoop.fs.Path
+    val hPath = new Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hPath).getLength
+    val files = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = new Path(path + "._compacting")
+    spark.read.parquet(path).repartition(files)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(hPath, true)
+    fs.rename(tmp, hPath)
+    files.toLong
+  }
 }

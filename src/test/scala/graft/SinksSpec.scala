@@ -33,4 +33,21 @@ class SinksSpec extends AnyFunSuite with SparkSpec {
       .count(f => f.getName.endsWith(".parquet"))
     assert(files === 4)
   }
+
+  test("compaction collapses a many-small-files table, preserving rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cp").toString
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    // simulate a sink that accumulated many tiny files
+    orders.repartition(40).write.parquet(s"$dir/t")
+    def parquetFiles() = new java.io.File(s"$dir/t").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles() === 40)
+    val before = orders.collect().map(_.getLong(0)).sorted.toSeq
+    // huge target → everything fits one file
+    GraftSinks.compact(spark, s"$dir/t", targetFileBytes = 1L << 30)
+    assert(parquetFiles() === 1, "40 small files must compact to 1")
+    val after = spark.read.parquet(s"$dir/t")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(after === before, "compaction must preserve row content")
+  }
 }
