@@ -818,6 +818,13 @@ object SparkEntry {
           coalesce(col("n"), lit(0L)).as("n"))
     }),
 
+    // audio DSP through a real RIFF/WAVE round trip: deterministic
+    // PCM per doc → encode → decode → integer-exact energy and
+    // zero-crossing folds; the oracle recomputes the signal from
+    // generate_series, so codec corruption flips the gate
+    "mm_audio" -> ((s, dir) =>
+      Multimodal.audioFeatures(Tables.documents(s, dir), "doc_id").toDF()),
+
     "text_scrub" -> ((s, dir) => {
       import graft.functions.TextFunctions._
       // plant deterministic PII derived from doc_id so the scrubber
@@ -1570,6 +1577,24 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS bpe_tokens,
         |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4) AS BIGINT) AS est_tokens
         |FROM documents""".stripMargin,
+
+    // same deterministic PCM signal, recomputed without the codec
+    "mm_audio" ->
+      """WITH i AS (SELECT unnest(generate_series(0, 799)) AS i),
+        |s AS (
+        |  SELECT d.doc_id, i.i,
+        |    ((d.doc_id * 31 + i.i * 17) % 2048) - 1024 AS v
+        |  FROM documents d CROSS JOIN i),
+        |z AS (
+        |  SELECT doc_id, v,
+        |    LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        |  FROM s)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq,
+        |  CAST(SUM(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        |FROM z GROUP BY doc_id""".stripMargin,
 
     "text_normalize" ->
       """SELECT doc_id,

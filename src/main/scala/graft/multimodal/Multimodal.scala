@@ -149,6 +149,51 @@ object Multimodal {
       col("doc_id"), col("n_bytes"), col("n_frames"),
       size(filter(col("features"), f => f > lit(0f))).as("feat_nonzero"))
 
+  case class AudioFeatures(doc_id: Long, n_samples: Long, sum_sq: Long,
+                           zero_crossings: Long)
+
+  /** Audio feature extraction through a REAL codec round trip: a
+    * deterministic 16-bit PCM signal derived from the doc id is
+    * serialized to RIFF/WAVE bytes ([[Wav.writePcm16]]) and decoded
+    * back ([[Wav.pcm16Samples]]) — actual header parsing, not a stub —
+    * then energy (Σ sample², exact in BIGINT) and zero-crossing count
+    * are folded per document. Integer-exact outputs make the whole
+    * pipeline SQL-oracle-checkable even though a WAV codec sits in
+    * the middle: the oracle recomputes the same signal arithmetic
+    * from `generate_series`, so any codec corruption (wrong header
+    * math, endianness, sample loss) flips the gate.
+    *
+    * Shape at scale: one narrow mapPartitions — encode, decode and
+    * fold never leave the task, nothing shuffles but the 4-long
+    * result rows.
+    */
+  def audioFeatures(docs: DataFrame, idCol: String,
+                    nSamples: Int = 800,
+                    sampleRate: Int = 16000): Dataset[AudioFeatures] = {
+    implicit val enc: Encoder[AudioFeatures] = Encoders.product[AudioFeatures]
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    docs.select(col(idCol).cast(org.apache.spark.sql.types.LongType))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val samples = Array.tabulate(nSamples)(i =>
+            (((id * 31 + i * 17) % 2048) - 1024).toShort)
+          val bytes = Wav.writePcm16(samples, channels = 1, sampleRate)
+          val dec = Wav.pcm16Samples(bytes).getOrElse(Array.empty[Short])
+          var sq = 0L
+          var zc = 0L
+          var i = 0
+          while (i < dec.length) {
+            val s = dec(i).toLong
+            sq += s * s
+            if (i > 0 && ((dec(i - 1) < 0) != (dec(i) < 0))) zc += 1
+            i += 1
+          }
+          AudioFeatures(id, dec.length.toLong, sq, zc)
+        }
+      }
+  }
+
   /** Batched decode + feature extraction over (doc_id, payload,
     * frames). Partition-local: payloads are processed in groups of
     * `batchSize` (the batch shape a vectorized decoder needs),

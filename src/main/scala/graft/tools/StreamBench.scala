@@ -1,7 +1,8 @@
 package graft.tools
 
 import graft.GraftSession
-import graft.streaming.{Metrics, StreamingFraud, TransactionGen}
+import graft.streaming.{Metrics, StreamingDedup, StreamingFraud, TransactionGen}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 /** Streaming throughput benchmark: rate-source transactions through
@@ -39,6 +40,14 @@ object StreamBench {
         graft.operators.Windows.streamingPaneSlidingAgg(tx, "accountId",
           "ts", "amount", sizeSec = 60, slideSec = 5,
           watermarkDelay = "2 seconds")
+      case "dedup" =>
+        // ingest-time dedup throughput: keys collide by design
+        // (amount bucketed to 10 units per account), so the state
+        // store sees both inserts and hits
+        StreamingDedup.exactDedupStream(
+          tx.select(col("ts"), concat_ws(" ", lit("tx"), col("accountId"),
+            floor(col("amount") / 10).cast("long")).as("text")),
+          "ts", "text", watermarkDelay = "2 seconds")
       case _ =>
         StreamingFraud.tumblingAlerts(tx, sizeSec = 5,
           threshold = 100000.0, watermarkDelay = "2 seconds")
