@@ -610,6 +610,23 @@ object SparkEntry {
       annRecallContract(s, dir, approx, minPermille = 400, flag = "pq_recall_ok")
     }),
 
+    // the composed big-corpus configuration: coarse lists bound the
+    // candidates, PQ codes bound per-candidate cost, exact re-rank
+    // bounds the full-vector reads to the shortlist
+    "ann_ivfpq" -> ((s, dir) => {
+      val coarse = ivfModels.getOrElseUpdate(dir,
+        Similarity.ivfTrain(Tables.embeddings(s, dir), "vec_id", "embedding",
+          nlist = 16, iters = 3, trainFraction = 0.25))
+      val pq = pqModels.getOrElseUpdate(dir,
+        Similarity.pqTrain(Tables.embeddings(s, dir), "vec_id", "embedding",
+          m = 8, ksub = 16, iters = 3, trainFraction = 0.5))
+      val approx = Similarity.ivfPqSearch(coarse, pq,
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryMaxId = 9, k = 5, nprobe = 6)
+      annRecallContract(s, dir, approx, minPermille = 300,
+        flag = "ivfpq_recall_ok")
+    }),
+
     "lang_id" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         TextFunctions.langId(col("text")).as("lang_pred"),
@@ -1465,6 +1482,10 @@ object SparkEntry {
     "ann_pq" ->
       """SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_exact_pairs,
         |  1 AS pq_recall_ok
+        |FROM embeddings WHERE vec_id <= 9""".stripMargin,
+    "ann_ivfpq" ->
+      """SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_exact_pairs,
+        |  1 AS ivfpq_recall_ok
         |FROM embeddings WHERE vec_id <= 9""".stripMargin,
 
     // fingerprint property contract: injectivity over distinct texts

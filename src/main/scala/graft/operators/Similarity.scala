@@ -322,6 +322,68 @@ object Similarity {
         round(col("sim"), 3).as("cosine"))
   }
 
+  /** IVF + PQ composed — the configuration a 100 TB vector corpus
+    * actually runs (FAISS's IVFPQ): the coarse quantizer restricts
+    * each query to `nprobe` inverted lists (touching ~corpus×nprobe/
+    * nlist rows) and within those lists scoring is PQ table lookups
+    * over m-byte codes instead of dim-float dot products. The index
+    * that must exist per corpus row is (list id, m codes) — a few
+    * bytes — not the vector. An exact cosine re-rank of the
+    * k·rerankFactor shortlist fixes ADC ordering noise, reading full
+    * vectors only for shortlist rows.
+    *
+    * Both models are plain values trained once ([[ivfTrain]],
+    * [[pqTrain]]) — search spawns no training jobs.
+    */
+  def ivfPqSearch(coarse: IvfModel, pq: PqModel, embeddings: DataFrame,
+                  idCol: String, vecCol: String, queryMaxId: Long, k: Int,
+                  nprobe: Int = 4, rerankFactor: Int = 5): DataFrame = {
+    val dsub = pq.dsub
+    val e = withNorm(embeddings, vecCol)
+      .select(col(idCol).as("id"), col("vecd"), col("nrm"), unitVec.as("u"))
+    val codes = array((0 until pq.m).map(s =>
+      assignTo(pq.codebooks(s), subvec(col("u"), s, dsub))): _*)
+    val indexed = e.select(col("id"), col("vecd"), col("nrm"),
+      assignCol(coarse.centroids).as("cl"), codes.as("codes"))
+    val probes = {
+      val scored = transform(centLit(coarse.centroids), (c, i) =>
+        struct((c.getField("_1") - lit(2.0) * dot(col("vecd"), c.getField("_2")))
+          .as("d"), i.as("i")))
+      transform(slice(array_sort(scored), 1, nprobe), s => s.getField("i"))
+    }
+    val tbl = array((0 until pq.m).map { s =>
+      transform(centLit(pq.codebooks(s)), c =>
+        c.getField("_1") -
+          lit(2.0) * dot(subvec(col("u"), s, dsub), c.getField("_2")))
+    }: _*)
+    val queries = e.filter(col("id") <= queryMaxId)
+      .select(col("id").as("q_id"), col("vecd").as("q_vec"),
+        col("nrm").as("q_nrm"), col("u"),
+        explode(probes).as("q_cl"))
+      .withColumn("tbl", tbl)
+      .drop("u")
+    val scored = indexed.join(broadcast(queries),
+        col("cl") === col("q_cl") && col("id") =!= col("q_id"))
+      .withColumn("adist",
+        aggregate(
+          zip_with(col("codes"), col("tbl"),
+            (code, t) => element_at(t, code + 1)),
+          lit(0.0), (acc, x) => acc + x))
+    // a doc can reach a query through at most one list (cl is a
+    // function of the doc), so no candidate dedup is needed
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k * rerankFactor)
+      .withColumn("sim",
+        cosinePrenormed(col("vecd"), col("q_vec"), col("nrm"), col("q_nrm")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("id").as("neighbor_id"), col("rank"),
+        round(col("sim"), 3).as("cosine"))
+  }
+
   /** Approximate top-k via random-hyperplane LSH with the standard
     * AND-OR construction: `tables` independent signatures of `bits`
     * hyperplanes each (AND within a table, OR across tables). A pair

@@ -88,6 +88,20 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(hit >= 25, s"PQ recall too low: $hit/50")
   }
 
+  test("IVF+PQ composed search achieves reasonable recall vs brute force") {
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 9, 5)
+      .select("q_id", "neighbor_id")
+    val coarse = Similarity.ivfTrain(emb, "vec_id", "embedding", nlist = 8)
+    val pq = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val approx = Similarity.ivfPqSearch(coarse, pq, emb, "vec_id",
+      "embedding", 9, 5, nprobe = 4)
+      .select("q_id", "neighbor_id")
+    val hit = exact.join(approx, Seq("q_id", "neighbor_id")).count()
+    // probing half the lists caps recall at the IVF level; the PQ
+    // shortlist must not lose much more
+    assert(hit >= 18, s"IVF+PQ recall too low: $hit/50")
+  }
+
   test("PQ search against one model is deterministic and bounded at k") {
     val model = Similarity.pqTrain(emb, "vec_id", "embedding",
       m = 8, ksub = 16, iters = 2, trainFraction = 0.5)
