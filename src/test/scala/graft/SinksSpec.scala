@@ -34,6 +34,19 @@ class SinksSpec extends AnyFunSuite with SparkSpec {
     assert(files === 4)
   }
 
+  test("json and csv round-trips preserve the documents table exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.json(s"$dir/j")
+    val fromJson = spark.read.schema(docs.schema).json(s"$dir/j")
+    assert(fromJson.exceptAll(docs).isEmpty && docs.exceptAll(fromJson).isEmpty)
+    docs.write.option("header", "true").csv(s"$dir/c")
+    val fromCsv = spark.read.schema(docs.schema)
+      .option("header", "true").csv(s"$dir/c")
+    assert(fromCsv.exceptAll(docs).isEmpty && docs.exceptAll(fromCsv).isEmpty)
+  }
+
   test("compaction collapses a many-small-files table, preserving rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cp").toString
     val orders = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
