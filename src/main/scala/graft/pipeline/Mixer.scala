@@ -98,7 +98,10 @@ object Mixer {
     * ascending-id buckets of `bucketSize` documents: per-bucket sums →
     * exclusive offsets over the tiny bucket table → within-bucket
     * window. No collect, no partition-id dependence, no corpus-scale
-    * single-partition stage.
+    * single-partition stage. The offsets window processes
+    * corpus/bucketSize 16-byte rows in one task — size `bucketSize`
+    * to keep that around 10^6 rows (e.g. 10^5 for a 10^11-doc corpus);
+    * the default suits test-scale inputs.
     *
     * Output: `(id, n_tokens, pack_id, pack_offset)`, all BIGINT —
     * `pack_id = start_tok / seqLen`, `pack_offset = start_tok mod

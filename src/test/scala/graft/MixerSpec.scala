@@ -117,6 +117,36 @@ class MixerSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(got.size - target) <= target * 3 / 10, s"kept ${got.size}")
   }
 
+  test("sequence packing invariants: offsets bounded, ids monotone, " +
+      "packs cover the token total") {
+    val packed = Mixer.packSequences(docs, "doc_id", "text",
+      seqLen = 512L, bucketSize = 64L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(packed.forall { case (_, _, _, off) => off >= 0 && off < 512 })
+    // pack ids never decrease along the id order
+    assert(packed.map(_._3).sliding(2).forall(p => p(0) <= p(1)))
+    // every pack boundary is consistent: start = pack_id*512 + offset
+    // forms a strictly increasing exclusive-prefix sequence matching
+    // the token sum
+    val starts = packed.map { case (_, _, pid, off) => pid * 512 + off }
+    val tokens = packed.map(_._2)
+    assert(starts.head === 0)
+    starts.zip(tokens).zip(starts.drop(1)).foreach {
+      case ((s, t), sNext) => assert(s + t === sNext)
+    }
+  }
+
+  test("temperature mix: a larger budget keeps a superset") {
+    val small = Mixer.temperatureMix(docs, "doc_id", "source", 100L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val large = Mixer.temperatureMix(docs, "doc_id", "source", 300L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(large),
+      s"monotone thresholds must nest: ${small.size} vs ${large.size}")
+    assert(large.size > small.size)
+  }
+
   test("corpus delta classifies added/removed/changed/unchanged") {
     import spark.implicits._
     val oldSnap = Seq(1L -> "one", 2L -> "two", 3L -> "three")
