@@ -632,6 +632,34 @@ object SparkEntry {
         TextFunctions.langId(col("text")).as("lang_pred"),
         col("lang").as("lang_label"))),
 
+    // the per-document feature vector a quality classifier trains on:
+    // every text signal family composed in ONE map-only scan — no
+    // shuffle, no join; each column reuses a formulation already
+    // proven engine-portable by its standalone query's gate
+    "doc_features" -> ((s, dir) => {
+      val w = split(col("text"), " ")
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          length(col("text")).as("n_chars_m"),
+          TextFunctions.wordCount(col("text")).as("ws_tokens"),
+          TextFunctions.regexTokenCount(col("text")).as("bpe_tokens"),
+          TextFunctions.estTokenCount(col("text")).as("est_tokens"),
+          TextFunctions.avgWordLen(col("text")).as("avg_wlen"),
+          TextFunctions.stopwordRatio(col("text")).as("stop_ratio"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          TextFunctions.langId(col("text")).as("lang_pred"),
+          size(w).cast(LongType).as("n_words"),
+          size(array_distinct(w)).cast(LongType).as("ndw"),
+          greatest(size(w) - 1, lit(0)).cast(LongType).as("n_ngrams"),
+          size(TextFunctions.shinglesOfWords(w, 2)).cast(LongType).as("ndn"))
+        .withColumn("dup_word_pml",
+          expr("(1000 * (n_words - ndw)) div n_words"))
+        .withColumn("dup_ngram_pml",
+          when(col("n_ngrams") === 0, lit(0L))
+            .otherwise(expr("(1000 * (n_ngrams - ndn)) div n_ngrams")))
+        .drop("n_words", "ndw", "n_ngrams", "ndn")
+    }),
+
     "text_quality" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
@@ -1571,6 +1599,78 @@ object SparkEntry {
         |  FROM scored)
         |SELECT q_id, id AS neighbor_id, rank, round(sim, 3) AS cosine
         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // every column re-states its standalone query's proven SQL
+    "doc_features" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS ws
+        |  FROM documents)
+        |SELECT doc_id,
+        |  length(text) AS n_chars_m,
+        |  len(ws) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+        |    AS bpe_tokens,
+        |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4) AS BIGINT)
+        |    AS est_tokens,
+        |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |        / greatest(len(ws), 1), 3) AS avg_wlen,
+        |  round(CAST(len(list_filter(ws,
+        |          w -> w IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |        / greatest(len(ws), 1), 3) AS stop_ratio,
+        |  round(
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
+        |    (CASE WHEN round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |        / greatest(len(ws), 1), 3) BETWEEN 3.0 AND 9.0
+        |        THEN 1.0 ELSE 0.5 END) * 0.3 +
+        |    least(round(CAST(len(list_filter(ws,
+        |          w -> w IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |        / greatest(len(ws), 1), 3) * 4.0, 1.0) * 0.3,
+        |  3) AS quality,
+        |  CASE WHEN greatest(
+        |      len(list_filter(ws, w -> w IN ('the','and','of','to','is','in','that','it'))),
+        |      len(list_filter(ws, w -> w IN ('el','la','de','que','y','los','en','un'))),
+        |      len(list_filter(ws, w -> w IN ('le','la','de','et','les','des','un','une'))),
+        |      len(list_filter(ws, w -> w IN ('der','die','und','das','ist','nicht','ein','zu'))),
+        |      len(list_filter(ws, w -> w IN ('o','a','de','que','e','do','da','em')))) <= 0
+        |    THEN 'und'
+        |  WHEN len(list_filter(ws, w -> w IN ('the','and','of','to','is','in','that','it'))) = greatest(
+        |      len(list_filter(ws, w -> w IN ('the','and','of','to','is','in','that','it'))),
+        |      len(list_filter(ws, w -> w IN ('el','la','de','que','y','los','en','un'))),
+        |      len(list_filter(ws, w -> w IN ('le','la','de','et','les','des','un','une'))),
+        |      len(list_filter(ws, w -> w IN ('der','die','und','das','ist','nicht','ein','zu'))),
+        |      len(list_filter(ws, w -> w IN ('o','a','de','que','e','do','da','em'))))
+        |    THEN 'en'
+        |  WHEN len(list_filter(ws, w -> w IN ('el','la','de','que','y','los','en','un'))) = greatest(
+        |      len(list_filter(ws, w -> w IN ('the','and','of','to','is','in','that','it'))),
+        |      len(list_filter(ws, w -> w IN ('el','la','de','que','y','los','en','un'))),
+        |      len(list_filter(ws, w -> w IN ('le','la','de','et','les','des','un','une'))),
+        |      len(list_filter(ws, w -> w IN ('der','die','und','das','ist','nicht','ein','zu'))),
+        |      len(list_filter(ws, w -> w IN ('o','a','de','que','e','do','da','em'))))
+        |    THEN 'es'
+        |  WHEN len(list_filter(ws, w -> w IN ('le','la','de','et','les','des','un','une'))) = greatest(
+        |      len(list_filter(ws, w -> w IN ('the','and','of','to','is','in','that','it'))),
+        |      len(list_filter(ws, w -> w IN ('el','la','de','que','y','los','en','un'))),
+        |      len(list_filter(ws, w -> w IN ('le','la','de','et','les','des','un','une'))),
+        |      len(list_filter(ws, w -> w IN ('der','die','und','das','ist','nicht','ein','zu'))),
+        |      len(list_filter(ws, w -> w IN ('o','a','de','que','e','do','da','em'))))
+        |    THEN 'fr'
+        |  WHEN len(list_filter(ws, w -> w IN ('der','die','und','das','ist','nicht','ein','zu'))) = greatest(
+        |      len(list_filter(ws, w -> w IN ('the','and','of','to','is','in','that','it'))),
+        |      len(list_filter(ws, w -> w IN ('el','la','de','que','y','los','en','un'))),
+        |      len(list_filter(ws, w -> w IN ('le','la','de','et','les','des','un','une'))),
+        |      len(list_filter(ws, w -> w IN ('der','die','und','das','ist','nicht','ein','zu'))),
+        |      len(list_filter(ws, w -> w IN ('o','a','de','que','e','do','da','em'))))
+        |    THEN 'de'
+        |  ELSE 'pt' END AS lang_pred,
+        |  (1000 * (len(ws) - len(list_distinct(ws)))) // len(ws)
+        |    AS dup_word_pml,
+        |  CASE WHEN len(ws) <= 1 THEN 0
+        |       ELSE (1000 * ((len(ws) - 1) -
+        |         len(list_distinct([ws[i] || ' ' || ws[i+1]
+        |           FOR i IN generate_series(1, len(ws)-1)]))))
+        |         // (len(ws) - 1)
+        |  END AS dup_ngram_pml
+        |FROM t""".stripMargin,
 
     "text_quality" ->
       """SELECT doc_id,

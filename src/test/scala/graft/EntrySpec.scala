@@ -22,6 +22,29 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
     assert(unknown.isEmpty, s"oracle for unknown queries: $unknown")
   }
 
+  test("no query plans a cartesian product; broadcast nested loops " +
+      "only where documented") {
+    // BNLJ is legitimate exactly where a small side is broadcast
+    // against a non-equi condition: ANN query fan-outs, the exact
+    // all-pairs cosine baseline, tiny cross-joined side tables
+    // (global aggregates / hour scaffolds), and scalar-subquery
+    // filters. Anything new showing up here is a plan regression.
+    val bnljAllowed = Set("ann_topk", "ann_pq", "ann_ivfpq", "ann_lsh",
+      "ann_ivf", "dedup_cosine", "mix_temperature", "q_gen_series",
+      "q_scalar_filter", "q_approx")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        val cartesian = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoopJoin") &&
+          !bnljAllowed(name)
+        if (cartesian) Some(s"$name: CartesianProduct")
+        else if (bnlj) Some(s"$name: undocumented BroadcastNestedLoopJoin")
+        else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   test("SURVEY section 2 and the queries map agree") {
     val text = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("SURVEY.md")))
