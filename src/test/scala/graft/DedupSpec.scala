@@ -251,6 +251,45 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(got === 0)
   }
 
+  test("duplicateSpans matches a naive reference on seeded random docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xd5)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    // tiny vocab + short docs → dense genuine span collisions
+    val corpus = (0L until 30L).map { id =>
+      id -> Seq.fill(4 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    val n = 3
+    // naive reference: hash-free string spans, O(docs² · positions)
+    val spans = corpus.map { case (id, text) =>
+      val w = text.split(" ")
+      id -> (if (w.length < n) Seq.empty[(Int, String)]
+             else (0 to w.length - n).map(i =>
+               (i + 1, w.slice(i, i + n).mkString(" "))))
+    }.toMap
+    val shared = spans.toSeq.flatMap { case (id, ss) => ss.map(_._2 -> id) }
+      .groupBy(_._1).collect {
+        case (sh, occ) if occ.map(_._2).toSet.size >= 2 => sh
+      }.toSet
+    val expected = corpus.map { case (id, _) =>
+      val dupPos = spans(id).collect {
+        case (p, sh) if shared(sh) => p
+      }.sorted
+      val runs = dupPos.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, len) :: t, p) if p == s + len => (s, len + 1) :: t
+        case (acc, p) => (p, 1) :: acc
+      }
+      (id, spans(id).size.toLong, dupPos.size.toLong,
+        if (runs.isEmpty) 0L else runs.map(_._2).max.toLong)
+    }.toSet
+    val got = Dedup.duplicateSpans(
+      corpus.toDF("doc_id", "text"), "doc_id", "text", spanN = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got === expected)
+  }
+
   test("decontaminate broadcasts the benchmark side (no corpus self-join)") {
     val docs10 = docs
     val plan = Dedup.decontaminate(
