@@ -272,6 +272,25 @@ object SparkEntry {
           count(lit(1)).over(w).cast(LongType).as("hour_n"))
     }),
 
+    // distributed statistics the portable way: integer moment sums
+    // (Σx, Σx², Σxy in exact BIGINT cents) instead of float
+    // stddev/corr aggregates whose partial-merge order wobbles the
+    // last ulp across engines AND across runs — downstream derives
+    // variance/correlation from the moments losslessly
+    "q_moments" -> ((s, dir) => {
+      val c = (dec(col("value"), 10, 2) * 100).cast(LongType)
+      Tables.events(s, dir)
+        .select(col("event_type"), c.as("x"),
+          unix_timestamp(col("ts")).as("t"))
+        .withColumn("xt", col("x") * (col("t") % 86400))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sum_x"),
+          sum(col("x") * col("x")).as("sum_x2"),
+          sum(col("t") % 86400).as("sum_t"),
+          sum(col("xt")).as("sum_xt"))
+    }),
+
     // null-semantics parity: a planted nullable key must form its own
     // group, COUNT(col) skips nulls while COUNT(*) does not, and
     // min/max ignore nulls — the corners engines disagree on first
@@ -1303,6 +1322,19 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id
         |  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
         |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_moments" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS x,
+        |    CAST(floor(epoch(ts)) AS BIGINT) % 86400 AS tsec
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |  SUM(x) AS sum_x,
+        |  SUM(x * x) AS sum_x2,
+        |  SUM(tsec) AS sum_t,
+        |  SUM(x * tsec) AS sum_xt
+        |FROM t GROUP BY event_type""".stripMargin,
 
     "q_null_semantics" ->
       """WITH t AS (
