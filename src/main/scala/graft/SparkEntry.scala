@@ -273,22 +273,29 @@ object SparkEntry {
     }),
 
     // distributed statistics the portable way: integer moment sums
-    // (Σx, Σx², Σxy in exact BIGINT cents) instead of float
-    // stddev/corr aggregates whose partial-merge order wobbles the
-    // last ulp across engines AND across runs — downstream derives
-    // variance/correlation from the moments losslessly
+    // (Σx, Σx², Σxy in exact cents) instead of float stddev/corr
+    // aggregates whose partial-merge order wobbles the last ulp across
+    // engines AND across runs — downstream derives variance/correlation
+    // from the moments losslessly. Products and partial sums accumulate
+    // in DECIMAL(38,0) (exact to 10^38, so no intermediate overflow at
+    // any realistic corpus scale); only the FINAL value casts to BIGINT
+    // for engine-portable output. With ANSI off an out-of-range final
+    // cast yields NULL — detectably absent, never silently wrapped.
+    // The BIGINT envelope: |x| ≤ 10^5 cents over ≤ 9·10^8 rows/group
+    // keeps Σx² under 2^63; beyond that, read the moments as
+    // DECIMAL(38,0) before the cast.
     "q_moments" -> ((s, dir) => {
-      val c = (dec(col("value"), 10, 2) * 100).cast(LongType)
+      val d38 = DecimalType(38, 0)
+      val xd = (dec(col("value"), 10, 2) * 100).cast(LongType).cast(d38)
+      val td = (unix_timestamp(col("ts")) % 86400).cast(d38)
       Tables.events(s, dir)
-        .select(col("event_type"), c.as("x"),
-          unix_timestamp(col("ts")).as("t"))
-        .withColumn("xt", col("x") * (col("t") % 86400))
+        .select(col("event_type"), xd.as("x"), td.as("t"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("x")).as("sum_x"),
-          sum(col("x") * col("x")).as("sum_x2"),
-          sum(col("t") % 86400).as("sum_t"),
-          sum(col("xt")).as("sum_xt"))
+          sum(col("x")).cast(LongType).as("sum_x"),
+          sum(col("x") * col("x")).cast(LongType).as("sum_x2"),
+          sum(col("t")).cast(LongType).as("sum_t"),
+          sum(col("x") * col("t")).cast(LongType).as("sum_xt"))
     }),
 
     // null-semantics parity: a planted nullable key must form its own
@@ -944,7 +951,86 @@ object SparkEntry {
       // scalar digests, not the raw array<float> — see Multimodal.featureDigest
       Multimodal.featureDigest(
         Multimodal.extractFeatures(
-          Multimodal.withPayload(Tables.documents(s, dir), "doc_id", "text"))))
+          Multimodal.withPayload(Tables.documents(s, dir), "doc_id", "text")))),
+
+    // Pearson correlation + its inputs derived from the exact integer
+    // moments (the B35 story closed end-to-end): both engines compute
+    // the SAME double formula over the SAME exact integers, so the
+    // permille-rounded output is engine-identical. nullif guards the
+    // zero-variance degenerate case to NULL in both engines.
+    "q_corr" -> ((s, dir) => {
+      val d38 = DecimalType(38, 0)
+      val xd = (dec(col("value"), 10, 2) * 100).cast(LongType).cast(d38)
+      val td = (unix_timestamp(col("ts")) % 86400).cast(d38)
+      Tables.events(s, dir)
+        .select(col("event_type"), xd.as("x"), td.as("t"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).cast(LongType).as("sx"),
+          sum(col("x") * col("x")).cast(LongType).as("sxx"),
+          sum(col("t")).cast(LongType).as("st"),
+          sum(col("t") * col("t")).cast(LongType).as("stt"),
+          sum(col("x") * col("t")).cast(LongType).as("sxt"))
+        .select(col("event_type"), col("n"),
+          expr("""CAST(round(1000.0 *
+                 |  (CAST(n AS DOUBLE) * CAST(sxt AS DOUBLE)
+                 |    - CAST(sx AS DOUBLE) * CAST(st AS DOUBLE))
+                 |  / nullif(sqrt(
+                 |      (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 |      * (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                 |        - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))), 0.0))
+                 |  AS BIGINT)""".stripMargin.replace("\n", " "))
+            .as("corr_pml"))
+    }),
+
+    // equi-depth (quantile) binning without a global sort: exact
+    // quartile edges from one percentile aggregate, broadcast to a
+    // map-only binning pass + hash agg. The interpolated edges are
+    // exact doubles in BOTH engines ((n-1)·k/4 rank arithmetic and
+    // quarter fractions are binary-exact), floored to integer cents.
+    // At 100 TB swap the exact percentile for approx_percentile and
+    // keep the identical downstream shape.
+    "q_equidepth" -> ((s, dir) => {
+      val cents = (dec(col("value"), 10, 2) * 100).cast(LongType)
+      val e = Tables.events(s, dir).select(cents.as("c"))
+      val qs = e.agg(
+        floor(expr("percentile(c, 0.25)")).cast(LongType).as("q1"),
+        floor(expr("percentile(c, 0.5)")).cast(LongType).as("q2"),
+        floor(expr("percentile(c, 0.75)")).cast(LongType).as("q3"))
+      e.crossJoin(broadcast(qs))
+        .select(when(col("c") <= col("q1"), 1)
+          .when(col("c") <= col("q2"), 2)
+          .when(col("c") <= col("q3"), 3).otherwise(4).as("bin"), col("c"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c")).cast(LongType).as("sum_cents"),
+          min(col("c")).as("min_c"), max(col("c")).as("max_c"))
+    }),
+
+    // deterministic train/val/test assignment (80/10/10) by integer
+    // Lehmer draw on the doc id — the reproducible-split primitive
+    // every training pipeline needs; the integer keep test makes the
+    // assignment engine-exact (same pattern as mix_temperature)
+    "split_assign" -> ((s, dir) => {
+      val draw = pmod(col("doc_id") * 48271, lit(1000003L))
+      val sp = when(draw * 10 < 1000003L * 8, "train")
+        .when(draw * 10 < 1000003L * 9, "val").otherwise("test")
+      Tables.documents(s, dir)
+        .select(sp.as("split"), col("doc_id"),
+          TextFunctions.wordCount(col("text")).as("n_tokens"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast(LongType).as("sum_tokens"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    }),
+
+    // sentence-granular exact dedup over the planted-copy corpus:
+    // every sentence of a planted copy re-occurs, so n_kept = 0 for
+    // copies while originals keep everything not already seen
+    "dedup_units" -> ((s, dir) =>
+      Dedup.unitDedup(withPlantedExactCopies(Tables.documents(s, dir)),
+        "doc_id", "text"))
   )
 
   /** Near-dup planting for the minhash/simhash demonstrations: each
@@ -1315,8 +1401,8 @@ object SparkEntry {
     "q_range_frame" ->
       """SELECT event_id, user_id,
         |  CAST(floor(epoch(ts)) AS BIGINT) AS sec,
-        |  SUM(CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT)) OVER w
-        |    AS hour_cents,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT))
+        |    OVER w AS BIGINT) AS hour_cents,
         |  COUNT(*) OVER w AS hour_n
         |FROM events
         |WINDOW w AS (PARTITION BY user_id
@@ -1330,10 +1416,10 @@ object SparkEntry {
         |    CAST(floor(epoch(ts)) AS BIGINT) % 86400 AS tsec
         |  FROM events)
         |SELECT event_type, COUNT(*) AS n,
-        |  SUM(x) AS sum_x,
-        |  SUM(x * x) AS sum_x2,
-        |  SUM(tsec) AS sum_t,
-        |  SUM(x * tsec) AS sum_xt
+        |  CAST(SUM(x) AS BIGINT) AS sum_x,
+        |  CAST(SUM(x * x) AS BIGINT) AS sum_x2,
+        |  CAST(SUM(tsec) AS BIGINT) AS sum_t,
+        |  CAST(SUM(x * tsec) AS BIGINT) AS sum_xt
         |FROM t GROUP BY event_type""".stripMargin,
 
     "q_null_semantics" ->
@@ -1763,7 +1849,7 @@ object SparkEntry {
         |  SELECT CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS c
         |  FROM events)
         |SELECT c // 1000 AS bin, COUNT(*) AS n_events,
-        |  SUM(c) AS sum_cents
+        |  CAST(SUM(c) AS BIGINT) AS sum_cents
         |FROM c GROUP BY bin""".stripMargin,
 
     "q_gen_series" ->
@@ -1911,7 +1997,7 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |      AS running_tokens
         |  FROM documents)
-        |SELECT doc_id, n_tokens, running_tokens
+        |SELECT doc_id, n_tokens, CAST(running_tokens AS BIGINT) AS running_tokens
         |FROM t WHERE running_tokens <= 15000""".stripMargin,
 
     // naive global concat-and-chunk layout — must equal Spark's
@@ -1919,10 +2005,10 @@ object SparkEntry {
     "pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
-        |    COALESCE(SUM(len(string_split(text, ' '))) OVER (
+        |    CAST(COALESCE(SUM(len(string_split(text, ' '))) OVER (
         |      ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS start_tok
+        |      AS BIGINT) AS start_tok
         |  FROM documents)
         |SELECT doc_id, n_tokens,
         |  start_tok // 512 AS pack_id,
@@ -2146,6 +2232,90 @@ object SparkEntry {
         |  len(list_distinct(
         |    [ord(substr(text, CAST(i AS INT), 1)) // 16
         |     for i in range(1, strlen(text) + 1)])) AS feat_nonzero
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // identical double formula over identical exact integer moments —
+    // permille rounding makes the output engine-exact
+    "q_corr" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS x,
+        |    CAST(floor(epoch(ts)) AS BIGINT) % 86400 AS tt
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(tt) AS BIGINT) AS st,
+        |    CAST(SUM(tt * tt) AS BIGINT) AS stt,
+        |    CAST(SUM(x * tt) AS BIGINT) AS sxt
+        |  FROM t GROUP BY event_type)
+        |SELECT event_type, n,
+        |  CAST(round(1000.0 *
+        |    (CAST(n AS DOUBLE) * CAST(sxt AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(st AS DOUBLE))
+        |    / nullif(sqrt(
+        |        (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+        |          - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))), 0.0))
+        |    AS BIGINT) AS corr_pml
+        |FROM m""".stripMargin,
+
+    "q_equidepth" ->
+      """WITH c AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |q AS (SELECT
+        |  CAST(floor(quantile_cont(c, 0.25)) AS BIGINT) AS q1,
+        |  CAST(floor(quantile_cont(c, 0.5)) AS BIGINT) AS q2,
+        |  CAST(floor(quantile_cont(c, 0.75)) AS BIGINT) AS q3 FROM c)
+        |SELECT
+        |  CASE WHEN c.c <= q.q1 THEN 1 WHEN c.c <= q.q2 THEN 2
+        |       WHEN c.c <= q.q3 THEN 3 ELSE 4 END AS bin,
+        |  COUNT(*) AS n, CAST(SUM(c.c) AS BIGINT) AS sum_cents,
+        |  MIN(c.c) AS min_c, MAX(c.c) AS max_c
+        |FROM c CROSS JOIN q
+        |GROUP BY 1""".stripMargin,
+
+    "split_assign" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |    (doc_id * 48271) % 1000003 AS draw
+        |  FROM documents)
+        |SELECT
+        |  CASE WHEN draw * 10 < 1000003 * 8 THEN 'train'
+        |       WHEN draw * 10 < 1000003 * 9 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM t GROUP BY 1""".stripMargin,
+
+    // raw-text first-occurrence mirror of the hashed-key Spark plan
+    // (hashed ≡ raw, the dedup_exact proof pattern); subscripts are
+    // 1-based here vs 0-based posexplode — order-isomorphic, so the
+    // lexicographic first is the same unit
+    "dedup_units" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+        |u0 AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, '. ')) AS u,
+        |    generate_subscripts(string_split(text, '. '), 1) AS idx
+        |  FROM base),
+        |u AS (SELECT * FROM u0 WHERE length(trim(u)) > 0),
+        |f AS (
+        |  SELECT u,
+        |    MIN(lpad(CAST(doc_id AS VARCHAR), 10, '0') || ':'
+        |      || lpad(CAST(idx AS VARCHAR), 8, '0')) AS fk
+        |  FROM u GROUP BY u)
+        |SELECT u.doc_id, COUNT(*) AS n_units,
+        |  CAST(SUM(CASE WHEN lpad(CAST(u.doc_id AS VARCHAR), 10, '0') || ':'
+        |      || lpad(CAST(u.idx AS VARCHAR), 8, '0') = f.fk
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM u JOIN f USING (u)
+        |GROUP BY u.doc_id""".stripMargin
   )
 }

@@ -159,6 +159,9 @@ object Dedup {
         explode(TextFunctions.shinglesOfWords(col("w"), shingleN)).as("shRaw"))
       .select(col("doc_id"), xxhash64(col("shRaw")).as("sh"))
       .persist()
+    // eager fill — see ngramJaccard: concurrent consumer jobs would
+    // otherwise serialize on per-block cache-fill locks
+    shingled.count()
     val sizes = shingled.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
 
     val mins = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"m$i"))
@@ -213,6 +216,8 @@ object Dedup {
     val withSig = docs.select(col(idCol).as("doc_id"),
       GraftFunctions.simhash(TextFunctions.words(col(textCol))).as("sig"))
       .persist()
+    // eager fill — see ngramJaccard: both self-join sides consume this
+    withSig.count()
 
     val chunked = withSig.select(
       col("doc_id"), col("sig"),
@@ -396,6 +401,8 @@ object Dedup {
         .as(Seq("p0", "sh")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("sh"))
       .persist()
+    // eager fill — see ngramJaccard: two consumers race otherwise
+    spans.count()
     val shared = spans.groupBy(col("sh"))
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
       .filter(col("mn") =!= col("mx")).select(col("sh"))
@@ -494,6 +501,43 @@ object Dedup {
         expr("(1000 * n_hit) div n_shingles"))
   }
 
+  /** Sub-document exact dedup at a delimiter-defined unit (sentence /
+    * paragraph) granularity — the "dedup the boilerplate, keep the
+    * doc" pass: navigation chrome, license footers and repeated
+    * sentences occur in millions of otherwise-distinct pages, and
+    * document-level dedup never touches them.
+    *
+    * A unit is KEPT iff its first occurrence — minimum `(doc_id,
+    * position)` over every occurrence of the identical unit text in
+    * the corpus — is this one; all later occurrences are marked
+    * duplicates. Output per document: `(doc_id, n_units, n_kept)`.
+    *
+    * Scale shape: units enter the first-occurrence aggregation keyed
+    * by `(xxhash64(unit), length(unit))` — 16-byte keys, the unit
+    * text never shuffles (same residual-collision tradeoff as
+    * [[exact]] hashed mode); one groupBy + one co-partitioned join
+    * back, then a per-doc count. No windows, no sorts.
+    */
+  def unitDedup(docs: DataFrame, idCol: String, textCol: String,
+                sep: String = ". "): DataFrame = {
+    val units = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("idx", "u")))
+      .filter(length(trim(col("u"))) > 0)
+      .select(col("doc_id"), col("idx"),
+        xxhash64(col("u")).as("h"), length(col("u")).as("l"))
+    val firsts = units.groupBy(col("h"), col("l"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+    units.join(firsts, Seq("h", "l"))
+      .select(col("doc_id"),
+        (col("f.doc_id") === col("doc_id") && col("f.idx") === col("idx"))
+          .cast(IntegerType).as("kept"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(col("kept")).cast(LongType).as("n_kept"))
+  }
+
   /** Exact word-n-gram Jaccard similarity pairs via an inverted-index
     * join on shingles: |A∩B| from the shingle join, |A∪B| from per-doc
     * shingle counts. `maxShingleDf` drops shingles appearing in more
@@ -524,6 +568,12 @@ object Dedup {
         explode(TextFunctions.shinglesOfWords(col("w"), shingleN)).as("shRaw"))
       .select(col("doc_id"), xxhash64(col("shRaw")).as("sh"))
       .persist()
+    // eager fill: the consumers launch as concurrent jobs (the sizes
+    // joins are broadcast builds running in parallel futures), and a
+    // lazily-persisted block is computed under a per-block lock —
+    // concurrent first-readers park on the lock instead of hitting
+    // cache. One up-front job fills with full parallelism.
+    shingled.count()
     val sizes = shingled.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
 
     // ONE aggregation replaces the old df-histogram + equi-self-join
@@ -532,17 +582,40 @@ object Dedup {
     // shingle in one doc yields no a<b pair — result-identical — and
     // most shingles in a natural corpus are unique) and hot shingles
     // past `maxShingleDf` (the d² skew guard), then explode the
-    // ordered pairs with array HOFs. List length is bounded by the df
-    // cap, so no group row can blow up a task.
+    // ordered pairs with array HOFs. With a finite cap the list is
+    // built by [[graft.functions.BoundedCollectAgg]], which stops
+    // appending at cap+1 elements in BOTH reduce and merge — so a hot
+    // shingle's aggregation buffer is bounded at cap+1 longs (a plain
+    // collect_list would materialize the full multi-million-element
+    // array before the size filter could drop it); the oversized
+    // (cap+1) marker lists die in the same `size <= cap` filter.
     // ordered pairs via CHAINED generators (posexplode the list, then
     // explode each element's tail slice): no nested array-of-struct
     // materialization, and the pair-count aggregation keys on plain
     // long columns — measured 2-3× faster than the equivalent
     // flatten(transform(...struct)) HOF at sf0.1 (struct-field group
     // keys were the cost, not the explosion itself)
+    // explicit repartition between the posting aggregation and the
+    // pair generators: the posting lists are COMPACT (a few bytes per
+    // doc id), so AQE's shuffle-size heuristic coalesces the exchange
+    // to ~1 partition — and then the generator amplification (up to
+    // df²/2 pairs per list) plus the pair aggregation run serially in
+    // that one task (measured 20s+ single-task stages inside
+    // clean_corpus). A user-specified partition count is exempt from
+    // AQE coalescing, so the explosion keeps the session's full
+    // shuffle parallelism; the extra exchange moves only the compact
+    // lists. Same principle at 100 TB: never let a size-based
+    // optimizer decision gate a compute-amplifying operator.
+    val nParts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val idList =
+      if (maxShingleDf < Int.MaxValue)
+        graft.functions.BoundedCollectAgg
+          .boundedSortedList(maxShingleDf)(col("doc_id"))
+      else sort_array(collect_list(col("doc_id")))
     val inter = shingled.groupBy(col("sh"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .agg(idList.as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxShingleDf)
+      .repartition(nParts, col("sh"))
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
       .select(col("id_a"),
         explode(slice(col("ids"), col("i") + lit(2),

@@ -11,12 +11,15 @@ import org.apache.spark.sql.functions._
   *   quality filter → exact dedup (keep first) → MinHash-LSH near-dup
   *   removal (keep the lower id of each pair) → PII scrub → stats.
   *
-  * Everything stays one lazy DataFrame program: Catalyst sees the
-  * whole pipeline, pushes the quality filter to the scan, and the
-  * only shuffles are the dedup aggregations/joins. The near-dup
-  * removal is an anti-join against the LSH pair set, so at 100 TB the
-  * pair set (tiny relative to the corpus) drives a broadcast or
-  * well-partitioned anti-join rather than any O(n²) work.
+  * The pipeline materializes two intermediates eagerly — the deduped
+  * corpus (persisted + filled) and the near-dup loser set
+  * (localCheckpoint) — because both have multiple downstream
+  * consumers; everything else stays declarative: Catalyst pushes the
+  * quality filter to the scan, and the only shuffles are the dedup
+  * aggregations/joins. The near-dup removal is an anti-join against
+  * the LSH pair set, so at 100 TB the pair set (tiny relative to the
+  * corpus) drives a broadcast or well-partitioned anti-join rather
+  * than any O(n²) work.
   */
 object CleanCorpus {
 
@@ -59,6 +62,15 @@ object CleanCorpus {
       .filter(col("doc_id") === col("keep_id"))
       .drop("keep_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // EAGER fill. The downstream near-dup pipeline launches several
+    // concurrent jobs (broadcast-build subplans run as parallel
+    // futures), and a lazily-persisted block is filled under a
+    // per-block lock: concurrent first-consumers serialize behind
+    // whichever task is computing a block instead of reading a cache
+    // hit (measured: 30s+ of lock-park time in a 5k-doc run). One
+    // up-front job fills the cache with full parallelism; every later
+    // consumer — whatever thread it runs on — reads.
+    exactKept.count()
 
     // near-dup removal: drop the HIGHER id of each near-dup pair
     val pairs =
@@ -68,7 +80,15 @@ object CleanCorpus {
       else
         Dedup.minhashLsh(exactKept, "doc_id", "text", shingleN,
           minEstJaccard = minEstJaccard)
+    // localCheckpoint (eager): the loser set is tiny by construction
+    // (bounded by true near-dup pairs), but its LINEAGE is the whole
+    // candidate-generation pipeline. Left lazy, the anti-join's
+    // broadcast build re-executes that pipeline inside a broadcast
+    // thread — and a retry or a second consumer runs it again. The
+    // checkpoint runs it exactly once, with full cluster parallelism,
+    // and the anti-join broadcasts a materialized two-column table.
     val nearDupLosers = pairs.select(col("id_b").as("doc_id")).distinct()
+      .localCheckpoint(true)
 
     exactKept
       .join(nearDupLosers, Seq("doc_id"), "left_anti")

@@ -48,12 +48,17 @@ object GraftSinks {
     * IO-bound. Rewrites `path` into `ceil(bytes / targetFileBytes)`
     * files (at least one), sized from the CURRENT on-disk footprint.
     *
-    * The rewrite goes through a temp directory + atomic-ish swap
-    * (write compacted → delete original → rename), so a crash
-    * mid-compaction leaves either the original or the compacted copy
-    * readable at `path + suffix`, never a half-deleted table. Row
-    * content is preserved exactly; file-level ordering is not
-    * guaranteed (parquet readers must not rely on it).
+    * The rewrite goes through a temp directory and a three-step swap —
+    * write compacted to `path._compacting`, rename the original aside
+    * to `path._old`, rename the compacted copy into place, delete the
+    * old copy — so a FULL copy of the data is readable at every
+    * instant: a crash between any two steps leaves the table at
+    * `path`, `path._old`, or `path._compacting`, never half-deleted.
+    * Every filesystem mutation's boolean result is checked and a
+    * failure throws (leaving the on-disk state recoverable by hand)
+    * instead of returning as if compaction succeeded. Row content is
+    * preserved exactly; file-level ordering is not guaranteed (parquet
+    * readers must not rely on it).
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetFileBytes: Long = 128L << 20): Long = {
@@ -63,10 +68,23 @@ object GraftSinks {
     val bytes = fs.getContentSummary(hPath).getLength
     val files = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val tmp = new Path(path + "._compacting")
+    val old = new Path(path + "._old")
+    if (fs.exists(old))
+      throw new IllegalStateException(
+        s"$old exists — a previous compaction crashed mid-swap; recover " +
+          "(keep one of the copies at the table path) before compacting")
     spark.read.parquet(path).repartition(files)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(hPath, true)
-    fs.rename(tmp, hPath)
+    if (!fs.rename(hPath, old))
+      throw new java.io.IOException(s"compact: rename $hPath -> $old failed")
+    if (!fs.rename(tmp, hPath)) {
+      // roll the original back so the table path stays populated
+      fs.rename(old, hPath)
+      throw new java.io.IOException(s"compact: rename $tmp -> $hPath failed")
+    }
+    if (!fs.delete(old, true))
+      throw new java.io.IOException(
+        s"compact: delete of superseded copy $old failed (table at $hPath is complete)")
     files.toLong
   }
 }

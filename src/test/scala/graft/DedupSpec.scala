@@ -101,6 +101,57 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(joined.filter(col("j_capped") > col("j_exact")).count() === 0)
   }
 
+  test("bounded posting collect equals filter-after-full-materialize") {
+    // the skew-safe BoundedCollectAgg path (buffer capped at df+1) must
+    // produce exactly the pair set of the naive shape that materializes
+    // every posting list and filters afterwards
+    import graft.functions.TextFunctions
+    val cap = 5
+    val capped = Dedup.ngramJaccard(withNearCopies, "doc_id", "text", 3, 0.0,
+      maxShingleDf = cap)
+    val shingled = withNearCopies
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        explode(TextFunctions.shinglesOfWords(col("w"), 3)).as("shRaw"))
+      .select(col("doc_id"), xxhash64(col("shRaw")).as("sh"))
+    val sizes = shingled.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val naive = shingled.groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= cap)
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + lit(2),
+          size(col("ids")) - col("i") - 1)).as("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 3).as("jaccard"))
+    assert(capped.exceptAll(naive).isEmpty && naive.exceptAll(capped).isEmpty)
+    assert(capped.count() > 0)
+  }
+
+  test("unit dedup: planted copies keep nothing, originals keep their firsts") {
+    val planted = withExactCopies
+    val r = Dedup.unitDedup(planted, "doc_id", "text")
+    // a planted copy's every sentence first-occurs in its original
+    // (same position, smaller id) — nothing survives
+    val copies = r.filter(col("doc_id") >= 1000000L)
+    assert(copies.count() > 0)
+    assert(copies.filter(col("n_kept") =!= 0).count() === 0)
+    // keeps are bounded by units, and the corpus keeps something
+    assert(r.filter(col("n_kept") > col("n_units")).count() === 0)
+    assert(r.agg(sum("n_kept")).head.getLong(0) > 0)
+    // total kept units == number of distinct unit texts in the corpus
+    import graft.functions.TextFunctions
+    val distinctUnits = planted
+      .select(explode(split(col("text"), "\\. ")).as("u"))
+      .filter(length(trim(col("u"))) > 0)
+      .select(col("u")).distinct().count()
+    assert(r.agg(sum("n_kept")).head.getLong(0) === distinctUnits)
+  }
+
   test("incremental dedup drops exact re-arrivals, keeps edited docs") {
     val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
       .select((col("doc_id") + 2000000L).as("doc_id"),
