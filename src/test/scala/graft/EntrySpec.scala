@@ -31,7 +31,8 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
     // filters. Anything new showing up here is a plan regression.
     val bnljAllowed = Set("ann_topk", "ann_pq", "ann_ivfpq", "ann_lsh",
       "ann_ivf", "dedup_cosine", "mix_temperature", "q_gen_series",
-      "q_scalar_filter", "q_approx")
+      "q_scalar_filter", "q_approx",
+      "q_equidepth") // 1-row broadcast quartile edges × events
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
