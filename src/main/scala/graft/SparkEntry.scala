@@ -653,6 +653,21 @@ object SparkEntry {
         flag = "ivfpq_recall_ok")
     }),
 
+    // the all-vectors kNN GRAPH (self-join ANN, not a query set);
+    // gate = the graph rows for ids 0-9 against the same brute-force
+    // recall contract the other ann_* queries use
+    "ann_knn_graph" -> ((s, dir) => {
+      val model = ivfModels.getOrElseUpdate(dir,
+        Similarity.ivfTrain(Tables.embeddings(s, dir), "vec_id", "embedding",
+          nlist = 16, iters = 3, trainFraction = 0.25))
+      val graph = Similarity.knnGraph(Tables.embeddings(s, dir),
+        "vec_id", "embedding", k = 5, model, nprobe = 6)
+      annRecallContract(s, dir,
+        graph.filter(col("id") <= 9)
+          .select(col("id").as("q_id"), col("neighbor_id")),
+        minPermille = 400, flag = "knn_recall_ok")
+    }),
+
     "lang_id" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         TextFunctions.langId(col("text")).as("lang_pred"),
@@ -1030,7 +1045,28 @@ object SparkEntry {
     // copies while originals keep everything not already seen
     "dedup_units" -> ((s, dir) =>
       Dedup.unitDedup(withPlantedExactCopies(Tables.documents(s, dir)),
-        "doc_id", "text"))
+        "doc_id", "text")),
+
+    // deterministic per-stratum uniform sample (up to n per source)
+    // with the scale-correct two-phase shape: a draw-cutoff prefilter
+    // (expected ~3n survivors per stratum, mirrored exactly in the
+    // oracle) bounds the rank window to O(n) rows per group — the
+    // naive one-phase window would sort every stratum in full
+    "q_sample_stratified" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val n = 20L
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          pmod(col("doc_id") * 48271, lit(1000003L)).as("draw"))
+      val counts = d.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+      val pre = d.join(broadcast(counts), "source")
+        .filter(col("draw") * col("cnt") < lit(3 * n * 1000003L))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("draw"), col("doc_id"))
+      pre.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= n)
+        .select(col("source"), col("doc_id"), col("rn"))
+    })
   )
 
   /** Near-dup planting for the minhash/simhash demonstrations: each
@@ -1633,6 +1669,29 @@ object SparkEntry {
       """SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_exact_pairs,
         |  1 AS ivfpq_recall_ok
         |FROM embeddings WHERE vec_id <= 9""".stripMargin,
+
+    "ann_knn_graph" ->
+      """SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_exact_pairs,
+        |  1 AS knn_recall_ok
+        |FROM embeddings WHERE vec_id <= 9""".stripMargin,
+
+    // same two-phase shape: the draw-cutoff prefilter is mirrored, so
+    // rank-over-survivors is value-identical to the Spark plan
+    "q_sample_stratified" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, (doc_id * 48271) % 1000003 AS draw
+        |  FROM documents),
+        |c AS (SELECT source, COUNT(*) AS cnt FROM d GROUP BY source),
+        |p AS (
+        |  SELECT d.doc_id, d.source, d.draw FROM d
+        |  JOIN c USING (source)
+        |  WHERE d.draw * c.cnt < 60 * 1000003),
+        |r AS (
+        |  SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY draw, doc_id) AS rn
+        |  FROM p)
+        |SELECT source, doc_id, rn FROM r WHERE rn <= 20""".stripMargin,
 
     // fingerprint property contract: injectivity over distinct texts
     // + order sensitivity (both violation counts must be zero)

@@ -384,6 +384,62 @@ object Similarity {
         round(col("sim"), 3).as("cosine"))
   }
 
+  /** Approximate k-nearest-neighbor GRAPH: top-k cosine neighbors for
+    * EVERY corpus vector (not a small query set) — the building block
+    * for embedding-space clustering, graph-based near-dup mining, and
+    * diversity-aware sampling over a training corpus.
+    *
+    * Brute force is the n² self-join no corpus survives; this is the
+    * IVF formulation: every vector is assigned to its nearest inverted
+    * list once, every vector probes its `nprobe` nearest lists, and
+    * candidates are pairs meeting in a list — a plain equi-join on the
+    * list id, so candidate volume is Σ(probe side × list side) per
+    * list, bounded by nlist (which should GROW with the corpus so
+    * per-list size stays fixed; the model is a train-once value, same
+    * economics as [[ivfSearch]]). A candidate pair meets in at most
+    * one list (the neighbor's assignment is a function of the
+    * neighbor), so no dedup shuffle is needed. Per-vector top-k runs
+    * through the bounded [[graft.functions.TopKAgg]] — map-side
+    * partials shuffle O(k) rows per (vector, task), never the
+    * candidate set — rather than a window rank over all candidates.
+    *
+    * Output: `(id, neighbor_id, rank, cosine)` with deterministic
+    * (sim desc, neighbor id) ordering; ≤ k rows per id (fewer when a
+    * vector's probed lists hold fewer than k others). Recall vs
+    * [[bruteForceTopK]] is contract-checked in the spec and the gate
+    * query.
+    */
+  def knnGraph(embeddings: DataFrame, idCol: String, vecCol: String,
+               k: Int, model: IvfModel, nprobe: Int = 4): DataFrame = {
+    val centroids = model.centroids
+    val e = withNorm(embeddings, vecCol)
+      .select(col(idCol).as("id"), col("vecd"), col("nrm"))
+      .withColumn("cl", assignCol(centroids))
+      .persist()
+    e.count() // eager: both self-join sides consume this (see Dedup)
+    val probes = {
+      val scored = transform(centLit(centroids), (c, i) =>
+        struct((c.getField("_1") - lit(2.0) * dot(col("vecd"), c.getField("_2")))
+          .as("d"), i.as("i")))
+      transform(slice(array_sort(scored), 1, nprobe), s => s.getField("i"))
+    }
+    val probed = e
+      .select(col("id").as("q_id"), col("vecd").as("q_vec"),
+        col("nrm").as("q_nrm"), explode(probes).as("q_cl"))
+    val scored = e.join(probed,
+        col("cl") === col("q_cl") && col("id") =!= col("q_id"))
+      .select(col("q_id"),
+        (cosinePrenormed(col("vecd"), col("q_vec"), col("nrm"), col("q_nrm"))
+          * 1e9).cast(LongType).as("sim_e9"),
+        col("id"))
+    scored.groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.topK(k)(col("sim_e9"), col("id")).as("nn"))
+      .select(col("q_id").as("id"), posexplode(col("nn")).as(Seq("r", "p")))
+      .select(col("id"), col("p._2").as("neighbor_id"),
+        (col("r") + 1).cast(IntegerType).as("rank"),
+        round(col("p._1") / 1e9, 3).as("cosine"))
+  }
+
   /** Approximate top-k via random-hyperplane LSH with the standard
     * AND-OR construction: `tables` independent signatures of `bits`
     * hyperplanes each (AND within a table, OR across tables). A pair

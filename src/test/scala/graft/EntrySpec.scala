@@ -32,7 +32,8 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
     val bnljAllowed = Set("ann_topk", "ann_pq", "ann_ivfpq", "ann_lsh",
       "ann_ivf", "dedup_cosine", "mix_temperature", "q_gen_series",
       "q_scalar_filter", "q_approx",
-      "q_equidepth") // 1-row broadcast quartile edges × events
+      "q_equidepth", // 1-row broadcast quartile edges × events
+      "ann_knn_graph") // brute-force side of the recall contract
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString

@@ -49,6 +49,29 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(hit >= 25, s"recall too low: $hit/50")
   }
 
+  test("kNN graph covers every vector, bounded at k, with brute-force recall") {
+    val model = Similarity.ivfTrain(emb, "vec_id", "embedding",
+      nlist = 8, iters = 3)
+    val graph = Similarity.knnGraph(emb, "vec_id", "embedding",
+      k = 5, model, nprobe = 4)
+    val n = emb.count()
+    // every vector appears as a graph source with at most k neighbors
+    assert(graph.select("id").distinct().count() === n)
+    val over = graph.groupBy("id").count().filter(col("count") > 5).count()
+    assert(over === 0)
+    // no self-edges; rank is 1..k dense per id
+    assert(graph.filter(col("id") === col("neighbor_id")).count() === 0)
+    assert(graph.filter(col("rank") < 1 || col("rank") > 5).count() === 0)
+    // recall on the sampled query ids vs brute force — same contract
+    // the ann_* gates use (nprobe=4 of nlist=8 probes half the lists)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 9, 5)
+      .select("q_id", "neighbor_id")
+    val approx = graph.filter(col("id") <= 9)
+      .select(col("id").as("q_id"), col("neighbor_id"))
+    val hit = exact.join(approx, Seq("q_id", "neighbor_id")).count()
+    assert(hit >= 25, s"recall too low: $hit/50")
+  }
+
   test("multi-probe LSH recall strictly dominates single-probe") {
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 9, 5)
       .select("q_id", "neighbor_id")
