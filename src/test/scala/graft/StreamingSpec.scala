@@ -330,6 +330,36 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(last.getLong(2) === 3L)
   }
 
+  test("z-score detector alerts on per-account deviation, not absolute size") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Transaction]
+    val alerts = StreamingFraud.zScoreDetector(input.toDS(),
+      zThreshold = 3.0, minSamples = 10).toDF()
+    val q = alerts.writeStream.format("memory").queryName("t_zscore")
+      .outputMode("append").start()
+    try {
+      // acct 1: tight distribution around 100 (sd ~ 1.7); acct 2:
+      // consistently HUGE amounts — absolute size must not alert
+      input.addData((1 to 12).map(i =>
+        tx(1, 100 + (i % 3), i.toLong)): _*)
+      q.processAllAvailable()
+      // second batch: state carried across batches — a 120 on acct 1
+      // is >3 sd from ITS history; 50200 on acct 2 is within ITS noise
+      input.addData((1 to 12).map(i =>
+        tx(2, 50000 + 100 * (i % 3), i.toLong)): _*)
+      q.processAllAvailable()
+      input.addData(tx(1, 120, 20), tx(2, 50200, 20))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("t_zscore").collect()
+    assert(rows.map(_.getLong(0)).toSet === Set(1L), rows.mkString(","))
+    val r = rows.head
+    assert(math.abs(r.getDouble(2) - 120.0) < 1e-9)
+    assert(r.getLong(3) > 3000L) // z in milli units, > 3.000 sd
+    // warm-up respected: 12 in-distribution rows produced no alerts
+    assert(rows.length === 1)
+  }
+
   test("in-order streams work with a zero-delay (ascending) watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Transaction]
