@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{GraftFunctions, TextFunctions}
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Fraud, RangeJoin, Similarity, Windows}
+import graft.operators.{Dedup, Fraud, RangeJoin, Relevance, Similarity, Windows}
 import graft.pipeline.{Mixer, Snapshots}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -393,6 +393,11 @@ object SparkEntry {
       counts.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
     }),
 
+    // corpus-wide TF-IDF (rational idf, integer micro units — see
+    // operators.Relevance for the engine-portability rationale)
+    "q_tfidf" -> ((s, dir) =>
+      Relevance.salientTerms(Tables.documents(s, dir), "doc_id", "text", 3)),
+
     "q_asof" -> ((s, dir) => {
       // point-in-time: each purchase matched to the user's latest
       // preceding (inclusive) click — genuinely interleaved streams
@@ -668,6 +673,41 @@ object SparkEntry {
         minPermille = 400, flag = "knn_recall_ok")
     }),
 
+    // SemDeDup composed end-to-end: kNN-graph edges >= tau -> duplicate
+    // components -> keep the min id of each. The exact columns
+    // (n_docs, survivors of the EXACT all-pairs closure) cross
+    // engines; the flag demands >=900-permille Jaccard agreement
+    // between the approximate and exact survivor SETS, computed
+    // Spark-side (same contract shape as the ann_* recall gates;
+    // measured 1000/1000 permille at sf0.01/sf0.1 with k=16).
+    // Truncation to top-k edges can only split components, so the
+    // approx path errs toward keeping extra docs — agreement measures
+    // exactly that drift.
+    "semantic_dedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = ivfModels.getOrElseUpdate(dir,
+        Similarity.ivfTrain(emb, "vec_id", "embedding",
+          nlist = 16, iters = 3, trainFraction = 0.25))
+      val approxKept = Similarity.semanticDedup(emb, "vec_id", "embedding",
+          minCosine = 0.3, k = 16, model, nprobe = 8)
+        .filter(col("kept") === 1).select(col("doc_id"))
+      val exactLab = Dedup.clusters(
+        Similarity.cosinePairs(emb, "vec_id", "embedding", 0.3),
+        "id_a", "id_b")
+      val exactKept = emb.select(col("vec_id").as("doc_id"))
+        .join(exactLab, Seq("doc_id"), "left")
+        .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+        .select(col("doc_id"))
+      val sets = exactKept.withColumn("in_e", lit(1))
+        .join(approxKept.withColumn("in_a", lit(1)), Seq("doc_id"), "full_outer")
+      val agree = sets.agg(
+        sum(when(col("in_e") === 1, 1).otherwise(0))
+          .cast(LongType).as("n_kept_exact"),
+        when(sum(when(col("in_e") === 1 && col("in_a") === 1, 1).otherwise(0))
+          * 1000 >= count(lit(1)) * 900, 1).otherwise(0).as("sem_agree_ok"))
+      emb.agg(count(lit(1)).cast(LongType).as("n_docs")).crossJoin(agree)
+    }),
+
     "lang_id" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         TextFunctions.langId(col("text")).as("lang_pred"),
@@ -819,6 +859,26 @@ object SparkEntry {
           when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
             .otherwise(col("text")).as("text"))
       Snapshots.corpusDelta(oldSnap, newSnap, "doc_id", "text")
+    }),
+
+    // CDC MERGE: a derived changeset (updates / deletes / inserts,
+    // disjoint by construction) applied to the documents snapshot
+    "merge_upsert" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val updates = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+          lit("U").as("op"))
+      val deletes = docs
+        .filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 11 === 3)
+        .select(col("doc_id"), lit(null).cast(StringType).as("text"),
+          lit("D").as("op"))
+      val inserts = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          lit("I").as("op"))
+      val changes = updates.unionByName(deletes).unionByName(inserts)
+      Snapshots.applyChangeset(docs.select("doc_id", "text"), changes,
+          "doc_id", "op")
+        .select(col("doc_id"), length(col("text")).as("n_chars_m"))
     }),
 
     // Gopher-style repetition quality signals; map-only HOF scan
@@ -1372,6 +1432,32 @@ object SparkEntry {
         |                                   ORDER BY n DESC, word) AS rnk FROM c)
         |SELECT source, word, n, rnk FROM r WHERE rnk <= 5""".stripMargin,
 
+    // rational-idf TF-IDF in integer micro units: BIGINT floor
+    // division mirrors Spark's `div` exactly
+    "q_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+        |       FROM tok GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.term,
+        |    (1000000 * t.tf * n.n_docs) // (d.dl * f.df) AS score_micro
+        |  FROM tf t
+        |  JOIN dl d USING (doc_id)
+        |  JOIN df f USING (term)
+        |  CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, score_micro,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY score_micro DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, rank, CAST(score_micro AS BIGINT) AS score_micro
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+
     "q_asof" ->
       """WITH p AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
@@ -1674,6 +1760,39 @@ object SparkEntry {
       """SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_exact_pairs,
         |  1 AS knn_recall_ok
         |FROM embeddings WHERE vec_id <= 9""".stripMargin,
+
+    // exact survivor count via the dedup_cosine pair CTEs + the
+    // dedup_clusters recursive closure; the agreement flag is a
+    // Spark-side contract (constant-true here)
+    "semantic_dedup" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(SUM(v*v)) AS nrm FROM d GROUP BY vec_id),
+        |dot AS (
+        |  SELECT x.vec_id AS id_a, y.vec_id AS id_b, SUM(x.v*y.v) AS dp
+        |  FROM d x JOIN d y ON x.i = y.i AND x.vec_id < y.vec_id
+        |  GROUP BY x.vec_id, y.vec_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM dot
+        |  JOIN n na ON na.vec_id = id_a
+        |  JOIN n nb ON nb.vec_id = id_b
+        |  WHERE dp / (na.nrm * nb.nrm) >= 0.3),
+        |e AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst),
+        |lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_docs,
+        |  CAST((SELECT COUNT(*) FROM embeddings)
+        |    - (SELECT COUNT(*) FROM lab WHERE id <> cluster_id)
+        |    AS BIGINT) AS n_kept_exact,
+        |  1 AS sem_agree_ok""".stripMargin,
 
     // same two-phase shape: the draw-cutoff prefilter is mirrored, so
     // rank-over-survivors is value-identical to the Spark plan
@@ -2167,6 +2286,24 @@ object SparkEntry {
         |       WHEN o.text = n.text THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM old o FULL OUTER JOIN new n ON n.doc_id = o.doc_id""".stripMargin,
+
+    // the same changeset, applied: upserts override, deletes drop,
+    // untouched base rows pass through
+    "merge_upsert" ->
+      """WITH chg AS (
+        |  SELECT doc_id, text || ' v2' AS text, 'U' AS op
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id, NULL AS text, 'D' AS op
+        |  FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 11 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text, 'I' AS op
+        |  FROM documents WHERE doc_id % 13 = 0)
+        |SELECT COALESCE(c.doc_id, b.doc_id) AS doc_id,
+        |  CAST(length(CASE WHEN c.op IS NOT NULL THEN c.text
+        |                   ELSE b.text END) AS BIGINT) AS n_chars_m
+        |FROM documents b FULL OUTER JOIN chg c ON c.doc_id = b.doc_id
+        |WHERE c.op IS NULL OR c.op <> 'D'""".stripMargin,
 
     // duplicate-word / duplicate-bigram permille, integer-exact
     "text_repetition" ->

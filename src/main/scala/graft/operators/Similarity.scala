@@ -489,4 +489,39 @@ object Similarity {
       .select(col("q_id"), col("id").as("neighbor_id"), col("rank"),
         round(col("sim"), 3).as("cosine"))
   }
+
+  /** SemDeDup-style embedding-space deduplication: drop all but one
+    * document from every group of semantically near-identical ones,
+    * where "near-identical" is cosine >= `minCosine` in embedding
+    * space — the pass that removes paraphrases and re-crawls exact
+    * and n-gram dedup cannot see.
+    *
+    * Scale shape: candidate pairs come from [[knnGraph]] (IVF-list
+    * equi-join, never an n² self-join), so each vector is compared
+    * only against its probed-list cohabitants and only its top-k
+    * edges survive; components over those edges form the duplicate
+    * groups (transitive closure, like [[Dedup.clusters]]); the
+    * minimum id in each component is kept. Truncating to top-k edges
+    * can only SPLIT a component (never merge two), so the
+    * approximation errs toward keeping extra documents — the safe
+    * direction for a dedup pass. Agreement with the exact
+    * ([[cosinePairs]] + closure) answer is contract-checked in the
+    * gate query and the spec.
+    *
+    * Output: `(doc_id, cluster_id, kept)` for EVERY input vector —
+    * unpaired vectors are their own singleton cluster and are kept.
+    */
+  def semanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
+                    minCosine: Double, k: Int, model: IvfModel,
+                    nprobe: Int = 4): DataFrame = {
+    val edges = knnGraph(embeddings, idCol, vecCol, k, model, nprobe)
+      .filter(col("cosine") >= minCosine)
+      .select(col("id"), col("neighbor_id"))
+    val labels = Dedup.clusters(edges, "id", "neighbor_id")
+    embeddings.select(col(idCol).as("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("kept", (col("cluster_id") === col("doc_id")).cast(IntegerType))
+  }
 }

@@ -35,4 +35,35 @@ object Snapshots {
             lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
+
+  /** Apply a keyed changeset to a snapshot — the MERGE / CDC-apply
+    * primitive behind incremental corpus refresh (upsert the
+    * re-crawls, drop the takedowns, keep the rest).
+    *
+    * `changes` carries the base's columns plus `opCol` ∈
+    * {"I","U","D"}: I/U rows replace (or introduce) the base row with
+    * their key; D rows delete it; base rows with no change pass
+    * through. Deletes of absent keys are no-ops. At most one change
+    * row per key (last-writer-wins conflation is the upstream CDC
+    * reader's job, as in any lakehouse MERGE).
+    *
+    * Scale shape: ONE full-outer join on the key column — data
+    * columns ride the join but only the key shuffles wide tables
+    * against each other; a typical changeset is a small fraction of
+    * the snapshot, so AQE broadcasts it and the snapshot side never
+    * shuffles at all.
+    */
+  def applyChangeset(base: DataFrame, changes: DataFrame,
+                     keyCol: String, opCol: String): DataFrame = {
+    val dataCols = base.columns.filterNot(_ == keyCol).toSeq
+    val b = base.select(col(keyCol) +:
+      dataCols.map(c => col(c).as(s"_b_$c")): _*)
+    val c = changes.select(col(keyCol) +: col(opCol).as("_op") +:
+      dataCols.map(c2 => col(c2).as(s"_c_$c2")): _*)
+    b.join(c, Seq(keyCol), "full_outer")
+      .filter(col("_op").isNull || col("_op") =!= "D")
+      .select(col(keyCol) +: dataCols.map(c2 =>
+        when(col("_op").isNotNull, col(s"_c_$c2"))
+          .otherwise(col(s"_b_$c2")).as(c2)): _*)
+  }
 }

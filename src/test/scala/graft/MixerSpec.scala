@@ -158,4 +158,19 @@ class MixerSpec extends AnyFunSuite with SparkSpec {
     assert(got === Map(1L -> "removed", 2L -> "unchanged",
       3L -> "changed", 4L -> "added"))
   }
+
+  test("changeset apply: upsert overrides, delete drops, rest passes") {
+    import spark.implicits._
+    val base = Seq(1L -> "one", 2L -> "two", 3L -> "three")
+      .toDF("doc_id", "text")
+    val changes = Seq(
+      (2L, "two v2", "U"), // update existing
+      (3L, null, "D"),     // delete existing
+      (4L, "four", "I"),   // insert new
+      (9L, null, "D"))     // delete of an absent key: no-op
+      .toDF("doc_id", "text", "op")
+    val got = Snapshots.applyChangeset(base, changes, "doc_id", "op")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "one", 2L -> "two v2", 4L -> "four"))
+  }
 }

@@ -158,6 +158,26 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(back.centroids.map(_.toSeq).toSeq === model.centroids.map(_.toSeq).toSeq)
   }
 
+  test("semantic dedup drops planted duplicates, keeps everything else") {
+    val dup = emb.limit(5)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val all = emb.select("vec_id", "embedding").unionByName(dup)
+    val model = Similarity.ivfTrain(all, "vec_id", "embedding",
+      nlist = 8, iters = 3)
+    // tau high enough that ONLY the planted exact copies pair up
+    val out = Similarity.semanticDedup(all, "vec_id", "embedding",
+      minCosine = 0.999, k = 4, model, nprobe = 8)
+    assert(out.count() === all.count()) // every vector classified once
+    // each planted copy clusters under its original (the min id) and
+    // is dropped; originals and all unpaired vectors are kept
+    assert(out.filter(col("doc_id") >= 1000000L)
+      .filter(col("cluster_id") =!= col("doc_id") - 1000000L ||
+        col("kept") =!= 0).count() === 0)
+    assert(out.filter(col("doc_id") < 1000000L)
+      .filter(col("kept") =!= 1 || col("cluster_id") =!= col("doc_id"))
+      .count() === 0)
+  }
+
   test("identical vectors have cosine 1") {
     val dup = emb.limit(5)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
