@@ -673,23 +673,23 @@ object SparkEntry {
         minPermille = 400, flag = "knn_recall_ok")
     }),
 
-    // SemDeDup composed end-to-end: kNN-graph edges >= tau -> duplicate
-    // components -> keep the min id of each. The exact columns
-    // (n_docs, survivors of the EXACT all-pairs closure) cross
-    // engines; the flag demands >=900-permille Jaccard agreement
-    // between the approximate and exact survivor SETS, computed
-    // Spark-side (same contract shape as the ann_* recall gates;
-    // measured 1000/1000 permille at sf0.01/sf0.1 with k=16).
-    // Truncation to top-k edges can only split components, so the
-    // approx path errs toward keeping extra docs — agreement measures
-    // exactly that drift.
+    // SemDeDup composed end-to-end: IVF-bucketed candidate pairs >=
+    // tau -> duplicate components -> keep the min id of each. The
+    // exact columns (n_docs, survivors of the EXACT all-pairs
+    // closure) cross engines; the flag demands >=900-permille Jaccard
+    // agreement between the approximate and exact survivor SETS,
+    // computed Spark-side (same contract shape as the ann_* recall
+    // gates; measured 1000/1000 permille at sf0.01/sf0.1 at
+    // nprobe=8). Unprobed cross-list pairs can only split components,
+    // so the approx path errs toward keeping extra docs — agreement
+    // measures exactly that drift.
     "semantic_dedup" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val model = ivfModels.getOrElseUpdate(dir,
         Similarity.ivfTrain(emb, "vec_id", "embedding",
           nlist = 16, iters = 3, trainFraction = 0.25))
       val approxKept = Similarity.semanticDedup(emb, "vec_id", "embedding",
-          minCosine = 0.3, k = 16, model, nprobe = 8)
+          minCosine = 0.3, model, nprobe = 8)
         .filter(col("kept") === 1).select(col("doc_id"))
       val exactLab = Dedup.clusters(
         Similarity.cosinePairs(emb, "vec_id", "embedding", 0.3),

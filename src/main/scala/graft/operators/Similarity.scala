@@ -496,28 +496,51 @@ object Similarity {
     * space — the pass that removes paraphrases and re-crawls exact
     * and n-gram dedup cannot see.
     *
-    * Scale shape: candidate pairs come from [[knnGraph]] (IVF-list
-    * equi-join, never an n² self-join), so each vector is compared
-    * only against its probed-list cohabitants and only its top-k
-    * edges survive; components over those edges form the duplicate
-    * groups (transitive closure, like [[Dedup.clusters]]); the
-    * minimum id in each component is kept. Truncating to top-k edges
-    * can only SPLIT a component (never merge two), so the
-    * approximation errs toward keeping extra documents — the safe
-    * direction for a dedup pass. Agreement with the exact
-    * ([[cosinePairs]] + closure) answer is contract-checked in the
-    * gate query and the spec.
+    * Scale shape: candidate pairs come from the same IVF-list
+    * equi-join as [[knnGraph]] (each vector is assigned to its
+    * nearest list once and probes its `nprobe` nearest lists — never
+    * an n² self-join), but clustering needs CONNECTIVITY, not ranked
+    * neighbors, so no top-k aggregation runs at all: every candidate
+    * pair at or above the threshold is an edge (a pair can meet in
+    * either side's probed lists, so both join orientations are kept
+    * and normalized to `(least, greatest)` — [[Dedup.clusters]]
+    * dedups), and the edge stream goes straight into the transitive
+    * closure; the
+    * minimum id in each component is kept. Probing misses only
+    * cross-list pairs neither side probes — the approximation can
+    * only SPLIT a component (never merge two), so it errs toward
+    * keeping extra documents, the safe direction for a dedup pass.
+    * Agreement with the exact ([[cosinePairs]] + closure) answer is
+    * contract-checked in the gate query and the spec.
     *
     * Output: `(doc_id, cluster_id, kept)` for EVERY input vector —
     * unpaired vectors are their own singleton cluster and are kept.
     */
   def semanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
-                    minCosine: Double, k: Int, model: IvfModel,
+                    minCosine: Double, model: IvfModel,
                     nprobe: Int = 4): DataFrame = {
-    val edges = knnGraph(embeddings, idCol, vecCol, k, model, nprobe)
-      .filter(col("cosine") >= minCosine)
-      .select(col("id"), col("neighbor_id"))
-    val labels = Dedup.clusters(edges, "id", "neighbor_id")
+    val centroids = model.centroids
+    val e = withNorm(embeddings, vecCol)
+      .select(col(idCol).as("id"), col("vecd"), col("nrm"))
+      .withColumn("cl", assignCol(centroids))
+      .persist()
+    e.count() // eager: both sides of the candidate join consume this
+    val probes = {
+      val scored = transform(centLit(centroids), (c, i) =>
+        struct((c.getField("_1") - lit(2.0) * dot(col("vecd"), c.getField("_2")))
+          .as("d"), i.as("i")))
+      transform(slice(array_sort(scored), 1, nprobe), s => s.getField("i"))
+    }
+    val probed = e
+      .select(col("id").as("q_id"), col("vecd").as("q_vec"),
+        col("nrm").as("q_nrm"), explode(probes).as("q_cl"))
+    val edges = e.join(probed,
+        col("cl") === col("q_cl") && col("id") =!= col("q_id"))
+      .filter(cosinePrenormed(col("vecd"), col("q_vec"),
+        col("nrm"), col("q_nrm")) >= minCosine)
+      .select(least(col("id"), col("q_id")).as("src"),
+        greatest(col("id"), col("q_id")).as("dst"))
+    val labels = Dedup.clusters(edges, "src", "dst")
     embeddings.select(col(idCol).as("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -166,7 +166,7 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       nlist = 8, iters = 3)
     // tau high enough that ONLY the planted exact copies pair up
     val out = Similarity.semanticDedup(all, "vec_id", "embedding",
-      minCosine = 0.999, k = 4, model, nprobe = 8)
+      minCosine = 0.999, model, nprobe = 8)
     assert(out.count() === all.count()) // every vector classified once
     // each planted copy clusters under its original (the min id) and
     // is dropped; originals and all unpaired vectors are kept
