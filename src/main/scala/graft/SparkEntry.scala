@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{GraftFunctions, TextFunctions}
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Fraud, RangeJoin, Relevance, Similarity, Windows}
+import graft.operators.{Dedup, Fraud, FuzzyMatch, RangeJoin, Relevance, Similarity, Windows}
 import graft.pipeline.{Mixer, Snapshots}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -397,6 +397,12 @@ object SparkEntry {
     // operators.Relevance for the engine-portability rationale)
     "q_tfidf" -> ((s, dir) =>
       Relevance.salientTerms(Tables.documents(s, dir), "doc_id", "text", 3)),
+
+    // typo-level variants in the part-name DICTIONARY (distinct
+    // values, first-token blocking, exact levenshtein verify — see
+    // operators.FuzzyMatch for the blocking contract)
+    "q_fuzzy_match" -> ((s, dir) =>
+      FuzzyMatch.dictionaryPairs(Tables.part(s, dir), "p_name", 3)),
 
     "q_asof" -> ((s, dir) => {
       // point-in-time: each purchase matched to the user's latest
@@ -1083,6 +1089,30 @@ object SparkEntry {
           min(col("c")).as("min_c"), max(col("c")).as("max_c"))
     }),
 
+    // per-GROUP quantile calibration: per-language quality quartile
+    // edges (one nlang-row table) broadcast to a map-only binning
+    // pass — quantile normalization with no window sort anywhere;
+    // quality rides as exact milli units (DECIMAL(4,3)·1000)
+    "q_quality_calib" -> ((s, dir) => {
+      val qm = (dec(TextFunctions.qualityScore(col("text")), 4, 3) * 1000)
+        .cast(LongType)
+      val d = Tables.documents(s, dir).select(col("lang"), qm.as("qm"))
+      val edges = d.groupBy("lang").agg(
+        floor(expr("percentile(qm, 0.25)")).cast(LongType).as("q1"),
+        floor(expr("percentile(qm, 0.5)")).cast(LongType).as("q2"),
+        floor(expr("percentile(qm, 0.75)")).cast(LongType).as("q3"))
+      d.join(broadcast(edges), "lang")
+        .select(col("lang"),
+          when(col("qm") <= col("q1"), 1)
+            .when(col("qm") <= col("q2"), 2)
+            .when(col("qm") <= col("q3"), 3).otherwise(4).as("bin"),
+          col("qm"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("qm")).cast(LongType).as("sum_qm"),
+          min(col("qm")).as("min_qm"), max(col("qm")).as("max_qm"))
+    }),
+
     // deterministic train/val/test assignment (80/10/10) by integer
     // Lehmer draw on the doc id — the reproducible-split primitive
     // every training pipeline needs; the integer keep test makes the
@@ -1457,6 +1487,19 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, term, rank, CAST(score_micro AS BIGINT) AS score_micro
         |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // same first-token blocking, then exact levenshtein — DuckDB's
+    // and Spark's edit distances are the identical DP integers
+    "q_fuzzy_match" ->
+      """WITH names AS (
+        |  SELECT DISTINCT p_name AS name,
+        |    string_split(p_name, ' ')[1] AS blk
+        |  FROM part)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  levenshtein(a.name, b.name) AS dist
+        |FROM names a JOIN names b
+        |  ON a.blk = b.blk AND a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 3""".stripMargin,
 
     "q_asof" ->
       """WITH p AS (
@@ -2473,6 +2516,35 @@ object SparkEntry {
         |  MIN(c.c) AS min_c, MAX(c.c) AS max_c
         |FROM c CROSS JOIN q
         |GROUP BY 1""".stripMargin,
+
+    // per-language quartile edges over the (gate-proven) quality
+    // formula in exact milli units, then the same broadcast-binning
+    // rollup as q_equidepth
+    "q_quality_calib" ->
+      """WITH qd AS (
+        |  SELECT lang,
+        |    CAST(CAST(round(
+        |      least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4 +
+        |      (CASE WHEN round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |          / greatest(len(string_split(text, ' ')), 1), 3)
+        |          BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END) * 0.3 +
+        |      least(round(CAST(len(list_filter(string_split(text, ' '),
+        |            w -> w IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |          / greatest(len(string_split(text, ' ')), 1), 3) * 4.0, 1.0) * 0.3,
+        |    3) AS DECIMAL(4,3)) * 1000 AS BIGINT) AS qm
+        |  FROM documents),
+        |q AS (SELECT lang,
+        |  CAST(floor(quantile_cont(qm, 0.25)) AS BIGINT) AS q1,
+        |  CAST(floor(quantile_cont(qm, 0.5)) AS BIGINT) AS q2,
+        |  CAST(floor(quantile_cont(qm, 0.75)) AS BIGINT) AS q3
+        |  FROM qd GROUP BY lang)
+        |SELECT qd.lang,
+        |  CASE WHEN qd.qm <= q.q1 THEN 1 WHEN qd.qm <= q.q2 THEN 2
+        |       WHEN qd.qm <= q.q3 THEN 3 ELSE 4 END AS bin,
+        |  COUNT(*) AS n, CAST(SUM(qd.qm) AS BIGINT) AS sum_qm,
+        |  MIN(qd.qm) AS min_qm, MAX(qd.qm) AS max_qm
+        |FROM qd JOIN q USING (lang)
+        |GROUP BY 1, 2""".stripMargin,
 
     "split_assign" ->
       """WITH t AS (
