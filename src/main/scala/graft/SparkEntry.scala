@@ -887,6 +887,35 @@ object SparkEntry {
         .select(col("doc_id"), length(col("text")).as("n_chars_m"))
     }),
 
+    // incremental VIEW MAINTENANCE: the per-source (count, token-sum)
+    // view folded forward under the same changeset family — Spark
+    // computes view + delta (no base re-aggregation), the oracle
+    // recomputes the merged snapshot from scratch; equality proves
+    // the incremental path exact
+    "q_view_maintain" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = size(split(col("text"), " ")).cast(LongType)
+      val base = docs.select(col("doc_id"), col("source"), toks.as("m"))
+      val view = base.groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("m")).cast(LongType).as("sum_m"))
+      // " v2" appends exactly one token to a nonempty text
+      val updates = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("source"), (toks + 1).as("m"),
+          lit("U").as("op"))
+      val deletes = docs
+        .filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 11 === 3)
+        .select(col("doc_id"), col("source"), lit(0L).as("m"),
+          lit("D").as("op"))
+      val inserts = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+          toks.as("m"), lit("I").as("op"))
+      val changes = updates.unionByName(deletes).unionByName(inserts)
+      Snapshots.incrementalAgg(view, base, changes,
+          "doc_id", "op", "source", "m")
+        .select(col("source"), col("n").as("n_docs"),
+          col("sum_m").as("sum_tokens"))
+    }),
+
     // Gopher-style repetition quality signals; map-only HOF scan
     "text_repetition" -> ((s, dir) =>
       TextFunctions.repetitionStats(Tables.documents(s, dir),
@@ -968,6 +997,45 @@ object SparkEntry {
         .join(counts, Seq("event_type", "hr"), "left")
         .select(col("event_type"), col("hr"),
           coalesce(col("n"), lit(0L)).as("n"))
+    }),
+
+    // time-series GAP FILL with linear interpolation: missing hours
+    // take the integer-exact line between the nearest real points
+    // (hold/backfill at the edges). Interpolation is multiply-then-
+    // integer-divide on exact cents — both engines truncate toward
+    // zero — so filled values are engine-exact where a float slope
+    // would drift. Per-series windows sort each series' own hours,
+    // never the corpus.
+    "q_interpolate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      val e = ev.select(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 3600).cast(LongType).as("hr"),
+        (dec(col("value"), 10, 2) * 100).cast(LongType).as("c"))
+      val hours = e.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"))).as("hr"))
+      val types = e.select(col("event_type")).distinct()
+      val sums = e.groupBy(col("event_type"), col("hr"))
+        .agg(sum(col("c")).cast(LongType).as("c"))
+      val grid = types.crossJoin(hours)
+        .join(sums, Seq("event_type", "hr"), "left")
+      val back = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val markedHr = when(col("c").isNotNull, col("hr"))
+      grid
+        .withColumn("pc", last(col("c"), ignoreNulls = true).over(back))
+        .withColumn("ph", last(markedHr, ignoreNulls = true).over(back))
+        .withColumn("nc", first(col("c"), ignoreNulls = true).over(fwd))
+        .withColumn("nh", first(markedHr, ignoreNulls = true).over(fwd))
+        .select(col("event_type"), col("hr"),
+          when(col("c").isNotNull, col("c"))
+            .when(col("pc").isNotNull && col("nc").isNotNull,
+              col("pc") + expr("(nc - pc) * (hr - ph) div (nh - ph)"))
+            .when(col("pc").isNotNull, col("pc"))
+            .otherwise(col("nc")).as("c_interp"),
+          when(col("c").isNotNull, 0).otherwise(1).as("filled"))
     }),
 
     // audio DSP through a real RIFF/WAVE round trip: deterministic
@@ -2085,6 +2153,45 @@ object SparkEntry {
         |FROM t CROSS JOIN b
         |LEFT JOIN c ON c.event_type = t.event_type AND c.hr = b.hr""".stripMargin,
 
+    // same grid; interpolation in exact cents with truncating integer
+    // division (DuckDB // and Spark div both truncate toward zero)
+    "q_interpolate" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+        |    CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |b AS (SELECT unnest(generate_series(MIN(hr), MAX(hr))) AS hr FROM e),
+        |t AS (SELECT DISTINCT event_type FROM e),
+        |s AS (SELECT event_type, hr, CAST(SUM(c) AS BIGINT) AS c
+        |      FROM e GROUP BY 1, 2),
+        |g AS (
+        |  SELECT t.event_type, b.hr, s.c
+        |  FROM t CROSS JOIN b
+        |  LEFT JOIN s ON s.event_type = t.event_type AND s.hr = b.hr),
+        |w AS (
+        |  SELECT event_type, hr, c,
+        |    last_value(c IGNORE NULLS) OVER pre AS pc,
+        |    last_value(CASE WHEN c IS NOT NULL THEN hr END IGNORE NULLS)
+        |      OVER pre AS ph,
+        |    first_value(c IGNORE NULLS) OVER post AS nc,
+        |    first_value(CASE WHEN c IS NOT NULL THEN hr END IGNORE NULLS)
+        |      OVER post AS nh
+        |  FROM g
+        |  WINDOW
+        |    pre AS (PARTITION BY event_type ORDER BY hr
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    post AS (PARTITION BY event_type ORDER BY hr
+        |             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, hr,
+        |  CASE WHEN c IS NOT NULL THEN c
+        |       WHEN pc IS NOT NULL AND nc IS NOT NULL
+        |         THEN pc + (nc - pc) * (hr - ph) // (nh - ph)
+        |       WHEN pc IS NOT NULL THEN pc
+        |       ELSE nc END AS c_interp,
+        |  CASE WHEN c IS NOT NULL THEN 0 ELSE 1 END AS filled
+        |FROM w""".stripMargin,
+
     "text_scrub" ->
       """WITH p AS (
         |  SELECT doc_id,
@@ -2347,6 +2454,29 @@ object SparkEntry {
         |                   ELSE b.text END) AS BIGINT) AS n_chars_m
         |FROM documents b FULL OUTER JOIN chg c ON c.doc_id = b.doc_id
         |WHERE c.op IS NULL OR c.op <> 'D'""".stripMargin,
+
+    // ground truth for the incremental view: full re-aggregation of
+    // the merged snapshot
+    "q_view_maintain" ->
+      """WITH chg AS (
+        |  SELECT doc_id, source, text || ' v2' AS text, 'U' AS op
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id, source, NULL AS text, 'D' AS op
+        |  FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 11 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, source, text, 'I' AS op
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |merged AS (
+        |  SELECT COALESCE(c.doc_id, b.doc_id) AS doc_id,
+        |    CASE WHEN c.op IS NOT NULL THEN c.source ELSE b.source END
+        |      AS source,
+        |    CASE WHEN c.op IS NOT NULL THEN c.text ELSE b.text END AS text
+        |  FROM documents b FULL OUTER JOIN chg c ON c.doc_id = b.doc_id
+        |  WHERE c.op IS NULL OR c.op <> 'D')
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+        |FROM merged GROUP BY source""".stripMargin,
 
     // duplicate-word / duplicate-bigram permille, integer-exact
     "text_repetition" ->

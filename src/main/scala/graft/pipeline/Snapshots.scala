@@ -66,4 +66,50 @@ object Snapshots {
         when(col("_op").isNotNull, col(s"_c_$c2"))
           .otherwise(col(s"_b_$c2")).as(c2)): _*)
   }
+
+  /** Incremental materialized-view maintenance for the algebraic
+    * aggregates (COUNT + SUM): fold a keyed I/U/D changeset into an
+    * existing grouped view WITHOUT re-aggregating the base — the
+    * operation that keeps corpus-level statistics current through
+    * daily ingest at a cost proportional to the CHANGESET, not the
+    * 100 TB corpus.
+    *
+    * `view` is `(groupCol, n, sum_m)` as produced by
+    * `base.groupBy(groupCol).agg(count, sum(measureCol))`. Old group
+    * and measure values for U/D rows come from ONE keyed left join
+    * against `base` — changeset-sized probe, never a base scan-and-
+    * re-aggregate; group MOVES (an update that changes the group)
+    * are handled by subtracting at the old group and adding at the
+    * new. Same changeset contract as [[applyChangeset]]: at most one
+    * change row per key, `I` only for absent keys.
+    *
+    * Algebraic means exactly invertible: COUNT and SUM deltas
+    * compose; MIN/MAX would not (a deleted extremum needs a rescan),
+    * which is why the view carries sums and derives averages
+    * downstream.
+    */
+  def incrementalAgg(view: DataFrame, base: DataFrame, changes: DataFrame,
+                     keyCol: String, opCol: String, groupCol: String,
+                     measureCol: String): DataFrame = {
+    val old = changes.select(col(keyCol), col(opCol).as("_op"))
+      .join(base.select(col(keyCol), col(groupCol).as("_og"),
+        col(measureCol).as("_om")), Seq(keyCol), "left")
+    val minus = old
+      .filter(col("_op").isin("U", "D") && col("_og").isNotNull)
+      .select(col("_og").as(groupCol), lit(-1L).as("_dn"),
+        (-col("_om")).as("_dm"))
+    val plus = changes.filter(col(opCol).isin("U", "I"))
+      .select(col(groupCol), lit(1L).as("_dn"),
+        col(measureCol).as("_dm"))
+    val delta = minus.unionByName(plus)
+      .groupBy(groupCol)
+      .agg(sum(col("_dn")).as("_dn"), sum(col("_dm")).as("_dm"))
+    view.join(delta, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("_dn"), lit(0L)))
+          .as("n"),
+        (coalesce(col("sum_m"), lit(0L)) + coalesce(col("_dm"), lit(0L)))
+          .as("sum_m"))
+      .filter(col("n") > 0)
+  }
 }

@@ -173,4 +173,24 @@ class MixerSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got === Map(1L -> "one", 2L -> "two v2", 4L -> "four"))
   }
+
+  test("incremental agg equals full recompute, including group moves") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+      .toDF("id", "grp", "m")
+    val view = base.groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("m")).cast("long").as("sum_m"))
+    val changes = Seq(
+      (2L, "b", 25L, "U"), // group MOVE a -> b with a new measure
+      (3L, "b", 0L, "D"),  // delete the only other b row
+      (4L, "c", 40L, "I")) // new group entirely
+      .toDF("id", "grp", "m", "op")
+    val got = Snapshots.incrementalAgg(view, base, changes,
+        "id", "op", "grp", "m")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // recompute ground truth: a={1:10}, b={2:25}, c={4:40}
+    assert(got === Map("a" -> (1L, 10L), "b" -> (1L, 25L),
+      "c" -> (1L, 40L)))
+  }
 }
