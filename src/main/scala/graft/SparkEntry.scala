@@ -1157,6 +1157,65 @@ object SparkEntry {
           min(col("c")).as("min_c"), max(col("c")).as("max_c"))
     }),
 
+    // chi-square independence test lang × source over the FULL
+    // contingency grid (zero cells included): every count is an exact
+    // integer, expected values and per-cell contributions apply one
+    // fixed double formula to those integers (q_corr pattern), so the
+    // milli-unit outputs are engine-exact. Row/column marginals are
+    // group-count-sized and broadcast.
+    "q_chi2" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cells = docs.groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      val rows = docs.groupBy("lang").agg(count(lit(1)).as("nr"))
+      val cols = docs.groupBy("source").agg(count(lit(1)).as("nc"))
+      val tot = docs.agg(count(lit(1)).as("nt"))
+      rows.crossJoin(broadcast(cols)).crossJoin(broadcast(tot))
+        .join(broadcast(cells), Seq("lang", "source"), "left")
+        .select(col("lang"), col("source"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          expr("""CAST(round(1000.0 *
+                 |  CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)
+                 |  / CAST(nt AS DOUBLE)) AS BIGINT)""".stripMargin
+            .replace("\n", " ")).as("expected_pml"),
+          expr("""CAST(round(1000.0 *
+                 |  (CAST(coalesce(n, 0) AS DOUBLE)
+                 |    - CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)
+                 |      / CAST(nt AS DOUBLE))
+                 |  * (CAST(coalesce(n, 0) AS DOUBLE)
+                 |    - CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)
+                 |      / CAST(nt AS DOUBLE))
+                 |  / (CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)
+                 |      / CAST(nt AS DOUBLE))) AS BIGINT)""".stripMargin
+            .replace("\n", " ")).as("chi2_pml"))
+    }),
+
+    // data-quality audit: referential integrity + constraint checks
+    // as one long-format report (each check is an independent
+    // aggregate; anti joins carry keys only)
+    "q_integrity" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val customer = Tables.customer(s, dir)
+      val lineitem = Tables.lineitem(s, dir)
+      val part = Tables.part(s, dir)
+      val events = Tables.events(s, dir)
+      def check(tag: String, d: DataFrame): DataFrame =
+        d.agg(count(lit(1)).cast(LongType).as("violations"))
+          .select(lit(tag).as("check"), col("violations"))
+      check("orphan_orders",
+          orders.join(customer, orders("o_custkey") === customer("c_custkey"),
+            "left_anti"))
+        .unionByName(check("orphan_lineitems",
+          lineitem.join(orders, lineitem("l_orderkey") === orders("o_orderkey"),
+            "left_anti")))
+        .unionByName(check("dup_partkeys",
+          part.groupBy("p_partkey").agg(count(lit(1)).as("c"))
+            .filter(col("c") > 1)))
+        .unionByName(check("null_event_values",
+          events.filter(col("value").isNull)))
+        .unionByName(check("nonpositive_quantities",
+          lineitem.filter(col("l_quantity") <= 0)))
+    }),
+
     // per-GROUP quantile calibration: per-language quality quartile
     // edges (one nlang-row table) broadcast to a map-only binning
     // pass — quantile normalization with no window sort anywhere;
@@ -2646,6 +2705,50 @@ object SparkEntry {
         |  MIN(c.c) AS min_c, MAX(c.c) AS max_c
         |FROM c CROSS JOIN q
         |GROUP BY 1""".stripMargin,
+
+    // full grid via marginal cross join; identical fixed double
+    // formula over the same exact integers
+    "q_chi2" ->
+      """WITH cells AS (
+        |  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, COUNT(*) AS nr FROM documents GROUP BY lang),
+        |c AS (SELECT source, COUNT(*) AS nc FROM documents GROUP BY source),
+        |t AS (SELECT COUNT(*) AS nt FROM documents)
+        |SELECT r.lang, c.source, COALESCE(cells.n, 0) AS n,
+        |  CAST(round(1000.0 * CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)
+        |    / CAST(nt AS DOUBLE)) AS BIGINT) AS expected_pml,
+        |  CAST(round(1000.0 *
+        |    (CAST(COALESCE(cells.n, 0) AS DOUBLE)
+        |      - CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE))
+        |    * (CAST(COALESCE(cells.n, 0) AS DOUBLE)
+        |      - CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE))
+        |    / (CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE)))
+        |    AS BIGINT) AS chi2_pml
+        |FROM r CROSS JOIN c CROSS JOIN t
+        |LEFT JOIN cells ON cells.lang = r.lang AND cells.source = c.source""".stripMargin,
+
+    "q_integrity" ->
+      """SELECT 'orphan_orders' AS check,
+        |  CAST(COUNT(*) AS BIGINT) AS violations
+        |FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                  WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'orphan_lineitems',
+        |  CAST(COUNT(*) AS BIGINT)
+        |FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'dup_partkeys', CAST(COUNT(*) AS BIGINT)
+        |FROM (SELECT p_partkey FROM part
+        |      GROUP BY p_partkey HAVING COUNT(*) > 1)
+        |UNION ALL
+        |SELECT 'null_event_values', CAST(COUNT(*) AS BIGINT)
+        |FROM events WHERE value IS NULL
+        |UNION ALL
+        |SELECT 'nonpositive_quantities', CAST(COUNT(*) AS BIGINT)
+        |FROM lineitem WHERE l_quantity <= 0""".stripMargin,
 
     // per-language quartile edges over the (gate-proven) quality
     // formula in exact milli units, then the same broadcast-binning

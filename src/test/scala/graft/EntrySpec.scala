@@ -33,7 +33,11 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
       "ann_ivf", "dedup_cosine", "mix_temperature", "q_gen_series",
       "q_scalar_filter", "q_approx",
       "q_equidepth", // 1-row broadcast quartile edges × events
-      "ann_knn_graph") // brute-force side of the recall contract
+      "ann_knn_graph", // brute-force side of the recall contract
+      "semantic_dedup", // exact all-pairs side of the agreement contract
+      "q_tfidf", // 1-row broadcast corpus count × scored terms
+      "q_interpolate", // type × hour scaffold (q_gen_series shape)
+      "q_chi2") // marginal grid: langs × broadcast sources × 1-row total
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
