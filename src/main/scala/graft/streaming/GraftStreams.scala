@@ -45,4 +45,59 @@ object GraftStreams {
       }
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** One CDC micro-batch: read the latest snapshot version BELOW this
+    * batch id (a retry must fold from the same base it saw the first
+    * time, never from its own half-written output), apply the
+    * changeset, overwrite `v=<batchId>`. Same base + same batch →
+    * same bytes, so at-least-once foreachBatch becomes exactly-once
+    * snapshot maintenance.
+    */
+  private[graft] def applyCdcBatch(batch: DataFrame, batchId: Long,
+                                   path: String, keyCol: String,
+                                   opCol: String): Unit = {
+    val spark = batch.sparkSession
+    val baseSchema = org.apache.spark.sql.types.StructType(
+      batch.schema.filterNot(_.name == opCol))
+    val base = latestVersionBelow(spark, path, batchId) match {
+      case Some(p) => spark.read.schema(baseSchema).parquet(p)
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], baseSchema)
+    }
+    graft.pipeline.Snapshots.applyChangeset(base, batch, keyCol, opCol)
+      .write.mode("overwrite").parquet(s"$path/v=$batchId")
+  }
+
+  private def latestVersionBelow(spark: SparkSession, path: String,
+                                 batchId: Long): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+      .filter(_ < batchId)
+      .sorted.lastOption
+      .map(v => s"$path/v=$v")
+  }
+
+  /** Streaming CDC apply — fold a stream of keyed I/U/D change rows
+    * into a continuously maintained snapshot TABLE (the streaming
+    * face of [[graft.pipeline.Snapshots.applyChangeset]]): each
+    * micro-batch produces snapshot version `v=<batchId>` from the
+    * previous version plus the batch's changes; readers take the
+    * highest version. Within a batch the changeset contract is the
+    * batch one (at most one change row per key — conflation is the
+    * upstream CDC reader's job). Old versions are the retention/
+    * time-travel knob, compacted away by `GraftSinks.compact`-style
+    * maintenance.
+    */
+  def cdcSnapshotSink(changes: DataFrame, path: String, checkpoint: String,
+                      keyCol: String, opCol: String): StreamingQuery =
+    changes.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCdcBatch(batch, batchId, path, keyCol, opCol)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

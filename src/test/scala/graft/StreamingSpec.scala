@@ -170,6 +170,37 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(written.filter(col("batch_id") === 0).count() === 5)
   }
 
+  test("streaming CDC apply maintains a snapshot across batches, " +
+      "retries idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val input = MemoryStream[(Long, String, String)]
+    val q = GraftStreams.cdcSnapshotSink(
+      input.toDF().toDF("doc_id", "text", "op"),
+      s"$dir/snap", s"$dir/ckpt", "doc_id", "op")
+    try {
+      input.addData((1L, "one", "I"), (2L, "two", "I"), (3L, "three", "I"))
+      q.processAllAvailable()
+      input.addData((2L, "two v2", "U"), (3L, null, "D"), (4L, "four", "I"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // v=0 holds the first batch, v=1 the folded state
+    val v0 = spark.read.parquet(s"$dir/snap/v=0")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v0 === Map(1L -> "one", 2L -> "two", 3L -> "three"))
+    val v1 = spark.read.parquet(s"$dir/snap/v=1")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v1 === Map(1L -> "one", 2L -> "two v2", 4L -> "four"))
+    // a RETRY of batch 1 folds from v=0 again — byte-stable result
+    val retry = Seq((2L, "two v2", "U"), (3L, null.asInstanceOf[String], "D"),
+      (4L, "four", "I")).toDF("doc_id", "text", "op")
+    GraftStreams.applyCdcBatch(retry, 1L, s"$dir/snap", "doc_id", "op")
+    val v1b = spark.read.parquet(s"$dir/snap/v=1")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v1b === v1)
+  }
+
   test("sliding window means emit per-slide panes (reference pane slicing)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Transaction]
