@@ -35,9 +35,15 @@ object Relevance {
                    k: Int): DataFrame = {
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("term"))
+    // tf feeds three consumers (scoring, dl, df): persist + eager
+    // count so the corpus token stream is exploded and shuffled
+    // exactly ONCE — without it each consumer re-embeds the explode
+    // subtree (static plans do not reuse the common exchange)
     val tf = tok.groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .persist()
+    tf.count()
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf
