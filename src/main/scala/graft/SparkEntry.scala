@@ -404,6 +404,38 @@ object SparkEntry {
     "q_fuzzy_match" -> ((s, dir) =>
       FuzzyMatch.dictionaryPairs(Tables.part(s, dir), "p_name", 3)),
 
+    // collocation mining (the n-gram-LM/tokenizer-vocabulary signal):
+    // top bigrams by count with integer lift — P(ab)/(P(a)P(b))
+    // simplified to (1e6·n_ab·n_w) div (n_a·n_b), all exact integers.
+    // Bigrams come from a MAP-ONLY zip of each document's own token
+    // array with its tail (no positional self-join, nothing but the
+    // bigram counts ever shuffles); unigram counts are vocabulary-
+    // sized and broadcast twice. BIGINT envelope: n_ab·n_w ≤ 9.2e12 —
+    // past that, accumulate the product in DECIMAL(38,0) like
+    // q_moments.
+    "q_collocations" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      val pairs = zip_with(
+        slice(words, lit(1), greatest(size(words) - 1, lit(0))),
+        slice(words, lit(2), greatest(size(words) - 1, lit(0))),
+        (a, b) => struct(a.as("w_a"), b.as("w_b")))
+      val bi = Tables.documents(s, dir)
+        .select(explode(pairs).as("p"))
+        .select(col("p.w_a").as("w_a"), col("p.w_b").as("w_b"))
+        .groupBy("w_a", "w_b").agg(count(lit(1)).as("n_ab"))
+      val uni = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+      val tot = uni.agg(sum(col("n")).cast(LongType).as("n_w"))
+      bi.join(broadcast(uni.select(col("w").as("w_a"), col("n").as("n_a"))), "w_a")
+        .join(broadcast(uni.select(col("w").as("w_b"), col("n").as("n_b"))), "w_b")
+        .crossJoin(broadcast(tot))
+        .select(col("w_a"), col("w_b"), col("n_ab"),
+          expr("(1000000L * n_ab * n_w) div (n_a * n_b)").as("lift_micro"))
+        .orderBy(col("n_ab").desc, col("w_a"), col("w_b"))
+        .limit(20)
+    }),
+
     "q_asof" -> ((s, dir) => {
       // point-in-time: each purchase matched to the user's latest
       // preceding (inclusive) click — genuinely interleaved streams
@@ -1614,6 +1646,27 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, term, rank, CAST(score_micro AS BIGINT) AS score_micro
         |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // positional bigrams via the proven w/pos CTE; same integer lift
+    "q_collocations" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |bi AS (
+        |  SELECT a.word AS w_a, b.word AS w_b, COUNT(*) AS n_ab
+        |  FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  GROUP BY 1, 2),
+        |uni AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_w FROM uni)
+        |SELECT w_a, w_b, n_ab,
+        |  (1000000 * n_ab * n_w) // (ua.n * ub.n) AS lift_micro
+        |FROM bi
+        |JOIN uni ua ON ua.word = w_a
+        |JOIN uni ub ON ub.word = w_b
+        |CROSS JOIN tot
+        |ORDER BY n_ab DESC, w_a, w_b
+        |LIMIT 20""".stripMargin,
 
     // same first-token blocking, then exact levenshtein — DuckDB's
     // and Spark's edit distances are the identical DP integers

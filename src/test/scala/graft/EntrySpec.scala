@@ -37,7 +37,8 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
       "semantic_dedup", // exact all-pairs side of the agreement contract
       "q_tfidf", // 1-row broadcast corpus count × scored terms
       "q_interpolate", // type × hour scaffold (q_gen_series shape)
-      "q_chi2") // marginal grid: langs × broadcast sources × 1-row total
+      "q_chi2", // marginal grid: langs × broadcast sources × 1-row total
+      "q_collocations") // 1-row broadcast word total × bigram counts
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
