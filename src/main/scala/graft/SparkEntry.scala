@@ -1077,6 +1077,12 @@ object SparkEntry {
     "mm_audio" -> ((s, dir) =>
       Multimodal.audioFeatures(Tables.documents(s, dir), "doc_id").toDF()),
 
+    // image modality through a REAL BMP encode->decode round trip
+    // (see Multimodal.imageFeatures); exact per-channel pixel sums,
+    // oracle recomputes the closed-form pattern over an (x, y) grid
+    "mm_image" -> ((s, dir) =>
+      Multimodal.imageFeatures(Tables.documents(s, dir), "doc_id").toDF()),
+
     "text_scrub" -> ((s, dir) => {
       import graft.functions.TextFunctions._
       // plant deterministic PII derived from doc_id so the scrubber
@@ -2235,6 +2241,19 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))
         |                THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
         |FROM z GROUP BY doc_id""".stripMargin,
+
+    // the same closed-form pixel pattern the Spark side encodes into
+    // BMP and decodes back; a codec defect flips these sums
+    "mm_image" ->
+      """WITH x AS (SELECT unnest(generate_series(0, 23)) AS x),
+        |y AS (SELECT unnest(generate_series(0, 15)) AS y),
+        |g AS (SELECT d.doc_id, x.x, y.y
+        |      FROM documents d CROSS JOIN x CROSS JOIN y)
+        |SELECT doc_id, 24 AS width, 16 AS height,
+        |  CAST(SUM((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((doc_id * 17 + x * 11 + y * 5) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((doc_id * 23 + x * 3 + y * 19) % 256) AS BIGINT) AS sum_b
+        |FROM g GROUP BY doc_id""".stripMargin,
 
     "text_normalize" ->
       """SELECT doc_id,

@@ -72,7 +72,29 @@ object Multimodal {
                      else math.min(fromB + perFrame, blocks)
         java.util.Arrays.copyOfRange(payload,
           w.dataOffset + fromB * align, w.dataOffset + untilB * align)
-      case None => sliceFrame(payload, frame, nFrames)
+      case None => Bmp.parse(payload) match {
+        case Some(img) =>
+          // real decode: frame f = f-th horizontal pixel band, emitted
+          // as top-down RGB bytes (row padding and BGR order stripped)
+          val perBand = math.max(1, img.height / math.max(1, nFrames))
+          val fromY = math.min(frame * perBand, img.height)
+          val untilY = if (frame == nFrames - 1) img.height
+                       else math.min(fromY + perBand, img.height)
+          val out = new Array[Byte]((untilY - fromY) * img.width * 3)
+          var i = 0
+          var y = fromY
+          while (y < untilY) {
+            var x = 0
+            while (x < img.width) {
+              val (r, g, b) = img.pixel(x, y)
+              out(i) = r.toByte; out(i + 1) = g.toByte; out(i + 2) = b.toByte
+              i += 3; x += 1
+            }
+            y += 1
+          }
+          out
+        case None => sliceFrame(payload, frame, nFrames)
+      }
     }
 
   /** ======== STUB: non-WAV decode fallback ==============
@@ -190,6 +212,54 @@ object Multimodal {
             i += 1
           }
           AudioFeatures(id, dec.length.toLong, sq, zc)
+        }
+      }
+  }
+
+  case class ImageFeatures(doc_id: Long, width: Int, height: Int,
+                           sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Image feature extraction through a REAL codec round trip — the
+    * [[audioFeatures]] pattern for the image modality: a
+    * deterministic RGB pattern derived from the doc id is serialized
+    * to 24-bit BMP bytes ([[Bmp.write]]) and decoded back
+    * ([[Bmp.parse]], actual DIB header parsing, bottom-up rows, BGR
+    * order, stride padding), then exact per-channel pixel sums are
+    * folded per document. The SQL oracle recomputes the same sums
+    * from the closed-form pixel arithmetic over a generate_series
+    * grid, so any codec defect (stride math, row order, channel
+    * swap, truncation) flips the gate. A payload that fails to parse
+    * folds to all-zero sums — detectably wrong, never silently
+    * plausible. One narrow mapPartitions; only 6-column rows shuffle.
+    */
+  def imageFeatures(docs: DataFrame, idCol: String,
+                    width: Int = 24, height: Int = 16): Dataset[ImageFeatures] = {
+    implicit val enc: Encoder[ImageFeatures] = Encoders.product[ImageFeatures]
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    docs.select(col(idCol).cast(org.apache.spark.sql.types.LongType))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val bytes = Bmp.write(width, height, (x, y) => (
+            ((id * 31 + x * 7 + y * 13) % 256).toInt,
+            ((id * 17 + x * 11 + y * 5) % 256).toInt,
+            ((id * 23 + x * 3 + y * 19) % 256).toInt))
+          Bmp.parse(bytes) match {
+            case Some(img) =>
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = 0
+              while (y < img.height) {
+                var x = 0
+                while (x < img.width) {
+                  val (r, g, b) = img.pixel(x, y)
+                  sr += r; sg += g; sb += b
+                  x += 1
+                }
+                y += 1
+              }
+              ImageFeatures(id, img.width, img.height, sr, sg, sb)
+            case None => ImageFeatures(id, 0, 0, 0L, 0L, 0L)
+          }
         }
       }
   }
