@@ -15,9 +15,11 @@ case class MediaFeatures(
   * `binary` columns with typed metadata, plus a batched
   * decode/feature-extract stage.
   *
-  * `decodeFrame` REALLY decodes RIFF/WAVE PCM payloads (pure-JVM
-  * header parse + sample extraction, see [[Wav]]); formats needing
-  * native codecs (JPEG/MP4) fall back to a clearly-marked
+  * `decodeFrame` and `resizeBytes` REALLY decode RIFF/WAVE PCM and
+  * 24-bit BMP payloads (pure-JVM header parse + sample/pixel
+  * extraction, see [[Wav]] and [[Bmp]] — both formats are headers +
+  * raw little-endian payload, no codec library needed); formats
+  * needing native codecs (JPEG/MP4) fall back to a clearly-marked
   * deterministic STUB slice. Everything Spark-side — the schema
   * (binary payload + metadata struct), the partition-local batched
   * iteration shape, and the typed output — is real and tested.
@@ -127,14 +129,29 @@ object Multimodal {
     bins
   }
 
-  /** ======== STUB: resize ===============================
-    * A real implementation would decode + bilinear-resample pixels to
-    * (w, h). The stand-in resamples the payload BYTES to exactly w*h
-    * samples by nearest-neighbor striding — same contract (fixed
-    * output size regardless of input size), deterministic.
+  /** Resize. BMP payloads take the REAL path: decode pixels,
+    * nearest-neighbor resample to (w, h), re-encode as BMP — a
+    * genuine image-in/image-out thumbnail pass with no codec library
+    * (bilinear would change only the sampling kernel). Non-image
+    * payloads fall back to the byte-striding stand-in below.
     */
-  private[multimodal] def resizeBytes(payload: Array[Byte], w: Int,
-                                      h: Int): Array[Byte] = {
+  private[graft] def resizeBytes(payload: Array[Byte], w: Int,
+                                      h: Int): Array[Byte] =
+    Bmp.parse(payload) match {
+      case Some(img) =>
+        Bmp.write(w, h, (x, y) =>
+          img.pixel(x * img.width / w, y * img.height / h))
+      case None => resizeRawBytes(payload, w, h)
+    }
+
+  /** ======== STUB: non-image resize fallback =============
+    * Deterministic stand-in for codec-needing formats: resamples the
+    * payload BYTES to exactly w*h samples by nearest-neighbor
+    * striding — same contract (fixed output size regardless of input
+    * size).
+    */
+  private[multimodal] def resizeRawBytes(payload: Array[Byte], w: Int,
+                                         h: Int): Array[Byte] = {
     val out = new Array[Byte](w * h)
     if (payload.length == 0) return out
     var i = 0
@@ -153,7 +170,8 @@ object Multimodal {
     withPayload
       .withColumn("payload", resizeUdf(col("payload")))
       .withColumn("meta", struct(
-        lit(w * h).as("n_bytes"), lit(w).as("width"), lit(h).as("height"),
+        octet_length(col("payload")).as("n_bytes"),
+        lit(w).as("width"), lit(h).as("height"),
         col("meta.frames").as("frames")))
   }
 

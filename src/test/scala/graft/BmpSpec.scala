@@ -50,6 +50,22 @@ class BmpSpec extends AnyFunSuite with SparkSpec {
     assert(rgbAt(f1, 3) === pat(1, 3))
   }
 
+  test("resize takes the real image path for BMP payloads") {
+    // 2×2 checkerboard upsampled 2× by nearest neighbor: each source
+    // pixel becomes a 2×2 block in the output image
+    val board = Map((0, 0) -> (255, 0, 0), (1, 0) -> (0, 255, 0),
+      (0, 1) -> (0, 0, 255), (1, 1) -> (255, 255, 0))
+    val src = Bmp.write(2, 2, (x, y) => board((x, y)))
+    val out = Multimodal.resizeBytes(src, 4, 4)
+    val img = Bmp.parse(out).get // output is itself a valid BMP
+    assert(img.width === 4 && img.height === 4)
+    for (x <- 0 until 4; y <- 0 until 4)
+      assert(img.pixel(x, y) === board((x / 2, y / 2)), s"pixel ($x,$y)")
+    // non-image payloads keep the documented byte-striding fallback
+    val raw = Multimodal.resizeBytes("plain text bytes".getBytes, 4, 4)
+    assert(raw.length === 16 && Bmp.parse(raw).isEmpty)
+  }
+
   test("imageFeatures round trip matches a direct pattern fold") {
     import spark.implicits._
     val got = Multimodal.imageFeatures(
