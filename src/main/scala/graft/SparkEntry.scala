@@ -4,6 +4,7 @@ import graft.functions.{GraftFunctions, TextFunctions}
 import graft.multimodal.Multimodal
 import graft.operators.{Dedup, Fraud, FuzzyMatch, RangeJoin, Relevance, Similarity, Windows}
 import graft.pipeline.{Mixer, Snapshots}
+import graft.sources.MetaStats
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1226,6 +1227,17 @@ object SparkEntry {
                  |      / CAST(nt AS DOUBLE))) AS BIGINT)""".stripMargin
             .replace("\n", " ")).as("chi2_pml"))
     }),
+
+    // footer-only snapshot statistics: COUNT/MIN/MAX pushed into the
+    // parquet scan (DSv2 PushedAggregation — metadata, no data pages;
+    // see sources.MetaStats). The oracle recomputes from rows, so the
+    // gate proves footer stats == data
+    "q_meta_stats" -> ((s, dir) =>
+      MetaStats.tableStats(s, s"$dir/orders.parquet", "orders", "o_orderkey")
+        .unionByName(MetaStats.tableStats(s, s"$dir/lineitem.parquet",
+          "lineitem", "l_orderkey"))
+        .unionByName(MetaStats.tableStats(s, s"$dir/part.parquet",
+          "part", "p_partkey"))),
 
     // data-quality audit: referential integrity + constraint checks
     // as one long-format report (each check is an independent
@@ -2798,6 +2810,20 @@ object SparkEntry {
         |    AS BIGINT) AS chi2_pml
         |FROM r CROSS JOIN c CROSS JOIN t
         |LEFT JOIN cells ON cells.lang = r.lang AND cells.source = c.source""".stripMargin,
+
+    // ground truth from the rows themselves
+    "q_meta_stats" ->
+      """SELECT 'orders' AS "table", COUNT(*) AS n_rows,
+        |  CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key FROM orders
+        |UNION ALL
+        |SELECT 'lineitem', COUNT(*),
+        |  CAST(MIN(l_orderkey) AS BIGINT),
+        |  CAST(MAX(l_orderkey) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'part', COUNT(*),
+        |  CAST(MIN(p_partkey) AS BIGINT),
+        |  CAST(MAX(p_partkey) AS BIGINT) FROM part""".stripMargin,
 
     "q_integrity" ->
       """SELECT 'orphan_orders' AS check,
