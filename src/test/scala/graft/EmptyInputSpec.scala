@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.{Dedup, FuzzyMatch, Relevance, Similarity}
+import graft.pipeline.Snapshots
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate-input robustness: every operator must return an empty
+  * (or passthrough) result on empty input rather than throw — the
+  * guard for incremental pipelines whose daily slice can be empty.
+  */
+class EmptyInputSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val noDocs = Tables.documents(spark, sf).filter(lit(false))
+  private lazy val noEmb = Tables.embeddings(spark, sf).filter(lit(false))
+
+  test("dedup and clustering operators handle empty corpora") {
+    assert(Dedup.exact(noDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.clusters(noEmb.select(col("vec_id").as("a"),
+      col("vec_id").as("b")), "a", "b").count() === 0)
+    assert(Similarity.cosinePairs(noEmb, "vec_id", "embedding", 0.3)
+      .count() === 0)
+  }
+
+  test("semantic dedup of an empty embedding set is empty") {
+    val model = Similarity.ivfTrain(Tables.embeddings(spark, sf),
+      "vec_id", "embedding", nlist = 4, iters = 1)
+    assert(Similarity.semanticDedup(noEmb, "vec_id", "embedding",
+      0.3, model, nprobe = 2).count() === 0)
+  }
+
+  test("relevance and fuzzy matching handle empty inputs") {
+    assert(Relevance.salientTerms(noDocs, "doc_id", "text", 3).count() === 0)
+    assert(FuzzyMatch.dictionaryPairs(noDocs.select(col("text")), "text", 2)
+      .count() === 0)
+  }
+
+  test("changeset ops: empty changes pass the base through unchanged") {
+    import spark.implicits._
+    val base = Seq(1L -> "one", 2L -> "two").toDF("doc_id", "text")
+    val noChanges = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "op")
+    val merged = Snapshots.applyChangeset(base, noChanges, "doc_id", "op")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(merged === Map(1L -> "one", 2L -> "two"))
+    val view = base.groupBy("text").agg(count(lit(1)).as("n"),
+      sum(lit(1L)).cast("long").as("sum_m"))
+    val kept = Snapshots.incrementalAgg(view, base.withColumn("m", lit(1L)),
+        noChanges.withColumn("m", lit(1L)), "doc_id", "op", "text", "m")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(kept === Set(("one", 1L, 1L), ("two", 1L, 1L)))
+  }
+}
