@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{GraftFunctions, TextFunctions}
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Fraud, FuzzyMatch, RangeJoin, Relevance, Similarity, Sketches, Windows}
+import graft.operators.{Dedup, Fraud, FuzzyMatch, RangeJoin, Relevance, Similarity, Sketches, Windows, ZOrder}
 import graft.pipeline.{Mixer, Snapshots}
 import graft.sources.MetaStats
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -526,6 +526,26 @@ object SparkEntry {
             col("n_exact").cast(DoubleType)) <=
             col("n_exact").cast(DoubleType) * 0.10, 1)
             .otherwise(0).as("hll_ok"))
+    }),
+
+    // Z-order layout key arithmetic, oracled bit for bit: the Morton
+    // interleave is pure shift/mask integer math, so DuckDB mirrors
+    // the exact spread steps. XOR-fold (order-independent, can't
+    // overflow) plus min/max summarize every row's key exactly; the
+    // file-skipping effect of range-clustering on this key is
+    // asserted by ZOrderSpec (stats-pruning is layout, not a result
+    // set — not SQL-expressible).
+    "q_zorder" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"),
+        pmod(col("user_id"), lit(65536)).cast(LongType).as("x"),
+        pmod((dec(col("value"), 10, 2) * 100).cast(LongType), lit(65536))
+          .as("y"))
+      e.withColumn("zkey", ZOrder.mortonKey(col("x"), col("y")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("bit_xor(zkey)").as("xor_key"),
+          min(col("zkey")).as("min_key"),
+          max(col("zkey")).as("max_key"))
     }),
 
     // keyless time-interval join: events counted into the ±60 s
@@ -1875,6 +1895,33 @@ object SparkEntry {
         |    AS n_days,
         |  1 AS hll_ok
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // the same magic-mask spread steps, via DuckDB's lateral column
+    // aliasing; bit_xor folds every key into an order-free checksum
+    "q_zorder" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    user_id % 65536 AS x,
+        |    CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) % 65536
+        |      AS y
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type,
+        |    ((x | (x << 8)) & 16711935) AS x1,
+        |    ((x1 | (x1 << 4)) & 252645135) AS x2,
+        |    ((x2 | (x2 << 2)) & 858993459) AS x3,
+        |    ((x3 | (x3 << 1)) & 1431655765) AS xs,
+        |    ((y | (y << 8)) & 16711935) AS y1,
+        |    ((y1 | (y1 << 4)) & 252645135) AS y2,
+        |    ((y2 | (y2 << 2)) & 858993459) AS y3,
+        |    ((y3 | (y3 << 1)) & 1431655765) AS ys,
+        |    (xs | (ys << 1)) AS zkey
+        |  FROM e)
+        |SELECT event_type, COUNT(*) AS n,
+        |  bit_xor(zkey) AS xor_key,
+        |  MIN(zkey) AS min_key,
+        |  MAX(zkey) AS max_key
+        |FROM s GROUP BY event_type""".stripMargin,
 
     // the BETWEEN join here is what the Spark side computes via
     // binned equi-join — identical match set, different plan shape
