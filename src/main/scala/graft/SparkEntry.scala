@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{GraftFunctions, TextFunctions}
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Fraud, FuzzyMatch, RangeJoin, Relevance, Similarity, Sketches, Windows, ZOrder}
+import graft.operators.{Dedup, Fraud, FuzzyMatch, HeavyHitters, RangeJoin, Relevance, Similarity, Sketches, Windows, ZOrder}
 import graft.pipeline.{Mixer, Snapshots}
 import graft.sources.MetaStats
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -527,6 +527,16 @@ object SparkEntry {
             col("n_exact").cast(DoubleType) * 0.10, 1)
             .otherwise(0).as("hll_ok"))
     }),
+
+    // heavy hitters from a bounded Misra-Gries summary: candidates
+    // surface through a ≤capacity-counter mergeable aggregate (never a
+    // vocabulary-sized shuffle), then ONLY candidates are re-counted
+    // exactly. The MG guarantee makes the filtered result identical to
+    // the full GROUP BY + HAVING answer — so this approximate-summary
+    // operator is fully hash-oracled, not tolerance-gated.
+    "q_heavy_hitters" -> ((s, dir) =>
+      HeavyHitters.frequentTokens(Tables.documents(s, dir), "text",
+        threshold = 50)),
 
     // Z-order layout key arithmetic, oracled bit for bit: the Morton
     // interleave is pure shift/mask integer math, so DuckDB mirrors
@@ -1895,6 +1905,16 @@ object SparkEntry {
         |    AS n_days,
         |  1 AS hll_ok
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // the plain full-vocabulary answer the MG guarantee promises to
+    // reproduce exactly: cnt*threshold > n in integers, strict
+    "q_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tot AS (SELECT COUNT(*) AS n FROM t),
+        |c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token)
+        |SELECT token, cnt FROM c, tot WHERE cnt * 50 > n""".stripMargin,
 
     // the same magic-mask spread steps, via DuckDB's lateral column
     // aliasing; bit_xor folds every key into an order-free checksum

@@ -45,6 +45,12 @@ class SinksSpec extends AnyFunSuite with SparkSpec {
     val fromCsv = spark.read.schema(docs.schema)
       .option("header", "true").csv(s"$dir/c")
     assert(fromCsv.exceptAll(docs).isEmpty && docs.exceptAll(fromCsv).isEmpty)
+    // ORC: the other columnar interchange format warehouses hand us;
+    // schema carries through the file footer, no re-declaration needed
+    docs.write.orc(s"$dir/o")
+    val fromOrc = spark.read.orc(s"$dir/o")
+    assert(fromOrc.schema === docs.schema)
+    assert(fromOrc.exceptAll(docs).isEmpty && docs.exceptAll(fromOrc).isEmpty)
   }
 
   test("compaction collapses a many-small-files table, preserving rows") {
