@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{GraftFunctions, TextFunctions}
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Fraud, FuzzyMatch, HeavyHitters, RangeJoin, Relevance, Similarity, Sketches, Windows, ZOrder}
+import graft.operators.{Dedup, Eval, Fraud, FuzzyMatch, Graph, HeavyHitters, RangeJoin, Relevance, Similarity, Sketches, Windows, ZOrder}
 import graft.pipeline.{Mixer, Snapshots}
 import graft.sources.MetaStats
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -526,6 +526,35 @@ object SparkEntry {
             col("n_exact").cast(DoubleType)) <=
             col("n_exact").cast(DoubleType) * 0.10, 1)
             .otherwise(0).as("hll_ok"))
+    }),
+
+    // exact ROC-AUC as the Mann-Whitney U statistic in pure integers:
+    // the 2×average-rank trick (a tie group's doubled avg rank is
+    // 2·cnt_lt + cnt_eq + 1, always integral) keeps every intermediate
+    // BIGINT, so an evaluation metric that is normally float-only
+    // hash-oracles exactly. The one window runs over DISTINCT scores
+    // (bounded cardinality), never over documents.
+    "q_auc" -> ((s, dir) =>
+      Eval.aucMicro(Tables.documents(s, dir),
+        col("n_chars").cast(LongType),
+        when(col("lang") === "en", 1L).otherwise(0L))),
+
+    // bounded-iteration integer PageRank: micro-unit fixed point +
+    // floor division + a fixed 3-round budget make an ITERATIVE graph
+    // computation engine-exact (float PageRank can only be
+    // tolerance-gated). Customer→supplier edges; even/odd id
+    // namespacing keeps the two key spaces disjoint. Dangling mass is
+    // dropped by contract — mirrored in the oracle.
+    "q_pagerank" -> ((s, dir) => {
+      val edges = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      Graph.pageRank(edges, iters = 3)
+        .orderBy(col("pr").desc, col("node")).limit(20)
     }),
 
     // heavy hitters from a bounded Misra-Gries summary: candidates
@@ -1905,6 +1934,58 @@ object SparkEntry {
         |    AS n_days,
         |  1 AS hll_ok
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // identical integer rank algebra; CASTs pin DuckDB's HUGEINT sums
+    // back to BIGINT for the hash
+    "q_auc" ->
+      """WITH d AS (
+        |  SELECT n_chars AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+        |  FROM documents),
+        |g AS (SELECT score, COUNT(*) AS cnt, SUM(label) AS pos
+        |      FROM d GROUP BY score),
+        |c AS (SELECT score, cnt, pos,
+        |        COALESCE(SUM(cnt) OVER (ORDER BY score
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS cum_lt
+        |      FROM g),
+        |a AS (SELECT SUM(pos * (cum_lt * 2 + cnt + 1)) AS s2,
+        |        SUM(pos) AS n1, SUM(cnt - pos) AS n0 FROM c)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0,
+        |  CAST((s2 - n1 * (n1 + 1)) * 1000000 // (2 * n1 * n0) AS BIGINT)
+        |    AS auc_micro
+        |FROM a""".stripMargin,
+
+    // three unrolled damped rounds of the same floor-division fixed
+    // point; UNION (not ALL) mirrors Spark's union().distinct()
+    "q_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |t AS (SELECT COUNT(*) AS n FROM nodes),
+        |d AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT node, 1000000 // n AS pr FROM nodes, t),
+        |i1 AS (SELECT e.dst AS node, SUM(r0.pr // d.deg) AS inflow
+        |       FROM e JOIN r0 ON e.src = r0.node JOIN d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT nodes.node,
+        |         150000 // n + (850 * COALESCE(i1.inflow, 0)) // 1000 AS pr
+        |       FROM nodes CROSS JOIN t LEFT JOIN i1 ON nodes.node = i1.node),
+        |i2 AS (SELECT e.dst AS node, SUM(r1.pr // d.deg) AS inflow
+        |       FROM e JOIN r1 ON e.src = r1.node JOIN d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT nodes.node,
+        |         150000 // n + (850 * COALESCE(i2.inflow, 0)) // 1000 AS pr
+        |       FROM nodes CROSS JOIN t LEFT JOIN i2 ON nodes.node = i2.node),
+        |i3 AS (SELECT e.dst AS node, SUM(r2.pr // d.deg) AS inflow
+        |       FROM e JOIN r2 ON e.src = r2.node JOIN d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT nodes.node,
+        |         150000 // n + (850 * COALESCE(i3.inflow, 0)) // 1000 AS pr
+        |       FROM nodes CROSS JOIN t LEFT JOIN i3 ON nodes.node = i3.node)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(pr AS BIGINT) AS pr
+        |FROM r3 ORDER BY pr DESC, node LIMIT 20""".stripMargin,
 
     // the plain full-vocabulary answer the MG guarantee promises to
     // reproduce exactly: cnt*threshold > n in integers, strict

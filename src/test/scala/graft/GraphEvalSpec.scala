@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.{Eval, Graph}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphEvalSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("pageRank on a known 3-node chain matches hand arithmetic") {
+    // 1 -> 2 -> 3: n=3, start 333333 each
+    // i1: node2 gets 333333, node3 gets 333333
+    //   r1 = 50000 + 850*inflow//1000: n1=50000, n2=n3=333333
+    // i2: node2 <- n1//1 = 50000; node3 <- n2//1 = 333333
+    //   r2: n1=50000, n2=50000+42500=92500, n3=333333
+    // i3: node2 <- 50000; node3 <- 92500
+    //   r3: n1=50000, n2=92500, n3=50000+78625=128625
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Graph.pageRank(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 50000L, 2L -> 92500L, 3L -> 128625L))
+  }
+
+  test("pageRank conserves non-dangling structure: sink outranks sources") {
+    // star: many sources point at one hub
+    val edges = (1L to 9L).map(i => (i, 100L)).toDF("src", "dst")
+    val ranks = Graph.pageRank(edges, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks(100L) > ranks(1L) * 5, s"hub should dominate: $ranks")
+    // duplicate edges must not double-count (distinct by contract)
+    val dup = edges.union(edges)
+    val ranks2 = Graph.pageRank(dup, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks2 === ranks)
+  }
+
+  test("aucMicro hits the closed-form corners") {
+    // perfect separation: all positives score above all negatives
+    val perfect = Seq((1L, 0L), (2L, 0L), (10L, 1L), (11L, 1L))
+      .toDF("s", "l")
+    assert(Eval.aucMicro(perfect, col("s"), col("l"))
+      .head.getLong(2) === 1000000L)
+    // inverted: AUC 0
+    val inverted = Seq((10L, 0L), (11L, 0L), (1L, 1L), (2L, 1L))
+      .toDF("s", "l")
+    assert(Eval.aucMicro(inverted, col("s"), col("l"))
+      .head.getLong(2) === 0L)
+    // all ties: avg rank everywhere -> exactly 1/2
+    val ties = Seq((5L, 0L), (5L, 1L), (5L, 0L), (5L, 1L)).toDF("s", "l")
+    assert(Eval.aucMicro(ties, col("s"), col("l"))
+      .head.getLong(2) === 500000L)
+  }
+}
