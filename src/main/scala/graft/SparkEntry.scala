@@ -528,6 +528,54 @@ object SparkEntry {
             .otherwise(0).as("hll_ok"))
     }),
 
+    // time-series resampling to OHLC bars: open/close picked by
+    // row_number over the per-(type, hour) event order (ties broken by
+    // event_id — total order, so both engines agree), high/low/n as
+    // plain aggregates. Windows are per-series only; cents keep every
+    // measure BIGINT.
+    "q_ohlc" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, dir).select(col("event_type"),
+        unix_timestamp(col("ts")).as("sec"), col("event_id"),
+        (dec(col("value"), 10, 2) * 100).cast(LongType).as("cents"))
+        .withColumn("hour", expr("sec div 3600"))
+      val asc = Window.partitionBy(col("event_type"), col("hour"))
+        .orderBy(col("sec"), col("event_id"))
+      val desc = Window.partitionBy(col("event_type"), col("hour"))
+        .orderBy(col("sec").desc, col("event_id").desc)
+      e.withColumn("rn_a", row_number().over(asc))
+        .withColumn("rn_d", row_number().over(desc))
+        .groupBy(col("event_type"), col("hour"))
+        .agg(max(when(col("rn_a") === 1, col("cents"))).as("open_cents"),
+          max(col("cents")).as("high_cents"),
+          min(col("cents")).as("low_cents"),
+          max(when(col("rn_d") === 1, col("cents"))).as("close_cents"),
+          count(lit(1)).as("n"))
+    }),
+
+    // robust statistics by winsorization: exact p05/p95 edges (the
+    // floor-to-integer idiom of q_quality_calib) broadcast to a
+    // map-only clamp; outliers pulled to the fences, not dropped.
+    // Every output is BIGINT over clamped cents.
+    "q_winsorize" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"),
+        (dec(col("value"), 10, 2) * 100).cast(LongType).as("cents"))
+      val edges = e.groupBy(col("event_type")).agg(
+        floor(expr("percentile(cents, 0.05)")).cast(LongType).as("lo"),
+        floor(expr("percentile(cents, 0.95)")).cast(LongType).as("hi"))
+      e.join(broadcast(edges), "event_type")
+        .select(col("event_type"),
+          greatest(least(col("cents"), col("hi")), col("lo")).as("w"),
+          (col("cents") < col("lo") || col("cents") > col("hi"))
+            .cast("long").as("clipped"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("w")).cast(LongType).as("sum_wcents"),
+          min(col("w")).as("min_wcents"),
+          max(col("w")).as("max_wcents"),
+          sum(col("clipped")).cast(LongType).as("n_clipped"))
+    }),
+
     // exact ROC-AUC as the Mann-Whitney U statistic in pure integers:
     // the 2×average-rank trick (a tie group's doubled avg rank is
     // 2·cnt_lt + cnt_eq + 1, always integral) keeps every intermediate
@@ -1934,6 +1982,48 @@ object SparkEntry {
         |    AS n_days,
         |  1 AS hll_ok
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // same bar algebra; row_number tiebreak on (sec, event_id) makes
+    // open/close a total order both engines share
+    "q_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id,
+        |    CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |h AS (SELECT *, sec // 3600 AS hour,
+        |        row_number() OVER (PARTITION BY event_type, sec // 3600
+        |          ORDER BY sec, event_id) AS rn_a,
+        |        row_number() OVER (PARTITION BY event_type, sec // 3600
+        |          ORDER BY sec DESC, event_id DESC) AS rn_d
+        |      FROM e)
+        |SELECT event_type, hour,
+        |  MAX(CASE WHEN rn_a = 1 THEN cents END) AS open_cents,
+        |  MAX(cents) AS high_cents, MIN(cents) AS low_cents,
+        |  MAX(CASE WHEN rn_d = 1 THEN cents END) AS close_cents,
+        |  COUNT(*) AS n
+        |FROM h GROUP BY event_type, hour""".stripMargin,
+
+    // exact fences via the shared floor(percentile) idiom, then the
+    // same clamp-and-aggregate
+    "q_winsorize" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |f AS (SELECT event_type,
+        |        CAST(floor(quantile_cont(cents, 0.05)) AS BIGINT) AS lo,
+        |        CAST(floor(quantile_cont(cents, 0.95)) AS BIGINT) AS hi
+        |      FROM e GROUP BY event_type)
+        |SELECT e.event_type, COUNT(*) AS n,
+        |  CAST(SUM(greatest(least(e.cents, f.hi), f.lo)) AS BIGINT)
+        |    AS sum_wcents,
+        |  MIN(greatest(least(e.cents, f.hi), f.lo)) AS min_wcents,
+        |  MAX(greatest(least(e.cents, f.hi), f.lo)) AS max_wcents,
+        |  CAST(SUM(CASE WHEN e.cents < f.lo OR e.cents > f.hi
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+        |FROM e JOIN f USING (event_type)
+        |GROUP BY e.event_type""".stripMargin,
 
     // identical integer rank algebra; CASTs pin DuckDB's HUGEINT sums
     // back to BIGINT for the hash
