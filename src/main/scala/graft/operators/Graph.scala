@@ -33,26 +33,35 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int,
                dampingPermille: Int = 850): DataFrame = {
     require(iters >= 1 && dampingPermille >= 0 && dampingPermille <= 1000)
+    // every iteration re-reads edges, out-degrees, and the node set —
+    // without pinning them the final plan's lineage re-derives the
+    // base tables once PER ITERATION (measured: 44 scans / 43
+    // shuffles for 3 rounds). Persisted, the loop only adds its own
+    // two joins + aggregate per round.
     val e = edges.select(col("src").cast(LongType),
-      col("dst").cast(LongType)).distinct()
+      col("dst").cast(LongType)).distinct().persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     // node count rides along as a broadcast 1-row frame: no driver
     // action, the plan stays lazy end to end
     val total = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist()
     val base = 1000L * (1000 - dampingPermille)
-    var ranks = nodes.crossJoin(total)
-      .select(col("node"), expr("1000000 div n_nodes").as("pr"))
+    // node frame with both the uniform start and the per-round base
+    // term precomputed — one cached copy serves every iteration
+    val nb = nodes.crossJoin(total)
+      .select(col("node"), expr("1000000 div n_nodes").as("pr0"),
+        expr(s"$base div n_nodes").as("base_pr")).persist()
+    var ranks = nb.select(col("node"), col("pr0").as("pr"))
     for (_ <- 1 to iters) {
       val inflow = e.join(ranks, e("src") === ranks("node"))
         .join(outdeg, "src")
         .select(col("dst").as("node"), expr("pr div deg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
-      ranks = nodes.crossJoin(total)
-        .join(inflow, Seq("node"), "left")
+      ranks = nb.join(inflow, Seq("node"), "left")
         .select(col("node"),
-          (expr(s"$base div n_nodes") +
+          (col("base_pr") +
             expr(s"($dampingPermille * coalesce(inflow, cast(0 as bigint)))" +
               " div 1000")).cast(LongType).as("pr"))
     }
