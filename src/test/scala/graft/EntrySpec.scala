@@ -38,7 +38,9 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
       "q_tfidf", // 1-row broadcast corpus count × scored terms
       "q_interpolate", // type × hour scaffold (q_gen_series shape)
       "q_chi2", // marginal grid: langs × broadcast sources × 1-row total
-      "q_collocations") // 1-row broadcast word total × bigram counts
+      "q_collocations", // 1-row broadcast word total × bigram counts
+      "q_heavy_hitters", // 1-row broadcast token total × candidate counts
+      "q_pagerank") // 1-row broadcast node count × the node frame
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
