@@ -324,4 +324,72 @@ object StreamingFraud {
           }
       }
   }
+
+  /** [[perElementTimerDetector]] on Spark 4's `transformWithState`.
+    * `StatefulProcessor` is the 1:1 structural analog of the
+    * reference's KeyedProcessFunction (FraudDetector.java): named
+    * state primitives through the handle (the ListState buffer maps
+    * to `getListState`) and a REAL per-key multi-timer service —
+    * `registerTimer` at every element (reference :83) with one
+    * `handleExpiredTimer` callback per expired timer, drained by the
+    * runtime in event-time order. The pending-timer bookkeeping that
+    * [[perElementTimerDetector]] must carry in its own state (Spark's
+    * GroupState has a single timeout slot) disappears: Flink's
+    * `onTimer` IS `handleExpiredTimer` here. Requires the RocksDB
+    * state store provider, matching the reference's RocksDB backend.
+    */
+  class PerElementTimerProcessor(windowSec: Long, threshold: Double)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Transaction, Alert] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
+      TimeMode, TimerValues, TTLConfig}
+
+    @transient private var buf: ListState[BufferedTx] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[BufferedTx]("buffer",
+        Encoders.product[BufferedTx], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Transaction],
+                                 tv: TimerValues): Iterator[Alert] = {
+      rows.foreach { t =>
+        val tms = t.ts.getTime
+        buf.appendValue(BufferedTx(tms, t.amount))
+        // one timer per element; same-timestamp registrations coalesce,
+        // as in Flink's timer service
+        getHandle.registerTimer(tms + windowSec * 1000)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[Alert] = {
+      val t = info.getExpiryTimeInMs()
+      val records = buf.get().toSeq
+      val inWin = records.filter(r =>
+        r.tsMs >= t - windowSec * 1000 && r.tsMs < t)
+      val sum = inWin.map(_.amount).sum
+      buf.clear() // reference onTimer clears the whole buffer
+      if (sum > threshold)
+        Iterator.single(Alert(key, t - windowSec * 1000, sum,
+          inWin.size.toLong))
+      else Iterator.empty
+    }
+  }
+
+  /** The per-element-timer detector through `transformWithState` —
+    * result-equivalent to [[perElementTimerDetector]] (asserted by
+    * spec), with the timer service native instead of emulated.
+    */
+  def timerDetectorTws(tx: Dataset[Transaction], windowSec: Long,
+                       threshold: Double,
+                       watermarkDelay: String = "5 seconds"): Dataset[Alert] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    implicit val alertEnc: Encoder[Alert] = Encoders.product[Alert]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    tx.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.accountId)
+      .transformWithState(new PerElementTimerProcessor(windowSec, threshold),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

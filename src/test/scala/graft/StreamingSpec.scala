@@ -466,6 +466,46 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(acct1.toSeq === Seq((Base, 130.0, 2L), (Base + 3000, 120.0, 1L)))
   }
 
+  test("transformWithState detector reproduces the per-element-timer " +
+      "semantics through the native timer service") {
+    // identical feed and expectations as the flatMapGroupsWithState
+    // emulation above: the native multi-timer service must drain
+    // expired timers in event-time order, later firings seeing the
+    // buffer cleared by earlier ones. transformWithState requires the
+    // RocksDB provider (as the reference requires its RocksDB backend).
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Transaction]
+      val alerts = StreamingFraud.timerDetectorTws(input.toDS(),
+        windowSec = 5, threshold = 100.0, watermarkDelay = "2 seconds")
+      val sink = runToSink(alerts.toDF(), "t_tws", "append") { step =>
+        input.addData(tx(1, 60, 0), tx(1, 70, 3)) // timers {5, 8}
+        step(0)
+        input.addData(tx(9, 1, 8)) // wm → 6 > 5: timer@5 fires [0,5) = 130
+        step(0)
+        input.addData(tx(1, 120, 7)) // buffered after the clear; timers {8, 12}
+        step(0)
+        input.addData(tx(9, 1, 11)) // wm → 9 > 8: timer@8 fires [3,8) = {7:120}
+        step(0)
+        input.addData(tx(9, 1, 20)) // wm → 18: timer@12 fires empty buffer
+        step(0)
+      }
+      val acct1 = sink.filter(col("accountId") === 1).collect()
+        .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).sortBy(_._1)
+      assert(acct1.toSeq === Seq((Base, 130.0, 2L), (Base + 3000, 120.0, 1L)))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming pane-sliced sliding agg matches batch sliding agg (2 state stores)") {
     // the reference's pane state layout (CustomSlidingWindow.java:
     // 25-127) run natively in Structured Streaming: tumbling pane
