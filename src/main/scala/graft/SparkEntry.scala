@@ -528,6 +528,58 @@ object SparkEntry {
             .otherwise(0).as("hll_ok"))
     }),
 
+    // the OpenTelemetry/Prometheus histogram pattern: fine-grained
+    // (type, day, bin) count rows are the sketch — mergeable by plain
+    // SUM, so any coarser rollup (here per-type) re-aggregates bins,
+    // never raw values. Quantiles read off the cumulative bin counts:
+    // a binned quantile is an integer both engines compute identically
+    // (unlike interpolated percentiles). Windows run over the bin
+    // dictionary, not events.
+    "q_hist_rollup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, dir).select(col("event_type"),
+        expr("unix_timestamp(ts) div 86400").as("day"),
+        (dec(col("value"), 10, 2) * 100).cast(LongType).as("cents"))
+      val fine = e.groupBy(col("event_type"), col("day"),
+          expr("cents div 1000").as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+      val merged = fine.groupBy(col("event_type"), col("bin"))
+        .agg(sum(col("cnt")).as("cnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+      val wt = Window.partitionBy(col("event_type"))
+      merged.withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("total", sum(col("cnt")).over(wt))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("cum") * 2 >= col("total"), col("bin")))
+            .as("p50_bin"),
+          min(when(col("cum") * 10 >= col("total") * 9, col("bin")))
+            .as("p90_bin"),
+          min(when(col("cum") * 100 >= col("total") * 99, col("bin")))
+            .as("p99_bin"),
+          max(col("total")).cast(LongType).as("n"))
+    }),
+
+    // schema-on-read resilience: deterministically corrupt a slice of
+    // the JSON payloads (drop the closing brace on event_id % 7 = 0),
+    // then count valid vs malformed per type — the permissive-parse
+    // accounting a 100 TB crawl ingest needs. Spark's get_json_object
+    // nulls on malformed input; the oracle mirrors via json_valid.
+    "q_badrecords" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("props"))
+        .withColumn("raw", when(pmod(col("event_id"), lit(7)) === 0,
+          expr("substring(props, 1, length(props) - 1)"))
+          .otherwise(col("props")))
+      e.select(col("event_type"),
+          get_json_object(col("raw"), "$.k").isNotNull
+            .cast("long").as("ok"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("ok")).cast(LongType).as("n_valid"),
+          (count(lit(1)) - sum(col("ok"))).cast(LongType)
+            .as("n_malformed"))
+    }),
+
     // time-series resampling to OHLC bars: open/close picked by
     // row_number over the per-(type, hour) event order (ties broken by
     // event_id — total order, so both engines agree), high/low/n as
@@ -1982,6 +2034,47 @@ object SparkEntry {
         |    AS n_days,
         |  1 AS hll_ok
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // identical bin algebra: SUM-merged (type, bin) counts, quantile
+    // = first bin whose cumulative count crosses the rank
+    "q_hist_rollup" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |fine AS (SELECT event_type, day, cents // 1000 AS bin,
+        |           COUNT(*) AS cnt
+        |         FROM e GROUP BY event_type, day, cents // 1000),
+        |m AS (SELECT event_type, bin, SUM(cnt) AS cnt
+        |      FROM fine GROUP BY event_type, bin),
+        |c AS (SELECT event_type, bin, cnt,
+        |        SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin)
+        |          AS cum,
+        |        SUM(cnt) OVER (PARTITION BY event_type) AS total
+        |      FROM m)
+        |SELECT event_type,
+        |  MIN(CASE WHEN cum * 2 >= total THEN bin END) AS p50_bin,
+        |  MIN(CASE WHEN cum * 10 >= total * 9 THEN bin END) AS p90_bin,
+        |  MIN(CASE WHEN cum * 100 >= total * 99 THEN bin END) AS p99_bin,
+        |  CAST(MAX(total) AS BIGINT) AS n
+        |FROM c GROUP BY event_type""".stripMargin,
+
+    // same deterministic corruption; json_valid mirrors
+    // get_json_object's null-on-malformed
+    "q_badrecords" ->
+      """WITH r AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 7 = 0
+        |         THEN substr(props, 1, length(props) - 1)
+        |         ELSE props END AS raw
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN json_valid(raw) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_valid,
+        |  CAST(SUM(CASE WHEN json_valid(raw) THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS n_malformed
+        |FROM r GROUP BY event_type""".stripMargin,
 
     // same bar algebra; row_number tiebreak on (sec, event_id) makes
     // open/close a total order both engines share

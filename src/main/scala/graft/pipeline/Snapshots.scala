@@ -112,4 +112,31 @@ object Snapshots {
           .as("sum_m"))
       .filter(col("n") > 0)
   }
+
+  /** Retention for a versioned snapshot table (the `v=<n>` directories
+    * [[graft.streaming.GraftStreams.cdcSnapshotSink]] maintains):
+    * delete every version except the newest `keepLast`. Deletion order
+    * is oldest-first and each result is checked, so a crash mid-vacuum
+    * leaves a contiguous suffix of versions — readers of "latest" are
+    * never broken, and re-running completes the job. Returns the
+    * versions deleted.
+    */
+  def vacuumVersions(spark: org.apache.spark.sql.SparkSession, path: String,
+                     keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    import org.apache.hadoop.fs.Path
+    val hPath = new Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) return Nil
+    val versions = fs.listStatus(hPath).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+      .sorted
+    val doomed = versions.dropRight(keepLast)
+    doomed.foreach { v =>
+      val dir = new Path(s"$path/v=$v")
+      if (!fs.delete(dir, true))
+        throw new java.io.IOException(s"vacuum: delete of $dir failed")
+    }
+    doomed.toSeq
+  }
 }

@@ -201,6 +201,26 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(v1b === v1)
   }
 
+  test("vacuum keeps the newest snapshot versions and reports the rest") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_vac").toString
+    (0L to 4L).foreach { v =>
+      Seq((v, s"text$v")).toDF("doc_id", "text")
+        .write.parquet(s"$dir/snap/v=$v")
+    }
+    val deleted = graft.pipeline.Snapshots.vacuumVersions(
+      spark, s"$dir/snap", keepLast = 2)
+    assert(deleted === Seq(0L, 1L, 2L))
+    val left = new java.io.File(s"$dir/snap").listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).sorted.toSeq
+    assert(left === Seq("v=3", "v=4"))
+    // latest version still reads cleanly after retention
+    assert(spark.read.parquet(s"$dir/snap/v=4").count() === 1)
+    // vacuum of a missing table is a no-op, not an error
+    assert(graft.pipeline.Snapshots.vacuumVersions(
+      spark, s"$dir/absent", 1) === Nil)
+  }
+
   test("sliding window means emit per-slide panes (reference pane slicing)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Transaction]
