@@ -113,6 +113,26 @@ object Snapshots {
       .filter(col("n") > 0)
   }
 
+  /** Time travel over a versioned snapshot table: read an explicit
+    * version, or the newest one ≤ `asOf` when `asOf` is given — the
+    * query-side counterpart of the CDC sink's `v=<n>` layout. Listing
+    * is one directory scan of version names; no data files open until
+    * the chosen version is read.
+    */
+  def readVersion(spark: org.apache.spark.sql.SparkSession, path: String,
+                  asOf: Option[Long] = None): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val hPath = new Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(hPath).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+      .sorted
+    val eligible = asOf.fold(versions)(a => versions.filter(_ <= a))
+    require(eligible.nonEmpty,
+      s"no snapshot version${asOf.fold("")(a => s" <= $a")} under $path")
+    spark.read.parquet(s"$path/v=${eligible.last}")
+  }
+
   /** Retention for a versioned snapshot table (the `v=<n>` directories
     * [[graft.streaming.GraftStreams.cdcSnapshotSink]] maintains):
     * delete every version except the newest `keepLast`. Deletion order

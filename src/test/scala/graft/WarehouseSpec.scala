@@ -1,0 +1,84 @@
+package graft
+
+import graft.pipeline.Snapshots
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Warehouse-operational semantics: snapshot time travel, dynamic
+  * partition overwrite, and catalog statistics driving the
+  * cost-based optimizer.
+  */
+class WarehouseSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("time travel reads an exact or as-of snapshot version") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tt").toString
+    Seq(0L, 2L, 5L).foreach { v =>
+      Seq((v, s"state at v$v")).toDF("doc_id", "text")
+        .write.parquet(s"$dir/snap/v=$v")
+    }
+    assert(Snapshots.readVersion(spark, s"$dir/snap")
+      .head.getString(1) === "state at v5")
+    // as-of between versions resolves to the newest not-later one
+    assert(Snapshots.readVersion(spark, s"$dir/snap", asOf = Some(4L))
+      .head.getString(1) === "state at v2")
+    assert(Snapshots.readVersion(spark, s"$dir/snap", asOf = Some(2L))
+      .head.getString(1) === "state at v2")
+    intercept[IllegalArgumentException] {
+      Snapshots.readVersion(spark, s"$dir/snap", asOf = Some(-1L))
+    }
+  }
+
+  test("dynamic partition overwrite replaces only the written partitions") {
+    // the daily-incremental idiom at 100 TB: re-running one day's load
+    // must not truncate the other 364 partitions (static overwrite
+    // would). Session conf scoped to this test.
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_dpo").toString
+      Seq((1L, "d1"), (2L, "d2"), (3L, "d3"))
+        .toDF("id", "day").write.partitionBy("day").parquet(s"$dir/t")
+      // overwrite ONLY day d2 with new content
+      Seq((20L, "d2")).toDF("id", "day")
+        .write.mode("overwrite").partitionBy("day").parquet(s"$dir/t")
+      val got = spark.read.parquet(s"$dir/t")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+      assert(got === Set(1L -> "d1", 20L -> "d2", 3L -> "d3"))
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", p)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
+  test("ANALYZE TABLE statistics let the CBO broadcast a small table") {
+    // catalog stats are what the cost-based optimizer sees at plan
+    // time on a real warehouse (file listing alone undercounts after
+    // compression). Persist a small dim + a larger fact as managed
+    // tables, ANALYZE both, and check (a) rowCount lands in the
+    // catalog, (b) the dim side of the join plans as broadcast with
+    // autoBroadcastJoinThreshold comfortably above its stated size.
+    spark.sql("DROP TABLE IF EXISTS wh_dim")
+    spark.sql("DROP TABLE IF EXISTS wh_fact")
+    Tables.nation(spark, sf).write.saveAsTable("wh_dim")
+    Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
+      .write.saveAsTable("wh_fact")
+    spark.sql("ANALYZE TABLE wh_dim COMPUTE STATISTICS")
+    spark.sql("ANALYZE TABLE wh_fact COMPUTE STATISTICS")
+    val stats = spark.sql("DESCRIBE EXTENDED wh_dim")
+      .filter(col("col_name") === "Statistics").head.getString(1)
+    assert(stats.contains("rows"), s"expected row stats, got: $stats")
+    val joined = spark.table("wh_fact")
+      .join(spark.table("wh_dim"), col("o_custkey") % 25 === col("n_nationkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"dim join should broadcast under CBO stats:\n$plan")
+    spark.sql("DROP TABLE wh_dim")
+    spark.sql("DROP TABLE wh_fact")
+  }
+}
