@@ -31,6 +31,23 @@ import org.apache.spark.sql.types._
 object SparkEntry {
 
   private def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
+
+  /** Pearson correlation in permille from exact integer moment sums —
+    * ONE formula string valid in both Spark SQL and DuckDB, so the
+    * double arithmetic is bit-identical over identical integers
+    * (q_corr's engine-exactness argument, reused by q_profile).
+    */
+  private def corrPmlSql(n: String, sx: String, sy: String,
+                         sxx: String, syy: String, sxy: String): String =
+    s"""CAST(round(1000.0 *
+       |  (CAST($n AS DOUBLE) * CAST($sxy AS DOUBLE)
+       |    - CAST($sx AS DOUBLE) * CAST($sy AS DOUBLE))
+       |  / nullif(sqrt(
+       |      (CAST($n AS DOUBLE) * CAST($sxx AS DOUBLE)
+       |        - CAST($sx AS DOUBLE) * CAST($sx AS DOUBLE))
+       |      * (CAST($n AS DOUBLE) * CAST($syy AS DOUBLE)
+       |        - CAST($sy AS DOUBLE) * CAST($sy AS DOUBLE))), 0.0))
+       |  AS BIGINT)""".stripMargin.replace("\n", " ")
   /** Final projection of an exact decimal measure (driver-hash parity). */
   private def outD(c: Column): Column = c.cast(DoubleType)
   private def tsLit(s: String): Column = lit(s).cast(TimestampType)
@@ -528,6 +545,44 @@ object SparkEntry {
             .otherwise(0).as("hll_ok"))
     }),
 
+    // one-pass data profiling: every per-column stat AND every
+    // pairwise correlation of three measures from a SINGLE hash
+    // aggregation — the moment sums are exact DECIMAL(38,0)→BIGINT
+    // integers (q_corr pattern), the fixed double formula applies
+    // identically in both engines. A profiler that scans once per
+    // column would read the fact table k times; this reads it once.
+    "q_profile" -> ((s, dir) => {
+      val d38 = DecimalType(38, 0)
+      val l = Tables.lineitem(s, dir).select(
+        (dec(col("l_quantity"), 10, 2) * 100).cast(LongType).as("q"),
+        (dec(col("l_extendedprice"), 12, 2) * 100).cast(LongType).as("p"),
+        (dec(col("l_discount"), 4, 2) * 100).cast(LongType).as("d"))
+      def m(c: String) = col(c).cast(d38)
+      val agg = l.agg(count(lit(1)).as("n"),
+        min(col("q")).as("q_min"), max(col("q")).as("q_max"),
+        sum(m("q")).cast(LongType).as("sq"),
+        min(col("p")).as("p_min"), max(col("p")).as("p_max"),
+        sum(m("p")).cast(LongType).as("sp"),
+        min(col("d")).as("d_min"), max(col("d")).as("d_max"),
+        sum(m("d")).cast(LongType).as("sd"),
+        sum(m("q") * m("q")).cast(LongType).as("sqq"),
+        sum(m("p") * m("p")).cast(LongType).as("spp"),
+        sum(m("d") * m("d")).cast(LongType).as("sdd"),
+        sum(m("q") * m("p")).cast(LongType).as("sqp"),
+        sum(m("q") * m("d")).cast(LongType).as("sqd"),
+        sum(m("p") * m("d")).cast(LongType).as("spd"))
+      agg.select(col("n"),
+        col("q_min"), col("q_max"), col("sq"),
+        col("p_min"), col("p_max"), col("sp"),
+        col("d_min"), col("d_max"), col("sd"),
+        expr(corrPmlSql("n", "sq", "sp", "sqq", "spp", "sqp"))
+          .as("corr_qp_pml"),
+        expr(corrPmlSql("n", "sq", "sd", "sqq", "sdd", "sqd"))
+          .as("corr_qd_pml"),
+        expr(corrPmlSql("n", "sp", "sd", "spp", "sdd", "spd"))
+          .as("corr_pd_pml"))
+    }),
+
     // the OpenTelemetry/Prometheus histogram pattern: fine-grained
     // (type, day, bin) count rows are the sketch — mergeable by plain
     // SUM, so any coarser rollup (here per-type) re-aggregates bins,
@@ -786,6 +841,29 @@ object SparkEntry {
           shingleN = 3, minJaccard = 0.1, maxShingleDf = 50),
         "id_a", "id_b")),
 
+    // survivorship: the step after clustering — every document maps to
+    // its cluster's best member (longest text, ties to min id), with
+    // singletons their own survivor. "Keep the best copy" is the
+    // policy real dedup ships, not "keep the min id"; one per-cluster
+    // window orders members, nothing corpus-global.
+    "dedup_survivors" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        col("n_chars").cast(LongType).as("n_chars"))
+      val cl = Dedup.clusters(
+        Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 3, minJaccard = 0.1, maxShingleDf = 50),
+        "id_a", "id_b")
+      val full = docs.join(cl, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      full.withColumn("survivor_id", first(col("doc_id")).over(w))
+        .select(col("doc_id"), col("cluster_id"), col("survivor_id"),
+          (col("doc_id") === col("survivor_id")).cast("long")
+            .as("is_survivor"))
+    }),
+
     // LSH candidates + exact-Jaccard verify: the output pair set is
     // engine-independent (LSH miss probability at j>=0.5 is <=1e-4
     // with k=64/bands=32, and the driver data's pairs all sit at
@@ -795,6 +873,21 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLshVerified(withPlantedNearDups(Tables.documents(s, dir)),
         "doc_id", "text", shingleN = 3, k = 64, bands = 32, minJaccard = 0.5)),
+
+    // incremental admission of a re-crawl batch: the planted copies
+    // (ids ≥ 1e6) arrive as the NEW batch against the original corpus
+    // index — candidates only ever pair the batch against
+    // index∪batch, never corpus×corpus. Verified output = the exact
+    // jaccard pair set restricted to pairs touching the batch, which
+    // the oracle mirrors with the same orientation (new id first).
+    "dedup_minhash_inc" -> ((s, dir) => {
+      val all = withPlantedNearDups(Tables.documents(s, dir))
+      Dedup.minhashIncrementalVerified(
+        all.filter(col("doc_id") < 1000000L),
+        all.filter(col("doc_id") >= 1000000L),
+        "doc_id", "text", shingleN = 3, k = 64, bands = 32,
+        minJaccard = 0.5)
+    }),
 
     // simhash pair values are engine-internal 64-bit hashes, so the
     // gate is a planted-recovery CONTRACT (q_approx pattern): the
@@ -2035,6 +2128,42 @@ object SparkEntry {
         |  1 AS hll_ok
         |FROM events GROUP BY event_type""".stripMargin,
 
+    // same single-pass moments (HUGEINT per-row products mirror the
+    // Spark side's DECIMAL(38,0)); the correlation expression is the
+    // IDENTICAL formula string evaluated by both engines
+    "q_profile" -> {
+      val corr = (sx: String, sy: String, sxx: String, syy: String,
+                  sxy: String) =>
+        corrPmlSql("n", sx, sy, sxx, syy, sxy)
+      s"""WITH l AS (
+        |  SELECT CAST(CAST(l_quantity AS DECIMAL(10,2)) * 100 AS BIGINT)
+        |           AS q,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS p,
+        |    CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS d
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT COUNT(*) AS n,
+        |    MIN(q) AS q_min, MAX(q) AS q_max,
+        |    CAST(SUM(q) AS BIGINT) AS sq,
+        |    MIN(p) AS p_min, MAX(p) AS p_max,
+        |    CAST(SUM(p) AS BIGINT) AS sp,
+        |    MIN(d) AS d_min, MAX(d) AS d_max,
+        |    CAST(SUM(d) AS BIGINT) AS sd,
+        |    CAST(SUM(CAST(q AS HUGEINT) * q) AS BIGINT) AS sqq,
+        |    CAST(SUM(CAST(p AS HUGEINT) * p) AS BIGINT) AS spp,
+        |    CAST(SUM(CAST(d AS HUGEINT) * d) AS BIGINT) AS sdd,
+        |    CAST(SUM(CAST(q AS HUGEINT) * p) AS BIGINT) AS sqp,
+        |    CAST(SUM(CAST(q AS HUGEINT) * d) AS BIGINT) AS sqd,
+        |    CAST(SUM(CAST(p AS HUGEINT) * d) AS BIGINT) AS spd
+        |  FROM l)
+        |SELECT n, q_min, q_max, sq, p_min, p_max, sp, d_min, d_max, sd,
+        |  ${corr("sq", "sp", "sqq", "spp", "sqp")} AS corr_qp_pml,
+        |  ${corr("sq", "sd", "sqq", "sdd", "sqd")} AS corr_qd_pml,
+        |  ${corr("sp", "sd", "spp", "sdd", "spd")} AS corr_pd_pml
+        |FROM a""".stripMargin
+    },
+
     // identical bin algebra: SUM-merged (type, bin) counts, quantile
     // = first bin whose cumulative count crosses the rank
     "q_hist_rollup" ->
@@ -2308,6 +2437,40 @@ object SparkEntry {
     // verify threshold. Valid because verified-LSH output is
     // deterministic: every pair at j>=0.5 shares >=1 of 32 two-row
     // bands w.p. >= 1-1e-4 (>= 1-4e-10 at the j>=0.7 this data has).
+    // same planted-corpus shingle CTEs; the pair join keeps the new
+    // batch (ids >= 1e6) on the LEFT and orients new-new pairs a < b
+    "dedup_minhash_inc" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(list_slice(string_split(text, ' '), 1,
+        |      greatest(len(string_split(text, ' ')) - 2, 1)), ' ') AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM docs),
+        |sh0 AS (
+        |  SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS sh
+        |  FROM w a
+        |  JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+        |  FROM sh x JOIN sh y ON x.sh = y.sh
+        |    AND x.doc_id >= 1000000 AND x.doc_id <> y.doc_id
+        |    AND (y.doc_id < 1000000 OR x.doc_id < y.doc_id)
+        |  GROUP BY x.doc_id, y.doc_id)
+        |SELECT id_a, id_b,
+        |  round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 3) AS jaccard
+        |FROM inter
+        |JOIN sz sa ON sa.doc_id = id_a
+        |JOIN sz sb ON sb.doc_id = id_b
+        |WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 3) >= 0.5""".stripMargin,
+
     "dedup_minhash" ->
       """WITH docs AS (
         |  SELECT doc_id, text FROM documents
@@ -2426,6 +2589,55 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS fp_collisions,
         |  CAST(0 AS BIGINT) AS fp_order_violations
         |FROM documents""".stripMargin,
+
+    // dedup_clusters' recursive closure extended one step: left-join
+    // the full corpus (singletons become their own cluster) and pick
+    // the first_value under (n_chars DESC, doc_id) per cluster
+    "dedup_survivors" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS sh
+        |  FROM w a
+        |  JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |shj AS (
+        |  SELECT s.doc_id, s.sh FROM sh s
+        |  JOIN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 50) k
+        |    ON k.sh = s.sh),
+        |inter AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+        |  FROM shj x JOIN shj y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sz sa ON sa.doc_id = id_a
+        |  JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 3) >= 0.1),
+        |e AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst),
+        |m AS (SELECT id AS doc_id, MIN(r) AS cluster_id
+        |      FROM reach GROUP BY id),
+        |f AS (
+        |  SELECT d.doc_id, COALESCE(m.cluster_id, d.doc_id) AS cluster_id,
+        |    CAST(d.n_chars AS BIGINT) AS n_chars
+        |  FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id)
+        |SELECT doc_id, cluster_id,
+        |  first_value(doc_id) OVER (PARTITION BY cluster_id
+        |    ORDER BY n_chars DESC, doc_id) AS survivor_id,
+        |  CASE WHEN doc_id = first_value(doc_id) OVER (
+        |    PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id)
+        |    THEN 1 ELSE 0 END AS is_survivor
+        |FROM f""".stripMargin,
 
     // same pair CTEs as dedup_jaccard (proven engine-portable), then
     // min-reachable-id per node via a recursive closure — DuckDB's

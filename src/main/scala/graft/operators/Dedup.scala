@@ -148,24 +148,22 @@ object Dedup {
     * (persisted; rows are two longs — cache lifetime note as in
     * [[ngramJaccard]]).
     */
-  def minhashLshVerified(docs: DataFrame, idCol: String, textCol: String,
-                         shingleN: Int = 3, k: Int = 64, bands: Int = 32,
-                         minJaccard: Double = 0.5): DataFrame = {
-    require(k % bands == 0, "bands must divide k")
-    val rows = k / bands
-    val shingled = docs
+  /** (doc_id, sh): hashed 8-byte word-n-gram shingles. */
+  private def hashedShingles(docs: DataFrame, idCol: String,
+                             textCol: String, shingleN: Int): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
       .select(col("doc_id"),
         explode(TextFunctions.shinglesOfWords(col("w"), shingleN)).as("shRaw"))
       .select(col("doc_id"), xxhash64(col("shRaw")).as("sh"))
-      .persist()
-    // eager fill — see ngramJaccard: concurrent consumer jobs would
-    // otherwise serialize on per-block cache-fill locks
-    shingled.count()
-    val sizes = shingled.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
 
+  /** (doc_id, band, bucket): the LSH band-bucket index rows of a
+    * hashed-shingle table — the thing an incremental pipeline stores.
+    */
+  private def bandTable(shingled: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
     val mins = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"m$i"))
-    val banded = shingled.groupBy(col("doc_id"))
+    shingled.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
         explode(array((0 until bands).map { b =>
@@ -174,6 +172,19 @@ object Dedup {
               .map(i => col(s"m$i")): _*).as("bucket"))
         }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+  }
+
+  def minhashLshVerified(docs: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int = 3, k: Int = 64, bands: Int = 32,
+                         minJaccard: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val shingled = hashedShingles(docs, idCol, textCol, shingleN).persist()
+    // eager fill — see ngramJaccard: concurrent consumer jobs would
+    // otherwise serialize on per-block cache-fill locks
+    shingled.count()
+    val sizes = shingled.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+
+    val banded = bandTable(shingled, k, bands)
 
     // a pair sharing several bands would double-count in the verify
     // aggregation: dedup candidates first (cheap — candidate volume,
@@ -189,6 +200,59 @@ object Dedup {
       .join(shingled.select(col("doc_id").as("id_b"), col("sh")), Seq("id_b", "sh"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
 
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast(DoubleType) /
+          (col("sz_a") + col("sz_b") - col("inter")), 3))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Incremental near-dup admission: exact-verified pairs where the
+    * FIRST side is always a new-batch document — against the corpus
+    * and within the batch — without ever forming corpus×corpus
+    * candidates. The corpus participates only as its band-bucket
+    * index rows plus hashed shingles, both precomputable and
+    * storable: a daily batch pays batch-signature cost + a
+    * (batch-bands ⋈ index) bucket join, so admission cost tracks the
+    * BATCH size while the corpus only grows the (cheap, bounded)
+    * bucket-probe side. Verification and the recall argument are
+    * [[minhashLshVerified]]'s: at the default k=64/bands=32 the
+    * output equals the exact jaccard pair set restricted to pairs
+    * touching the batch — which is what the driver oracle checks.
+    */
+  def minhashIncrementalVerified(corpus: DataFrame, newBatch: DataFrame,
+                                 idCol: String, textCol: String,
+                                 shingleN: Int = 3, k: Int = 64,
+                                 bands: Int = 32,
+                                 minJaccard: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val shC = hashedShingles(corpus, idCol, textCol, shingleN).persist()
+    val shN = hashedShingles(newBatch, idCol, textCol, shingleN).persist()
+    shC.count(); shN.count() // eager fill — see ngramJaccard
+    val bandC = bandTable(shC, k, bands).withColumn("is_new", lit(false))
+    val bandN = bandTable(shN, k, bands).withColumn("is_new", lit(true))
+
+    // candidates: new on the left; the right side is index ∪ batch,
+    // with batch-batch pairs oriented id_a < id_b so nothing doubles
+    val cand = bandN.alias("a")
+      .join(bandC.unionByName(bandN).alias("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") =!= col("b.doc_id") &&
+          (!col("b.is_new") || col("a.doc_id") < col("b.doc_id")))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    val shAll = shC.unionByName(shN)
+    val sizes = shAll.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(shN.select(col("doc_id").as("id_a"), col("sh")), "id_a")
+      .join(shAll.select(col("doc_id").as("id_b"), col("sh")),
+        Seq("id_b", "sh"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
