@@ -1360,6 +1360,13 @@ object SparkEntry {
     "mm_image" -> ((s, dir) =>
       Multimodal.imageFeatures(Tables.documents(s, dir), "doc_id").toDF()),
 
+    // frame-sampled video through a real container round trip: the
+    // reader walks the GVID frame index and decodes only every 2nd
+    // BMP frame — decode cost ∝ frames kept (see multimodal.Video)
+    "mm_video" -> ((s, dir) =>
+      Multimodal.videoFeatures(Tables.documents(s, dir), "doc_id",
+        stride = 2).toDF()),
+
     "text_scrub" -> ((s, dir) => {
       import graft.functions.TextFunctions._
       // plant deterministic PII derived from doc_id so the scrubber
@@ -2830,6 +2837,27 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))
         |                THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
         |FROM z GROUP BY doc_id""".stripMargin,
+
+    // same closed-form pixels over the SAMPLED (even) frames of the
+    // 4 + doc_id%5 frame sequence; container or codec defects flip
+    // the sums
+    "mm_video" ->
+      """WITH f AS (SELECT unnest(generate_series(0, 8)) AS f),
+        |x AS (SELECT unnest(generate_series(0, 15)) AS x),
+        |y AS (SELECT unnest(generate_series(0, 7)) AS y),
+        |g AS (SELECT d.doc_id, f.f, x.x, y.y
+        |      FROM documents d CROSS JOIN f CROSS JOIN x CROSS JOIN y
+        |      WHERE f.f < 4 + d.doc_id % 5 AND f.f % 2 = 0)
+        |SELECT doc_id,
+        |  CAST(4 + doc_id % 5 AS BIGINT) AS n_frames,
+        |  CAST((4 + doc_id % 5 + 1) // 2 AS BIGINT) AS n_sampled,
+        |  CAST(SUM((doc_id * 31 + f * 41 + x * 7 + y * 13) % 256)
+        |    AS BIGINT) AS sum_r,
+        |  CAST(SUM((doc_id * 17 + f * 29 + x * 11 + y * 5) % 256)
+        |    AS BIGINT) AS sum_g,
+        |  CAST(SUM((doc_id * 23 + f * 37 + x * 3 + y * 19) % 256)
+        |    AS BIGINT) AS sum_b
+        |FROM g GROUP BY doc_id""".stripMargin,
 
     // the same closed-form pixel pattern the Spark side encodes into
     // BMP and decodes back; a codec defect flips these sums

@@ -282,6 +282,65 @@ object Multimodal {
       }
   }
 
+  case class VideoFeatures(doc_id: Long, n_frames: Long, n_sampled: Long,
+                           sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Frame-sampled video features through a REAL container round
+    * trip: each doc synthesizes a [[Video]] container of 4..8
+    * 16×8 BMP frames (pixels a closed form of (doc_id, frame, x, y) —
+    * the oracle recomputes the same sums), the reader walks the frame
+    * INDEX and decodes only every `stride`-th frame. Container or BMP
+    * codec defects flip the sums; the index walk is what keeps decode
+    * cost ∝ sampled frames at real scale. Map-only: one narrow
+    * mapPartitions, six-column rows out.
+    */
+  def videoFeatures(docs: DataFrame, idCol: String,
+                    stride: Int = 2): Dataset[VideoFeatures] = {
+    require(stride >= 1)
+    implicit val enc: Encoder[VideoFeatures] = Encoders.product[VideoFeatures]
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    val w = 16; val h = 8
+    docs.select(col(idCol).cast(org.apache.spark.sql.types.LongType))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val nFrames = (4 + id % 5).toInt
+          val container = Video.write((0 until nFrames).map { f =>
+            Bmp.write(w, h, (x, y) => (
+              ((id * 31 + f * 41 + x * 7 + y * 13) % 256).toInt,
+              ((id * 17 + f * 29 + x * 11 + y * 5) % 256).toInt,
+              ((id * 23 + f * 37 + x * 3 + y * 19) % 256).toInt))
+          })
+          Video.parseIndex(container) match {
+            case Some(index) =>
+              var sr = 0L; var sg = 0L; var sb = 0L; var sampled = 0L
+              var f = 0
+              while (f < index.length) {
+                if (f % stride == 0) {
+                  Bmp.parse(Video.frameBytes(container, index(f))).foreach {
+                    img =>
+                      sampled += 1
+                      var y = 0
+                      while (y < img.height) {
+                        var x = 0
+                        while (x < img.width) {
+                          val (r, g, b) = img.pixel(x, y)
+                          sr += r; sg += g; sb += b
+                          x += 1
+                        }
+                        y += 1
+                      }
+                  }
+                }
+                f += 1
+              }
+              VideoFeatures(id, index.length.toLong, sampled, sr, sg, sb)
+            case None => VideoFeatures(id, 0L, 0L, 0L, 0L, 0L)
+          }
+        }
+      }
+  }
+
   /** Batched decode + feature extraction over (doc_id, payload,
     * frames). Partition-local: payloads are processed in groups of
     * `batchSize` (the batch shape a vectorized decoder needs),
