@@ -40,6 +40,11 @@ object Graph {
     // two joins + aggregate per round.
     val e = edges.select(col("src").cast(LongType),
       col("dst").cast(LongType)).distinct().persist()
+    // eager fill (ngramJaccard pattern): the final plan reads e and nb
+    // once PER ITERATION concurrently — lazily-filling consumers
+    // serialize on per-block cache-fill locks (measured 2.5s → 21s at
+    // sf0.1 when left lazy)
+    e.count()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     // node count rides along as a broadcast 1-row frame: no driver
@@ -53,6 +58,7 @@ object Graph {
     val nb = nodes.crossJoin(total)
       .select(col("node"), expr("1000000 div n_nodes").as("pr0"),
         expr(s"$base div n_nodes").as("base_pr")).persist()
+    nb.count(); outdeg.count()
     var ranks = nb.select(col("node"), col("pr0").as("pr"))
     for (_ <- 1 to iters) {
       val inflow = e.join(ranks, e("src") === ranks("node"))
