@@ -32,6 +32,26 @@ object SparkEntry {
 
   private def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
 
+  /** The q_sql_recursive text: valid, and semantically identical, in
+    * BOTH Spark SQL and DuckDB — the whole point of the query.
+    */
+  private val RecursiveBinsSql: String =
+    """WITH RECURSIVE bins(bin) AS (
+      |  SELECT CAST(0 AS BIGINT)
+      |  UNION ALL
+      |  SELECT bin + 1 FROM bins
+      |  WHERE bin + 1 <= (SELECT CAST(floor(
+      |      MAX(CAST(CAST(l_quantity AS DECIMAL(10,2)) * 100 AS BIGINT))
+      |      / 1000.0) AS BIGINT) FROM lineitem)),
+      |c AS (
+      |  SELECT CAST(floor(
+      |      CAST(CAST(l_quantity AS DECIMAL(10,2)) * 100 AS BIGINT)
+      |      / 1000.0) AS BIGINT) AS bin,
+      |    COUNT(*) AS n
+      |  FROM lineitem GROUP BY 1)
+      |SELECT b.bin, COALESCE(c.n, 0) AS n
+      |FROM bins b LEFT JOIN c ON c.bin = b.bin""".stripMargin
+
   /** Pearson correlation in permille from exact integer moment sums —
     * ONE formula string valid in both Spark SQL and DuckDB, so the
     * double arithmetic is bit-identical over identical integers
@@ -1400,6 +1420,34 @@ object SparkEntry {
       s.sql("""SELECT event_type, COUNT(*) AS n,
               |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
               |FROM events_v GROUP BY event_type""".stripMargin)
+    }),
+
+    // null-safe equi-join (<=>): a NULL join key MATCHES a NULL key,
+    // where plain equality silently drops the row — the semantics a
+    // dimension with an "unknown" bucket needs. Planted nulls via
+    // NULLIF; DuckDB mirrors with IS NOT DISTINCT FROM.
+    "q_nullsafe_join" -> ((s, dir) => {
+      val fact = Tables.events(s, dir)
+        .select(expr("nullif(event_type, 'view')").as("k"),
+          (dec(col("value"), 10, 2) * 100).cast(LongType).as("cents"))
+      val dict = fact.select(col("k")).distinct()
+        .withColumn("bucket_id",
+          coalesce(col("k"), lit("unknown")))
+      dict.join(fact, dict("k") <=> fact("k"))
+        .groupBy(col("bucket_id"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).cast(LongType)
+          .as("sum_cents"))
+    }),
+
+    // ONE SQL text, two engines: Spark 4's WITH RECURSIVE runs the
+    // identical string the DuckDB oracle runs (engine-common
+    // functions only — no div//, no epoch/unix_timestamp). The
+    // recursion builds the zero-filled bin scaffold that q_histogram
+    // leaves gappy; recursion depth is bounded by the max bin, not
+    // data volume.
+    "q_sql_recursive" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      s.sql(RecursiveBinsSql)
     }),
 
     // planted EXACT copies + exact-Jaccard near-dup removal: every
@@ -2967,6 +3015,22 @@ object SparkEntry {
         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |  EXCEPT
         |  SELECT o_custkey FROM orders)""".stripMargin,
+
+    // IS NOT DISTINCT FROM is SQL's spelling of Spark's <=>
+    "q_nullsafe_join" ->
+      """WITH f AS (
+        |  SELECT nullif(event_type, 'view') AS k,
+        |    CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |d AS (SELECT DISTINCT k, COALESCE(k, 'unknown') AS bucket_id
+        |      FROM f)
+        |SELECT d.bucket_id, COUNT(*) AS n,
+        |  CAST(SUM(f.cents) AS BIGINT) AS sum_cents
+        |FROM d JOIN f ON d.k IS NOT DISTINCT FROM f.k
+        |GROUP BY d.bucket_id""".stripMargin,
+
+    // verbatim the string Spark executed — the oracle IS the query
+    "q_sql_recursive" -> RecursiveBinsSql,
 
     "q_sql" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -55,6 +55,22 @@ class WarehouseSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("schema evolution: mergeSchema unifies old and new file schemas") {
+    // a long-lived table gains a column mid-life; readers must see the
+    // union schema with nulls for pre-evolution files, and writers of
+    // the old schema must keep working untouched
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    Seq((1L, "alpha")).toDF("doc_id", "text").write.parquet(s"$dir/t/p1")
+    Seq((2L, "beta", "en")).toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/t/p2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/t/p1", s"$dir/t/p2")
+    assert(merged.columns.sorted.toSeq === Seq("doc_id", "lang", "text"))
+    val rows = merged.collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[String]("lang"))).toMap
+    assert(rows === Map(1L -> None, 2L -> Some("en")))
+  }
+
   test("ANALYZE TABLE statistics let the CBO broadcast a small table") {
     // catalog stats are what the cost-based optimizer sees at plan
     // time on a real warehouse (file listing alone undercounts after
