@@ -1422,6 +1422,36 @@ object SparkEntry {
               |FROM events_v GROUP BY event_type""".stripMargin)
     }),
 
+    // replica comparison without moving data: an order-independent
+    // content checksum per table — md5 over a canonical row string,
+    // folded by count + XOR + SUM (all commutative). Two replicas
+    // compare by exchanging three integers per table instead of
+    // terabytes; any single-row difference flips the fold. The 60-bit
+    // hex prefix keeps the per-row value in positive BIGINT range in
+    // both engines (Spark conv(hex,16,10) ≡ DuckDB CAST('0x…')).
+    "q_table_checksum" -> ((s, dir) => {
+      // sum fold is MODULAR (p = 1e9+7, DECIMAL(38,0) accumulate):
+      // a raw BIGINT sum of 60-bit hashes wraps past ~8k rows in
+      // Spark while DuckDB's HUGEINT doesn't — mod-p keeps both
+      // engines exact at any row count
+      def sums(df: DataFrame, name: String, canon: Column) =
+        df.select((conv(substring(md5(canon), 1, 15), 16, 10)
+            .cast(LongType) % 1000000007L).as("h"))
+          .agg(count(lit(1)).as("n"),
+            expr("bit_xor(h)").as("xor_h"),
+            (sum(col("h").cast(DecimalType(38, 0))) % 1000000007L)
+              .cast(LongType).as("sum_h"))
+          .select(lit(name).as("table_name"), col("n"), col("xor_h"),
+            col("sum_h"))
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      sums(o, "orders", concat_ws("|", col("o_orderkey"), col("o_custkey"),
+          (dec(col("o_totalprice"), 12, 2) * 100).cast(LongType)))
+        .unionByName(
+          sums(c, "customer", concat_ws("|", col("c_custkey"),
+            col("c_nationkey"))))
+    }),
+
     // null-safe equi-join (<=>): a NULL join key MATCHES a NULL key,
     // where plain equality silently drops the row — the semantics a
     // dimension with an "unknown" bucket needs. Planted nulls via
@@ -3015,6 +3045,31 @@ object SparkEntry {
         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |  EXCEPT
         |  SELECT o_custkey FROM orders)""".stripMargin,
+
+    // same canonical strings, same md5 prefix, same commutative folds
+    "q_table_checksum" ->
+      """WITH o AS (
+        |  SELECT CAST(('0x' || substr(md5(
+        |      CAST(o_orderkey AS VARCHAR) || '|' ||
+        |      CAST(o_custkey AS VARCHAR) || '|' ||
+        |      CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |        AS BIGINT) AS VARCHAR)), 1, 15)) AS BIGINT)
+        |    % 1000000007 AS h
+        |  FROM orders),
+        |c AS (
+        |  SELECT CAST(('0x' || substr(md5(
+        |      CAST(c_custkey AS VARCHAR) || '|' ||
+        |      CAST(c_nationkey AS VARCHAR)), 1, 15)) AS BIGINT)
+        |    % 1000000007 AS h
+        |  FROM customer)
+        |SELECT 'orders' AS table_name, COUNT(*) AS n,
+        |  bit_xor(h) AS xor_h,
+        |  CAST(SUM(h) % 1000000007 AS BIGINT) AS sum_h FROM o
+        |UNION ALL
+        |SELECT 'customer' AS table_name, COUNT(*) AS n,
+        |  bit_xor(h) AS xor_h,
+        |  CAST(SUM(h) % 1000000007 AS BIGINT) AS sum_h
+        |FROM c""".stripMargin,
 
     // IS NOT DISTINCT FROM is SQL's spelling of Spark's <=>
     "q_nullsafe_join" ->
