@@ -201,6 +201,39 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(v1b === v1)
   }
 
+  test("windowed distinct users via HLL state stays within tolerance " +
+      "and exact counts stay exact") {
+    // the sketch-table pattern under streaming state: per-window
+    // approx_count_distinct keeps HLL registers in the state store
+    // (constant bytes per window however many users), beside an exact
+    // count for the spec to gate against. Append mode: windows emit
+    // once the watermark passes.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Transaction]
+    val agg = input.toDF()
+      .withWatermark("ts", "2 seconds")
+      .groupBy(window(col("ts"), "10 seconds").as("w"))
+      .agg(approx_count_distinct(col("accountId"), 0.02).as("n_est"),
+        count(lit(1)).as("n_rows"))
+      .select(unix_millis(col("w.start")).as("ws"), col("n_est"),
+        col("n_rows"))
+    val sink = runToSink(agg, "t_hll_win", "append") { step =>
+      // window [0,10): accounts 1..40, two events each
+      input.addData((1 to 40).flatMap(a =>
+        Seq(tx(a, 1.0, a % 5), tx(a, 2.0, (a % 5) + 4))): _*)
+      step(0)
+      input.addData(tx(9, 1, 30)) // watermark -> 28s: close [0,10)
+      step(0)
+      input.addData(tx(9, 1, 31))
+      step(0)
+    }
+    val w0 = sink.filter(col("ws") === Base).head
+    assert(w0.getLong(2) === 80L, "exact row count must be exact")
+    // 2%-rsd sketch, 5-sigma tolerance: 40 ± 4
+    assert(math.abs(w0.getLong(1) - 40L) <= 4,
+      s"distinct estimate out of tolerance: ${w0.getLong(1)}")
+  }
+
   test("vacuum keeps the newest snapshot versions and reports the rest") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_vac").toString
