@@ -1422,6 +1422,51 @@ object SparkEntry {
               |FROM events_v GROUP BY event_type""".stripMargin)
     }),
 
+    // order statistics inside window frames: a 5-row moving median
+    // per series. The ×10 decicents trick (q_approx) keeps the
+    // interpolated midpoint integral — a 5-or-fewer-row frame's
+    // median is k or k.5 exactly — so a float-only windowed statistic
+    // hash-oracles. Frames are per-(type) ordered ROWS, no global
+    // sort.
+    "q_moving_median" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, dir).select(col("event_type"),
+        col("event_id"), unix_timestamp(col("ts")).as("sec"),
+        (dec(col("value"), 10, 2) * 100).cast(LongType).as("cents"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("sec"), col("event_id")).rowsBetween(-4, 0)
+      e.select(col("event_type"), col("event_id"),
+          (expr("percentile(cents, 0.5)").over(w) * 10)
+            .cast(LongType).as("med_decicents"))
+        .orderBy(col("event_type"), col("event_id")).limit(2000)
+    }),
+
+    // robust outlier counts via MAD (median absolute deviation):
+    // median and MAD in exact decicents (×10 interpolation trick),
+    // then a map-side |x−med| > 5·MAD test against broadcast 5-row
+    // fences — the heavy-tail-safe alternative to z-scores, no
+    // global sort anywhere.
+    "q_mad" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"),
+        (dec(col("value"), 10, 2) * 100).cast(LongType).as("cents"))
+      val med = e.groupBy(col("event_type"))
+        .agg((expr("percentile(cents, 0.5)") * 10).cast(LongType)
+          .as("med10"))
+      val dev = e.join(broadcast(med), "event_type")
+        .select(col("event_type"), col("cents"), col("med10"),
+          abs(col("cents") * 10 - col("med10")).as("adev10"))
+      val mad = dev.groupBy(col("event_type"))
+        .agg((expr("percentile(adev10, 0.5)") * 10).cast(LongType)
+          .as("mad100"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          max(col("med10")).as("med10"),
+          max(col("mad100")).as("mad100"),
+          sum(when(col("adev10") * 10 > col("mad100") * 5, 1L)
+            .otherwise(0L)).cast(LongType).as("n_outliers"))
+    }),
+
     // replica comparison without moving data: an order-independent
     // content checksum per table — md5 over a canonical row string,
     // folded by count + XOR + SUM (all commutative). Two replicas
@@ -3045,6 +3090,43 @@ object SparkEntry {
         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |  EXCEPT
         |  SELECT o_custkey FROM orders)""".stripMargin,
+
+    // same ×10 decicent window median; quantile_cont is DuckDB's
+    // spelling of percentile
+    "q_moving_median" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT event_type, event_id,
+        |  CAST(quantile_cont(cents, 0.5) OVER (PARTITION BY event_type
+        |    ORDER BY sec, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) * 10 AS BIGINT)
+        |    AS med_decicents
+        |FROM e ORDER BY event_type, event_id LIMIT 2000""".stripMargin,
+
+    // identical integer MAD algebra over decicents
+    "q_mad" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (SELECT event_type,
+        |        CAST(quantile_cont(cents, 0.5) * 10 AS BIGINT) AS med10
+        |      FROM e GROUP BY event_type),
+        |d AS (SELECT e.event_type, m.med10,
+        |        abs(e.cents * 10 - m.med10) AS adev10
+        |      FROM e JOIN m USING (event_type)),
+        |md AS (SELECT event_type,
+        |         CAST(quantile_cont(adev10, 0.5) * 10 AS BIGINT) AS mad100
+        |       FROM d GROUP BY event_type)
+        |SELECT d.event_type, COUNT(*) AS n,
+        |  MAX(d.med10) AS med10, MAX(md.mad100) AS mad100,
+        |  CAST(SUM(CASE WHEN d.adev10 * 10 > md.mad100 * 5
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY d.event_type""".stripMargin,
 
     // same canonical strings, same md5 prefix, same commutative folds
     "q_table_checksum" ->
