@@ -861,6 +861,51 @@ object SparkEntry {
           shingleN = 3, minJaccard = 0.1, maxShingleDf = 50),
         "id_a", "id_b")),
 
+    // novelty/noise signal: the share of a document's bigrams that
+    // appear NOWHERE else in the corpus (corpus-df = 1), in permille.
+    // Boilerplate scores near 0, unique prose near 1000 — the cheap
+    // n-gram-LM surprise proxy that stays integer-exact. Bigram df
+    // is a vocabulary-sized agg; everything else is map-side.
+    "text_oov" -> ((s, dir) => {
+      val bi = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), explode(expr(
+          "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+            " (a, b) -> concat(a, ' ', b))")).as("bg"))
+        .distinct()
+      val df = bi.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+      bi.join(df, "bg")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          (sum(when(col("df") === 1, 1L).otherwise(0L)) * 1000 /
+            count(lit(1))).cast(LongType).as("oov_permille"))
+    }),
+
+    // corpus provenance matrix: for every ordered source pair, the
+    // permille of A's distinct bigrams that also occur in B — the
+    // cross-corpus contamination/overlap report (decontaminate's
+    // shape, all sources at once). The join runs on hashed distinct
+    // bigrams per source (vocabulary-sized), never documents.
+    "q_source_overlap" -> ((s, dir) => {
+      val sb = Tables.documents(s, dir)
+        .select(col("source"), split(col("text"), " ").as("w"))
+        .select(col("source"), explode(expr(
+          "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+            " (a, b) -> concat(a, ' ', b))")).as("bg"))
+        .distinct()
+      val a = sb.select(col("source").as("src_a"), col("bg"))
+      val b = sb.select(col("source").as("src_b"), col("bg"))
+      val sizes = a.groupBy(col("src_a")).agg(count(lit(1)).as("n_a"))
+      a.join(b, "bg")
+        .filter(col("src_a") =!= col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(sizes, "src_a")
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          (col("n_shared") * 1000 / col("n_a")).cast(LongType)
+            .as("overlap_permille"))
+    }),
+
     // survivorship: the step after clustering — every document maps to
     // its cluster's best member (longest text, ties to min id), with
     // singletons their own survivor. "Keep the best copy" is the
@@ -2567,8 +2612,44 @@ object SparkEntry {
     // verify threshold. Valid because verified-LSH output is
     // deterministic: every pair at j>=0.5 shares >=1 of 32 two-row
     // bands w.p. >= 1-1e-4 (>= 1-4e-10 at the j>=0.7 this data has).
+    // same gaps-trick bigram CTEs; df=1 bigrams are the novelty set
+    "text_oov" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |bg0 AS (
+        |  SELECT a.doc_id, a.word || ' ' || b.word AS bg
+        |  FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+        |bi AS (SELECT DISTINCT doc_id, bg FROM bg0),
+        |df AS (SELECT bg, COUNT(*) AS df FROM bi GROUP BY bg)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 1000
+        |    // COUNT(*) AS BIGINT) AS oov_permille
+        |FROM bi JOIN df USING (bg) GROUP BY doc_id""".stripMargin,
+
+    // distinct per-source bigram sets joined on the shared bigram
+    "q_source_overlap" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    unnest(string_split(text, ' ')) AS word,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |bg0 AS (
+        |  SELECT a.source, a.word || ' ' || b.word AS bg
+        |  FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+        |sb AS (SELECT DISTINCT source, bg FROM bg0),
+        |sz AS (SELECT source AS src_a, COUNT(*) AS n_a FROM sb GROUP BY 1),
+        |j AS (SELECT x.source AS src_a, y.source AS src_b,
+        |        COUNT(*) AS n_shared
+        |      FROM sb x JOIN sb y ON x.bg = y.bg AND x.source <> y.source
+        |      GROUP BY 1, 2)
+        |SELECT j.src_a, j.src_b, j.n_shared,
+        |  CAST(j.n_shared * 1000 // sz.n_a AS BIGINT) AS overlap_permille
+        |FROM j JOIN sz USING (src_a)""".stripMargin,
+
     // same planted-corpus shingle CTEs; the pair join keeps the new
-    // batch (ids >= 1e6) on the LEFT and orients new-new pairs a < b
+    // batch (ids >= 1e6) and orients new-new pairs a < b
     "dedup_minhash_inc" ->
       """WITH docs AS (
         |  SELECT doc_id, text FROM documents
