@@ -1458,6 +1458,50 @@ object SparkEntry {
         .select(col("tag"), col("c_custkey"))
     }),
 
+    // bag-semantics set operations: INTERSECT ALL / EXCEPT ALL keep
+    // multiplicity (min / truncated difference of per-row counts),
+    // where the distinct variants of q_setops collapse it — the
+    // semantics ledger-style reconciliation needs
+    "q_setops_all" -> ((s, dir) => {
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val high = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "2-HIGH")
+        .select(col("o_custkey"))
+      urgent.intersectAll(high).withColumn("tag", lit("both"))
+        .unionByName(
+          urgent.exceptAll(high).withColumn("tag", lit("urgent_only")))
+        .groupBy(col("tag"), col("o_custkey"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // corpus-version reconciliation with precedence: the same doc_id
+    // may arrive from several feeds; highest-priority feed wins, ties
+    // impossible by construction (priority is the dedup rank key).
+    // One per-key window over (priority, feed) — merge_upsert's
+    // first-writer-wins generalized to N sources.
+    "q_corpus_union" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+      // three deterministic feeds: base, a re-crawl of doc_id%3=0
+      // (priority 1 beats it), and a curated slice doc_id%7=0
+      // (priority 0 beats both)
+      val feeds = d.select(col("doc_id"), col("n_chars"),
+          lit(2L).as("priority"), lit("base").as("feed"))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(3)) === 0)
+          .select(col("doc_id"), (col("n_chars") + 1).as("n_chars"),
+            lit(1L).as("priority"), lit("recrawl").as("feed")))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select(col("doc_id"), (col("n_chars") + 2).as("n_chars"),
+            lit(0L).as("priority"), lit("curated").as("feed")))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("priority"), col("feed"))
+      feeds.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("n_chars"), col("feed"))
+    }),
+
     "q_sql" -> ((s, dir) => {
       // the spark.sql path over a registered view (same engine, SQL
       // front-end) — proves the library surface is SQL-accessible
@@ -3249,6 +3293,39 @@ object SparkEntry {
 
     // verbatim the string Spark executed — the oracle IS the query
     "q_sql_recursive" -> RecursiveBinsSql,
+
+    // DuckDB speaks INTERSECT ALL / EXCEPT ALL natively
+    "q_setops_all" ->
+      """WITH u AS (SELECT o_custkey FROM orders
+        |           WHERE o_orderpriority = '1-URGENT'),
+        |h AS (SELECT o_custkey FROM orders
+        |      WHERE o_orderpriority = '2-HIGH'),
+        |b AS (SELECT o_custkey, 'both' AS tag
+        |      FROM (SELECT o_custkey FROM u
+        |            INTERSECT ALL SELECT o_custkey FROM h)),
+        |o AS (SELECT o_custkey, 'urgent_only' AS tag
+        |      FROM (SELECT o_custkey FROM u
+        |            EXCEPT ALL SELECT o_custkey FROM h))
+        |SELECT tag, o_custkey, COUNT(*) AS n
+        |FROM (SELECT * FROM b UNION ALL SELECT * FROM o)
+        |GROUP BY tag, o_custkey""".stripMargin,
+
+    // same three feeds, same (priority, feed) precedence window
+    "q_corpus_union" ->
+      """WITH feeds AS (
+        |  SELECT doc_id, n_chars, 2 AS priority, 'base' AS feed
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, n_chars + 1, 1, 'recrawl' FROM documents
+        |  WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, n_chars + 2, 0, 'curated' FROM documents
+        |  WHERE doc_id % 7 = 0),
+        |r AS (SELECT doc_id, n_chars, feed,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY priority, feed) AS rk
+        |      FROM feeds)
+        |SELECT doc_id, n_chars, feed FROM r WHERE rk = 1""".stripMargin,
 
     "q_sql" ->
       """SELECT event_type, COUNT(*) AS n,
