@@ -1458,6 +1458,50 @@ object SparkEntry {
         .select(col("tag"), col("c_custkey"))
     }),
 
+    // boolean search over an inverted index: AND of two terms answered
+    // by intersecting posting lists — doc-id sets per term — instead
+    // of scanning text. The query terms pick themselves
+    // deterministically (df ranks 3 and 5) so the oracle agrees on
+    // them; posting joins are term-filtered BEFORE touching docs, the
+    // LIKE-scan a search engine must never do.
+    "q_search" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val posting = Tables.documents(s, dir).select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+      val ranked = posting.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("df").desc, col("term"))))
+      val ta = ranked.filter(col("rk") === 3)
+        .select(col("term").as("term_a"))
+      val tb = ranked.filter(col("rk") === 5)
+        .select(col("term").as("term_b"))
+      posting.join(broadcast(ta), posting("term") === ta("term_a"))
+        .select(col("doc_id"), col("term_a"))
+        .join(posting.join(broadcast(tb), posting("term") === tb("term_b"))
+          .select(col("doc_id").as("doc_id_b"), col("term_b")),
+          col("doc_id") === col("doc_id_b"))
+        .select(col("doc_id"), col("term_a"), col("term_b"))
+    }),
+
+    // spatial radius join without a cross product: grid cells of side
+    // r, the 50-point query side explodes to its 3×3 neighborhood,
+    // one equi-join on cell ids + exact verify. Coordinates derive
+    // from ids by pure arithmetic so the oracle can mirror them; the
+    // oracle itself joins naively BETWEEN — same pair set, different
+    // plan shape (q_range_join's argument, one dimension up).
+    "q_spatial_join" -> ((s, dir) => {
+      val pts = Tables.events(s, dir).select(col("event_id"),
+        ((col("event_id") * 7919) % 100000).as("x"),
+        ((col("event_id") * 104729) % 100000).as("y"))
+      val qs = Tables.customer(s, dir)
+        .filter(col("c_custkey") <= 50).select(col("c_custkey"),
+          ((col("c_custkey") * 7919) % 100000).as("x"),
+          ((col("c_custkey") * 104729) % 100000).as("y"))
+      operators.SpatialJoin.radiusJoin(pts, qs, "event_id", "c_custkey",
+        r = 500L)
+    }),
+
     // bag-semantics set operations: INTERSECT ALL / EXCEPT ALL keep
     // multiplicity (min / truncated difference of per-row counts),
     // where the distinct variants of q_setops collapse it — the
@@ -3293,6 +3337,39 @@ object SparkEntry {
 
     // verbatim the string Spark executed — the oracle IS the query
     "q_sql_recursive" -> RecursiveBinsSql,
+
+    // same deterministic term choice, same posting intersection
+    "q_search" ->
+      """WITH posting AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT term, COUNT(*) AS df,
+        |    row_number() OVER (ORDER BY COUNT(*) DESC, term) AS rk
+        |  FROM posting GROUP BY term),
+        |ta AS (SELECT term AS term_a FROM ranked WHERE rk = 3),
+        |tb AS (SELECT term AS term_b FROM ranked WHERE rk = 5)
+        |SELECT pa.doc_id, ta.term_a, tb.term_b
+        |FROM posting pa JOIN ta ON pa.term = ta.term_a
+        |JOIN posting pb ON pb.doc_id = pa.doc_id
+        |JOIN tb ON pb.term = tb.term_b""".stripMargin,
+
+    // the naive BETWEEN form — identical pair set to the grid plan
+    "q_spatial_join" ->
+      """WITH p AS (
+        |  SELECT event_id, (event_id * 7919) % 100000 AS x,
+        |    (event_id * 104729) % 100000 AS y
+        |  FROM events),
+        |q AS (
+        |  SELECT c_custkey, (c_custkey * 7919) % 100000 AS x,
+        |    (c_custkey * 104729) % 100000 AS y
+        |  FROM customer WHERE c_custkey <= 50)
+        |SELECT q.c_custkey AS q_id, p.event_id AS p_id,
+        |  greatest(abs(p.x - q.x), abs(p.y - q.y)) AS cheb_dist
+        |FROM q JOIN p
+        |  ON p.x BETWEEN q.x - 500 AND q.x + 500
+        | AND p.y BETWEEN q.y - 500 AND q.y + 500""".stripMargin,
 
     // DuckDB speaks INTERSECT ALL / EXCEPT ALL natively
     "q_setops_all" ->
