@@ -24,7 +24,12 @@ object StreamBench {
     // (streamingPaneSlidingAgg) — sliding vs panes on the same
     // size/slide measures the pane state layout's win directly.
     val pipeline = args.lift(2).getOrElse("tumbling")
-    val spark = GraftSession.builder(appName = "graft-streambench").getOrCreate()
+    val b0 = GraftSession.builder(appName = "graft-streambench")
+    // transformWithState requires the RocksDB provider (and "timer"
+    // runs on it too so the tws comparison isolates the API, not the
+    // state store)
+    val spark = (if (pipeline == "tws" || pipeline == "timer")
+      graft.streaming.GraftStreams.withRocksDBState(b0) else b0).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val metrics = Metrics.attach(spark)
@@ -40,6 +45,22 @@ object StreamBench {
         graft.operators.Windows.streamingPaneSlidingAgg(tx, "accountId",
           "ts", "amount", sizeSec = 60, slideSec = 5,
           watermarkDelay = "2 seconds")
+      case "timer" =>
+        // per-element timer detector, GroupState emulation: pending
+        // fire-time list managed in user state
+        StreamingFraud.perElementTimerDetector(
+          tx.as[graft.streaming.Transaction](
+            org.apache.spark.sql.Encoders.product),
+          windowSec = 5, threshold = 1e12, watermarkDelay = "2 seconds")
+          .toDF()
+      case "tws" =>
+        // same detector on transformWithState's native timer service
+        // (requires the RocksDB provider GraftSession already sets)
+        StreamingFraud.timerDetectorTws(
+          tx.as[graft.streaming.Transaction](
+            org.apache.spark.sql.Encoders.product),
+          windowSec = 5, threshold = 1e12, watermarkDelay = "2 seconds")
+          .toDF()
       case "dedup" =>
         // ingest-time dedup throughput: keys collide by design
         // (amount bucketed to 10 units per account), so the state
