@@ -1555,6 +1555,51 @@ object SparkEntry {
               |FROM events_v GROUP BY event_type""".stripMargin)
     }),
 
+    // revenue concentration via the exact integer Gini: with values
+    // ranked inside each type (ties broken by event_id — Σ rank·x is
+    // tie-order-invariant, the tiebreak only pins determinism), G =
+    // (2·Σ rank·x − (n+1)·Σx) / (n·Σx) in floor micro units. Window
+    // sorts are per-type; at 100 TB the binned q_hist_rollup shape
+    // approximates the same integral without the sort.
+    "q_gini" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, dir).select(col("event_type"),
+        col("event_id"), (dec(col("value"), 10, 2) * 100)
+          .cast(LongType).as("cents"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("cents"), col("event_id"))
+      e.withColumn("rk", row_number().over(w))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents").cast(DecimalType(38, 0))).cast(LongType)
+            .as("s0"),
+          sum((col("rk") * col("cents")).cast(DecimalType(38, 0)))
+            .cast(LongType).as("s1"))
+        .select(col("event_type"), col("n"),
+          // DECIMAL operands: the numerator ×1e6 tops 2^63 once
+          // Σrank·cents reaches ~9e12 (sf0.1 already); integral
+          // division on decimals keeps the floor exact
+          expr("CAST(2 * s1 - (n + 1) * s0 AS DECIMAL(38,0)) * 1000000" +
+            " div CAST(n * s0 AS DECIMAL(38,0))").as("gini_micro"))
+    }),
+
+    // cohort retention: users bucketed by first-seen day, counted on
+    // each later day-offset they return — the product-analytics
+    // triangle. First-seen is a per-user min (hash agg), the matrix a
+    // (cohort, offset) count; nothing user-crossing beyond that.
+    "q_retention" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"),
+        expr("unix_timestamp(ts) div 86400").as("day"))
+      val firstDay = e.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      e.join(firstDay, "user_id")
+        .select(col("user_id"), col("cohort_day"),
+          (col("day") - col("cohort_day")).as("offset"))
+        .distinct()
+        .groupBy(col("cohort_day"), col("offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // order statistics inside window frames: a 5-row moving median
     // per series. The ×10 decicents trick (q_approx) keeps the
     // interpolated midpoint integral — a 5-or-fewer-row frame's
@@ -3259,6 +3304,38 @@ object SparkEntry {
         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |  EXCEPT
         |  SELECT o_custkey FROM orders)""".stripMargin,
+
+    // same rank-sum Gini in HUGEINT-exact integers
+    "q_gini" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |    CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (SELECT event_type, cents,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY cents, event_id) AS rk
+        |      FROM e),
+        |a AS (SELECT event_type, COUNT(*) AS n,
+        |        SUM(cents) AS s0, SUM(rk * cents) AS s1
+        |      FROM r GROUP BY event_type)
+        |SELECT event_type, n,
+        |  CAST((2 * s1 - (n + 1) * s0) * 1000000 // (n * s0) AS BIGINT)
+        |    AS gini_micro
+        |FROM a""".stripMargin,
+
+    // same min-day cohorts and distinct (user, offset) visits
+    "q_retention" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort_day
+        |      FROM e GROUP BY user_id),
+        |v AS (SELECT DISTINCT e.user_id, f.cohort_day,
+        |        e.day - f.cohort_day AS "offset"
+        |      FROM e JOIN f USING (user_id))
+        |SELECT cohort_day, "offset" AS offset, COUNT(*) AS n_users
+        |FROM v GROUP BY cohort_day, "offset"""".stripMargin,
 
     // same ×10 decicent window median; quantile_cont is DuckDB's
     // spelling of percentile
