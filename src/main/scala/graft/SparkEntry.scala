@@ -578,6 +578,9 @@ object SparkEntry {
         (dec(col("l_extendedprice"), 12, 2) * 100).cast(LongType).as("p"),
         (dec(col("l_discount"), 4, 2) * 100).cast(LongType).as("d"))
       def m(c: String) = col(c).cast(d38)
+      // product moments stay DECIMAL(38,0) — Σp² crosses 2^63 already
+      // at sf0.1 (measured 2.2e19) — and feed ONLY the double formula;
+      // emitted columns are the range-safe firsts
       val agg = l.agg(count(lit(1)).as("n"),
         min(col("q")).as("q_min"), max(col("q")).as("q_max"),
         sum(m("q")).cast(LongType).as("sq"),
@@ -585,12 +588,12 @@ object SparkEntry {
         sum(m("p")).cast(LongType).as("sp"),
         min(col("d")).as("d_min"), max(col("d")).as("d_max"),
         sum(m("d")).cast(LongType).as("sd"),
-        sum(m("q") * m("q")).cast(LongType).as("sqq"),
-        sum(m("p") * m("p")).cast(LongType).as("spp"),
-        sum(m("d") * m("d")).cast(LongType).as("sdd"),
-        sum(m("q") * m("p")).cast(LongType).as("sqp"),
-        sum(m("q") * m("d")).cast(LongType).as("sqd"),
-        sum(m("p") * m("d")).cast(LongType).as("spd"))
+        sum(m("q") * m("q")).as("sqq"),
+        sum(m("p") * m("p")).as("spp"),
+        sum(m("d") * m("d")).as("sdd"),
+        sum(m("q") * m("p")).as("sqp"),
+        sum(m("q") * m("d")).as("sqd"),
+        sum(m("p") * m("d")).as("spd"))
       agg.select(col("n"),
         col("q_min"), col("q_max"), col("sq"),
         col("p_min"), col("p_max"), col("sp"),
@@ -2458,12 +2461,12 @@ object SparkEntry {
         |    CAST(SUM(p) AS BIGINT) AS sp,
         |    MIN(d) AS d_min, MAX(d) AS d_max,
         |    CAST(SUM(d) AS BIGINT) AS sd,
-        |    CAST(SUM(CAST(q AS HUGEINT) * q) AS BIGINT) AS sqq,
-        |    CAST(SUM(CAST(p AS HUGEINT) * p) AS BIGINT) AS spp,
-        |    CAST(SUM(CAST(d AS HUGEINT) * d) AS BIGINT) AS sdd,
-        |    CAST(SUM(CAST(q AS HUGEINT) * p) AS BIGINT) AS sqp,
-        |    CAST(SUM(CAST(q AS HUGEINT) * d) AS BIGINT) AS sqd,
-        |    CAST(SUM(CAST(p AS HUGEINT) * d) AS BIGINT) AS spd
+        |    SUM(CAST(q AS HUGEINT) * q) AS sqq,
+        |    SUM(CAST(p AS HUGEINT) * p) AS spp,
+        |    SUM(CAST(d AS HUGEINT) * d) AS sdd,
+        |    SUM(CAST(q AS HUGEINT) * p) AS sqp,
+        |    SUM(CAST(q AS HUGEINT) * d) AS sqd,
+        |    SUM(CAST(p AS HUGEINT) * d) AS spd
         |  FROM l)
         |SELECT n, q_min, q_max, sq, p_min, p_max, sp, d_min, d_max, sd,
         |  ${corr("sq", "sp", "sqq", "spp", "sqp")} AS corr_qp_pml,
