@@ -1558,6 +1558,34 @@ object SparkEntry {
               |FROM events_v GROUP BY event_type""".stripMargin)
     }),
 
+    // time-series similarity: pairwise sum-of-squared-differences
+    // between every two types' hourly revenue series, aligned on
+    // shared hours (inner join on the hour key — series live as
+    // (key, hour, value) rows, never arrays). Diffs square in
+    // DECIMAL and emit mega-cents² so the output stays BIGINT at any
+    // SF; series pairs are type-pairs (tiny), hours the only join key.
+    "q_series_sim" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"),
+        expr("unix_timestamp(ts) div 3600").as("hr"),
+        (dec(col("value"), 10, 2) * 100).cast(LongType).as("cents"))
+      val hourly = e.groupBy(col("event_type"), col("hr"))
+        .agg(sum(col("cents").cast(DecimalType(38, 0))).cast(LongType)
+          .as("v"))
+      val a = hourly.select(col("event_type").as("type_a"),
+        col("hr"), col("v").as("va"))
+      val b = hourly.select(col("event_type").as("type_b"),
+        col("hr"), col("v").as("vb"))
+      a.join(b, Seq("hr")).filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum(((col("va") - col("vb")) * (col("va") - col("vb")))
+            .cast(DecimalType(38, 0))).as("ssd"))
+        // integral div, not decimal /: decimal division rounds at its
+        // result scale before the cast and can land one above floor
+        .select(col("type_a"), col("type_b"), col("n_hours"),
+          expr("ssd div 1000000").as("ssd_mega"))
+    }),
+
     // revenue concentration via the exact integer Gini: with values
     // ranked inside each type (ties broken by event_id — Σ rank·x is
     // tie-order-invariant, the tiebreak only pins determinism), G =
@@ -3307,6 +3335,22 @@ object SparkEntry {
         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |  EXCEPT
         |  SELECT o_custkey FROM orders)""".stripMargin,
+
+    // same shared-hour alignment and HUGEINT-exact squared diffs
+    "q_series_sim" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+        |    CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |h AS (SELECT event_type, hr, CAST(SUM(cents) AS BIGINT) AS v
+        |      FROM e GROUP BY event_type, hr)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  COUNT(*) AS n_hours,
+        |  CAST(SUM(CAST(a.v - b.v AS HUGEINT) * (a.v - b.v))
+        |    // 1000000 AS BIGINT) AS ssd_mega
+        |FROM h a JOIN h b ON a.hr = b.hr AND a.event_type < b.event_type
+        |GROUP BY a.event_type, b.event_type""".stripMargin,
 
     // same rank-sum Gini in HUGEINT-exact integers
     "q_gini" ->
