@@ -1558,6 +1558,56 @@ object SparkEntry {
               |FROM events_v GROUP BY event_type""".stripMargin)
     }),
 
+    // CUSUM change-point detection in exact integers: per-type hourly
+    // sums v_h, deviation d_h = v_h·H − S cross-multiplied so the
+    // "hourly value minus mean" needs no division, cumulative C_h per
+    // series, report the extremes and the |C| argmax hour (drift
+    // location). The fraud-adjacent drift detector, engine-exact;
+    // windows are per-type over the hour dictionary.
+    "q_cusum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Tables.events(s, dir).select(col("event_type"),
+          expr("unix_timestamp(ts) div 3600").as("hr"),
+          (dec(col("value"), 10, 2) * 100).cast(LongType).as("cents"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(sum(col("cents").cast(DecimalType(38, 0))).cast(LongType)
+          .as("v"))
+      val totals = hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("h_cnt"),
+          sum(col("v").cast(DecimalType(38, 0))).cast(LongType).as("s"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      val cum = hourly.join(broadcast(totals), "event_type")
+        .withColumn("d",
+          (col("v").cast(DecimalType(38, 0)) * col("h_cnt") - col("s")))
+        .withColumn("c", sum(col("d")).over(w))
+      cum.groupBy(col("event_type"))
+        .agg(max(col("c")).cast(LongType).as("c_max"),
+          min(col("c")).cast(LongType).as("c_min"),
+          max(struct(abs(col("c")).as("a"), (-col("hr")).as("nh")))
+            .getField("nh").cast(LongType).as("neg_argmax_hr"))
+        .select(col("event_type"), col("c_max"), col("c_min"),
+          (-col("neg_argmax_hr")).as("argmax_hr"))
+    }),
+
+    // engagement metrics: per-day DAU plus trailing-7-day WAU and the
+    // stickiness ratio in permille — WAU materializes as a distinct
+    // count over a 7-offset day scaffold join (day-dictionary-sized),
+    // never a per-event window.
+    "q_dau_wau" -> ((s, dir) => {
+      val ud = Tables.events(s, dir).select(col("user_id"),
+        expr("unix_timestamp(ts) div 86400").as("day")).distinct()
+      val dau = ud.groupBy(col("day")).agg(countDistinct(col("user_id"))
+        .as("dau"))
+      val offsets = explode(array((0 to 6).map(lit(_)): _*)).as("off")
+      val wau = ud.select(col("user_id"), col("day"), offsets)
+        .select(col("user_id"), (col("day") + col("off")).as("day"))
+        .join(dau.select(col("day")), "day") // only days that exist
+        .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau"),
+          expr("dau * 1000 div wau").as("stickiness_pml"))
+    }),
+
     // time-series similarity: pairwise sum-of-squared-differences
     // between every two types' hourly revenue series, aligned on
     // shared hours (inner join on the hour key — series live as
@@ -3335,6 +3385,47 @@ object SparkEntry {
         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |  EXCEPT
         |  SELECT o_custkey FROM orders)""".stripMargin,
+
+    // same cross-multiplied deviations; argmax = MIN(hr) among rows
+    // hitting MAX(abs(c)) — Spark's struct-max tiebreak spelled out
+    "q_cusum" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, COUNT(*) AS h_cnt,
+        |        CAST(SUM(v) AS BIGINT) AS s
+        |      FROM h GROUP BY 1),
+        |c AS (SELECT h.event_type, h.hr,
+        |        SUM(CAST(h.v AS HUGEINT) * t.h_cnt - t.s)
+        |          OVER (PARTITION BY h.event_type ORDER BY h.hr) AS c
+        |      FROM h JOIN t USING (event_type)),
+        |m AS (SELECT event_type, CAST(MAX(c) AS BIGINT) AS c_max,
+        |        CAST(MIN(c) AS BIGINT) AS c_min, MAX(abs(c)) AS am
+        |      FROM c GROUP BY 1)
+        |SELECT m.event_type, m.c_max, m.c_min,
+        |  CAST(MIN(c.hr) AS BIGINT) AS argmax_hr
+        |FROM m JOIN c ON c.event_type = m.event_type AND abs(c.c) = m.am
+        |GROUP BY m.event_type, m.c_max, m.c_min""".stripMargin,
+
+    // day-scaffold WAU: each (user, day) visit covers days d..d+6
+    "q_dau_wau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |  FROM events),
+        |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau
+        |        FROM ud GROUP BY day),
+        |x AS (SELECT ud.user_id, ud.day + o.off AS day
+        |      FROM ud CROSS JOIN
+        |        (SELECT unnest(generate_series(0, 6)) AS off) o),
+        |wau AS (SELECT x.day, COUNT(DISTINCT x.user_id) AS wau
+        |        FROM x JOIN dau USING (day) GROUP BY x.day)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |  dau.dau * 1000 // wau.wau AS stickiness_pml
+        |FROM dau JOIN wau USING (day)""".stripMargin,
 
     // same shared-hour alignment and HUGEINT-exact squared diffs
     "q_series_sim" ->
