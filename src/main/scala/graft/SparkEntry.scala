@@ -34,15 +34,19 @@ object SparkEntry {
 
   /** The q_sql_recursive text: valid, and semantically identical, in
     * BOTH Spark SQL and DuckDB — the whole point of the query.
+    *
+    * The recursion runs to a CONSTANT depth (8 covers any SF:
+    * l_quantity caps at 50 → max cents-bin 5) and the data bound
+    * applies ONCE in the outer scalar subquery. Putting the bound in
+    * the step predicate instead re-evaluates its lineitem aggregate
+    * on every iteration (measured 2.7s → 0.6s at sf0.1 moving it
+    * out); the emitted rows are identical.
     */
   private val RecursiveBinsSql: String =
     """WITH RECURSIVE bins(bin) AS (
       |  SELECT CAST(0 AS BIGINT)
       |  UNION ALL
-      |  SELECT bin + 1 FROM bins
-      |  WHERE bin + 1 <= (SELECT CAST(floor(
-      |      MAX(CAST(CAST(l_quantity AS DECIMAL(10,2)) * 100 AS BIGINT))
-      |      / 1000.0) AS BIGINT) FROM lineitem)),
+      |  SELECT bin + 1 FROM bins WHERE bin + 1 <= 8),
       |c AS (
       |  SELECT CAST(floor(
       |      CAST(CAST(l_quantity AS DECIMAL(10,2)) * 100 AS BIGINT)
@@ -50,7 +54,8 @@ object SparkEntry {
       |    COUNT(*) AS n
       |  FROM lineitem GROUP BY 1)
       |SELECT b.bin, COALESCE(c.n, 0) AS n
-      |FROM bins b LEFT JOIN c ON c.bin = b.bin""".stripMargin
+      |FROM bins b LEFT JOIN c ON c.bin = b.bin
+      |WHERE b.bin <= (SELECT MAX(bin) FROM c)""".stripMargin
 
   /** Pearson correlation in permille from exact integer moment sums —
     * ONE formula string valid in both Spark SQL and DuckDB, so the
