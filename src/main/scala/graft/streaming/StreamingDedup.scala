@@ -26,6 +26,17 @@ import org.apache.spark.sql.functions._
   * state was evicted is emitted again. That is the honest contract of
   * bounded state; an unbounded-horizon exact guarantee requires the
   * batch anti-join (`Dedup.incremental`) over the accumulated corpus.
+  *
+  * This operator doubles as ALERT SUPPRESSION (alert-fatigue
+  * control): feed it the alert stream with the account id as the
+  * dedup key and the horizon as the mute window. Run it as its OWN
+  * query stage over the alert topic/sink, not chained after an
+  * append-mode window aggregate in one query: the second
+  * `withWatermark` here would join the global min-watermark
+  * computation, and until the aggregate's first emission that
+  * stream has no rows, pinning the combined watermark at epoch so
+  * the aggregate never fires — a deadlock by construction, found
+  * when composing the two inline.
   */
 object StreamingDedup {
 
