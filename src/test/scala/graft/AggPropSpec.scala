@@ -31,6 +31,31 @@ object AggPropSpec extends Properties("AggKernels") {
       agg.finish(merged) == reference(xs, k)
     }
 
+  private val skewedStream: Gen[List[String]] = for {
+    nHeavy <- Gen.choose(0, 3)
+    reps <- Gen.listOfN(nHeavy, Gen.choose(20, 60))
+    tail <- Gen.choose(0, 200)
+  } yield reps.zipWithIndex.flatMap { case (r, i) =>
+    List.fill(r)(s"h$i")
+  } ++ (1 to tail).map(i => s"t$i").toList
+
+  property("Misra-Gries keeps every item above n/(cap+1) under any " +
+      "shuffle, split, and merge tree; buffer stays bounded") =
+    forAll(skewedStream, Gen.choose(1, 8), Gen.choose(1, 5),
+      Gen.long) { (xs0, cap, nSplits, seed) =>
+      val xs = new scala.util.Random(seed).shuffle(xs0)
+      val agg = graft.operators.MisraGriesAgg(cap)
+      val partials = xs.zipWithIndex.groupBy(_._2 % nSplits).values
+        .map(part => part.map(_._1).foldLeft(agg.zero)(agg.reduce))
+      val merged = partials.foldLeft(agg.zero)(agg.merge)
+      val out = agg.finish(merged).toSet
+      val n = xs.length
+      val exact = xs.groupBy(identity).map { case (t, l) => t -> l.size }
+      out.size <= cap && exact.forall { case (tok, cnt) =>
+        cnt.toLong * (cap + 1) <= n.toLong || out(tok)
+      }
+    }
+
   private val pcm: Gen[(Array[Short], Int, Int)] = for {
     n <- Gen.choose(0, 400)
     samples <- Gen.listOfN(n, Gen.choose(Short.MinValue, Short.MaxValue))
