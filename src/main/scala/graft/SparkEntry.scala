@@ -474,7 +474,12 @@ object SparkEntry {
         .join(broadcast(uni.select(col("w").as("w_b"), col("n").as("n_b"))), "w_b")
         .crossJoin(broadcast(tot))
         .select(col("w_a"), col("w_b"), col("n_ab"),
-          expr("(1000000L * n_ab * n_w) div (n_a * n_b)").as("lift_micro"))
+          // DECIMAL operands: 1e6·n_ab·n_w crosses 2^63 once pair
+          // count × corpus tokens reaches ~9e12 (trivially true at
+          // 100 TB); the oracle's HUGEINT arithmetic never wrapped,
+          // so BIGINT here would diverge silently at scale
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * n_ab * n_w)" +
+            " div (CAST(n_a AS DECIMAL(38,0)) * n_b)").as("lift_micro"))
         .orderBy(col("n_ab").desc, col("w_a"), col("w_b"))
         .limit(20)
     }),
