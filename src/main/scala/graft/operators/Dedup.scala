@@ -210,34 +210,94 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Incremental near-dup admission: exact-verified pairs where the
-    * FIRST side is always a new-batch document — against the corpus
-    * and within the batch — without ever forming corpus×corpus
-    * candidates. The corpus participates only as its band-bucket
-    * index rows plus hashed shingles, both precomputable and
-    * storable: a daily batch pays batch-signature cost + a
-    * (batch-bands ⋈ index) bucket join, so admission cost tracks the
-    * BATCH size while the corpus only grows the (cheap, bounded)
-    * bucket-probe side. Verification and the recall argument are
-    * [[minhashLshVerified]]'s: at the default k=64/bands=32 the
-    * output equals the exact jaccard pair set restricted to pairs
-    * touching the batch — which is what the driver oracle checks.
+  /** The stored half of incremental near-dup admission: everything
+    * the corpus contributes to [[admitBatch]], precomputed once and
+    * persistable as three plain tables —
+    *
+    *  - `bands`    (doc_id, band, bucket): LSH band-bucket rows,
+    *  - `shingles` (doc_id, sh): hashed 8-byte shingles (the exact
+    *    verify side),
+    *  - `sizes`    (doc_id, sz): distinct-shingle counts.
+    *
+    * Build with [[buildBandIndex]], write/read with
+    * [[saveBandIndex]]/[[loadBandIndex]]. Admission against a LOADED
+    * index never touches corpus text: the corpus cost is paid once at
+    * build (or amortized by appending each admitted batch's own rows
+    * — the same tables [[admitBatch]] computes for the batch).
     */
-  def minhashIncrementalVerified(corpus: DataFrame, newBatch: DataFrame,
-                                 idCol: String, textCol: String,
-                                 shingleN: Int = 3, k: Int = 64,
-                                 bands: Int = 32,
-                                 minJaccard: Double = 0.5): DataFrame = {
+  final case class MinhashIndex(bands: DataFrame, shingles: DataFrame,
+                                sizes: DataFrame, shingleN: Int, k: Int,
+                                nBands: Int)
+
+  /** One corpus scan → [[MinhashIndex]]. The hashed-shingle table is
+    * persisted and eagerly filled (three consumers: band signatures,
+    * sizes, and — if the caller admits in-memory — the verify join).
+    */
+  def buildBandIndex(corpus: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int = 3, k: Int = 64,
+                     bands: Int = 32): MinhashIndex = {
     require(k % bands == 0, "bands must divide k")
-    val shC = hashedShingles(corpus, idCol, textCol, shingleN).persist()
-    val shN = hashedShingles(newBatch, idCol, textCol, shingleN).persist()
-    shC.count(); shN.count() // eager fill — see ngramJaccard
-    val bandC = bandTable(shC, k, bands).withColumn("is_new", lit(false))
-    val bandN = bandTable(shN, k, bands).withColumn("is_new", lit(true))
+    val sh = hashedShingles(corpus, idCol, textCol, shingleN).persist()
+    sh.count() // eager fill — see ngramJaccard
+    MinhashIndex(bandTable(sh, k, bands), sh,
+      sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz")),
+      shingleN, k, bands)
+  }
+
+  /** Persist an index as three parquet tables + a one-row params
+    * table; [[loadBandIndex]] restores it. Overwrites `path`.
+    */
+  def saveBandIndex(index: MinhashIndex, path: String): Unit = {
+    index.bands.write.mode("overwrite").parquet(s"$path/bands")
+    index.shingles.write.mode("overwrite").parquet(s"$path/shingles")
+    index.sizes.write.mode("overwrite").parquet(s"$path/sizes")
+    val spark = index.bands.sparkSession
+    import spark.implicits._
+    Seq((index.shingleN, index.k, index.nBands))
+      .toDF("shingle_n", "k", "n_bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  def loadBandIndex(spark: org.apache.spark.sql.SparkSession,
+                    path: String): MinhashIndex = {
+    val p = spark.read.parquet(s"$path/params").head
+    MinhashIndex(
+      spark.read.parquet(s"$path/bands"),
+      spark.read.parquet(s"$path/shingles"),
+      spark.read.parquet(s"$path/sizes"),
+      p.getAs[Int]("shingle_n"), p.getAs[Int]("k"), p.getAs[Int]("n_bands"))
+  }
+
+  /** Incremental near-dup admission against a prebuilt
+    * [[MinhashIndex]]: exact-verified pairs where the FIRST side is
+    * always a new-batch document — against the indexed corpus and
+    * within the batch — without ever forming corpus×corpus
+    * candidates, and without ever touching corpus TEXT: the corpus
+    * participates only as its stored band/shingle/size rows. A daily
+    * batch pays batch-signature cost + a (batch-bands ⋈ index.bands)
+    * bucket join; the index-side exact verify is pruned to candidate
+    * documents with a broadcast semi-join BEFORE the shingle join, so
+    * the per-admission shuffle of the (corpus-sized) shingle table is
+    * candidate-bounded, not corpus-bounded. Verification and the
+    * recall argument are [[minhashLshVerified]]'s: at the default
+    * k=64/bands=32 the output equals the exact jaccard pair set
+    * restricted to pairs touching the batch.
+    */
+  def admitBatch(index: MinhashIndex, newBatch: DataFrame,
+                 idCol: String, textCol: String,
+                 minJaccard: Double = 0.5): DataFrame = {
+    val shN = hashedShingles(newBatch, idCol, textCol, index.shingleN)
+      .persist()
+    shN.count() // eager fill — see ngramJaccard
+    val bandC = index.bands.withColumn("is_new", lit(false))
+    val bandN = bandTable(shN, index.k, index.nBands)
+      .withColumn("is_new", lit(true))
 
     // candidates: new on the left; the right side is index ∪ batch,
-    // with batch-batch pairs oriented id_a < id_b so nothing doubles
-    val cand = bandN.alias("a")
+    // with batch-batch pairs oriented id_a < id_b so nothing doubles.
+    // Persisted: consumed by the pair verify AND the candidate-id
+    // broadcast below — without it the bucket join would run twice.
+    val cand = bandN.drop("is_new").alias("a")
       .join(bandC.unionByName(bandN).alias("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
@@ -245,23 +305,50 @@ object Dedup {
           (!col("b.is_new") || col("a.doc_id") < col("b.doc_id")))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .persist()
+    cand.count() // eager fill — see ngramJaccard
 
-    val shAll = shC.unionByName(shN)
-    val sizes = shAll.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // prune the (corpus-sized) index shingle/size reads to candidate
+    // docs: the candidate id set is batch-bounded, so it broadcasts
+    val candIds = cand.select(col("id_b").as("doc_id")).distinct()
+    val shAll = index.shingles.unionByName(shN)
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    val sizesN = shN.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val sizesAll = index.sizes.unionByName(sizesN)
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+
     val inter = cand
       .join(shN.select(col("doc_id").as("id_a"), col("sh")), "id_a")
       .join(shAll.select(col("doc_id").as("id_b"), col("sh")),
         Seq("id_b", "sh"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .join(sizesN.select(col("doc_id").as("id_a"), col("sz").as("sz_a")),
+        "id_a")
+      .join(sizesAll.select(col("doc_id").as("id_b"), col("sz").as("sz_b")),
+        "id_b")
       .withColumn("jaccard",
         round(col("inter").cast(DoubleType) /
           (col("sz_a") + col("sz_b") - col("inter")), 3))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** One-shot convenience wrapper: [[buildBandIndex]] on `corpus`
+    * (in-memory, not written to storage) + [[admitBatch]]. A real
+    * pipeline builds the index once with [[buildBandIndex]] /
+    * [[saveBandIndex]] and calls [[admitBatch]] per batch against the
+    * [[loadBandIndex]]-ed tables — admission cost then tracks the
+    * BATCH size (spec-proven: admission succeeds with the corpus
+    * files deleted).
+    */
+  def minhashIncrementalVerified(corpus: DataFrame, newBatch: DataFrame,
+                                 idCol: String, textCol: String,
+                                 shingleN: Int = 3, k: Int = 64,
+                                 bands: Int = 32,
+                                 minJaccard: Double = 0.5): DataFrame =
+    admitBatch(buildBandIndex(corpus, idCol, textCol, shingleN, k, bands),
+      newBatch, idCol, textCol, minJaccard)
 
   /** SimHash near-duplicate pairs: 64-bit signature per document
     * (custom codegen'd kernel), candidate generation by pigeonhole on

@@ -341,6 +341,42 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(got === expected)
   }
 
+  test("stored-index admission: admitBatch reads ONLY the saved index " +
+      "(corpus files deleted) and equals the one-shot wrapper") {
+    val planted = withNearCopies
+    val corpus = planted.filter(col("doc_id") < 1000000L)
+    val batch = planted.filter(col("doc_id") >= 1000000L)
+    val expected = Dedup.minhashIncrementalVerified(corpus, batch,
+      "doc_id", "text", shingleN = 3, k = 64, bands = 32, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.nonEmpty)
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-minhash-idx")
+      .toFile.getAbsolutePath
+    corpus.write.parquet(s"$tmp/corpus")
+    val idx = Dedup.buildBandIndex(spark.read.parquet(s"$tmp/corpus"),
+      "doc_id", "text", shingleN = 3, k = 64, bands = 32)
+    Dedup.saveBandIndex(idx, s"$tmp/idx")
+    // drop the build-side cache so nothing in memory can mask a
+    // corpus re-read by the admission plan
+    idx.shingles.unpersist(blocking = true)
+    // the proof: with the corpus parquet GONE, any admission plan
+    // that still re-shingles corpus text fails on read
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(s"$tmp/corpus"))
+    val loaded = Dedup.loadBandIndex(spark, s"$tmp/idx")
+    val got = Dedup.admitBatch(loaded, batch, "doc_id", "text",
+      minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected)
+    // corpus-side pairs present — the stored index was actually probed
+    assert(got.exists(_._2 < 1000000L))
+    rm(new java.io.File(tmp))
+  }
+
   test("decontaminate broadcasts the benchmark side (no corpus self-join)") {
     val docs10 = docs
     val plan = Dedup.decontaminate(
