@@ -77,6 +77,23 @@ object SparkEntry {
   private def outD(c: Column): Column = c.cast(DoubleType)
   private def tsLit(s: String): Column = lit(s).cast(TimestampType)
 
+  /** Ties-safe rank-contract flag for an approx-quantile edge, used
+    * inside an aggregation over rows joined with the edge: accept
+    * edge v at quantile p (permille) iff count(<v) ≤ (p+tol)‰·n AND
+    * count(≤v) ≥ (p−tol)‰·n. This is approx_percentile's actual
+    * guarantee (an element whose rank is within ε·n of p·n), stated
+    * so it holds for ANY value distribution including heavy ties —
+    * a value-distance tolerance would be distribution-dependent.
+    * Pure integer arithmetic; tol = 10‰ is 100× the accuracy-10⁴
+    * sketch's ε, so only a genuine quantile bug flips the flag.
+    */
+  private def rankFlag(x: Column, edge: Column, pml: Long,
+                       tolPml: Long = 10L): Column =
+    when(sum(when(x < edge, 1L).otherwise(0L)) * 1000 <=
+        lit(pml + tolPml) * count(lit(1)) &&
+      sum(when(x <= edge, 1L).otherwise(0L)) * 1000 >=
+        lit(pml - tolPml) * count(lit(1)), 1).otherwise(0)
+
   /** Flagship: the reference's fraud pipeline on the events stream —
     * per-user daily windowed sums above threshold (driver smoke-checks
     * rows > 0 on sf0.001).
@@ -509,6 +526,25 @@ object SparkEntry {
           round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
           count(lit(1)).as("n"))),
 
+    // the 100 TB twin of q_percentile: approx_percentile sketches
+    // (Greenwald-Khanna at accuracy 10⁴ — a bounded ~KB aggregation
+    // buffer per group, vs exact percentile's whole-group value
+    // array) gated by the rank CONTRACT (rankFlag). No exact
+    // percentile runs anywhere in this plan — this IS the scale
+    // path, not a comparison against the unscalable one.
+    "q_percentile_approx" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderpriority"),
+        (dec(col("o_totalprice"), 12, 2) * 100).cast(LongType).as("cents"))
+      val edges = o.groupBy(col("o_orderpriority")).agg(
+        expr("approx_percentile(cents, 0.5, 10000)").as("e50"),
+        expr("approx_percentile(cents, 0.9, 10000)").as("e90"))
+      o.join(broadcast(edges), "o_orderpriority")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          rankFlag(col("cents"), col("e50"), 500L).as("p50_ok"),
+          rankFlag(col("cents"), col("e90"), 900L).as("p90_ok"))
+    }),
+
     "q_skew_join" -> ((s, dir) =>
       // row-identical to a plain events⋈customer join (same oracle as
       // that join); the salt spreads hot user_ids over 8 sub-keys
@@ -714,6 +750,26 @@ object SparkEntry {
           min(col("w")).as("min_wcents"),
           max(col("w")).as("max_wcents"),
           sum(col("clipped")).cast(LongType).as("n_clipped"))
+    }),
+
+    // q_winsorize's 100 TB twin (see q_percentile_approx): approx
+    // fences + rank-contract flags, plus the downstream consequence
+    // the clamp relies on — at most ~10% + 2·tol of rows may fall
+    // outside the fences. Exact percentile appears nowhere.
+    "q_winsorize_approx" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"),
+        (dec(col("value"), 10, 2) * 100).cast(LongType).as("cents"))
+      val edges = e.groupBy(col("event_type")).agg(
+        expr("approx_percentile(cents, 0.05, 10000)").as("lo"),
+        expr("approx_percentile(cents, 0.95, 10000)").as("hi"))
+      e.join(broadcast(edges), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          rankFlag(col("cents"), col("lo"), 50L).as("lo_ok"),
+          rankFlag(col("cents"), col("hi"), 950L).as("hi_ok"),
+          when(sum(when(col("cents") < col("lo") ||
+              col("cents") > col("hi"), 1L).otherwise(0L)) * 1000 <=
+            lit(120L) * count(lit(1)), 1).otherwise(0).as("clip_ok"))
     }),
 
     // exact ROC-AUC as the Mann-Whitney U statistic in pure integers:
@@ -1736,6 +1792,26 @@ object SparkEntry {
             .otherwise(0L)).cast(LongType).as("n_outliers"))
     }),
 
+    // q_mad's 100 TB twin (see q_percentile_approx): both medians —
+    // of cents and of the absolute deviations — as approx sketches,
+    // each gated by its own rank contract over its own distribution.
+    "q_mad_approx" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"),
+        (dec(col("value"), 10, 2) * 100).cast(LongType).as("cents"))
+      val med = e.groupBy(col("event_type")).agg(
+        expr("approx_percentile(cents, 0.5, 10000)").as("med"))
+      val dev = e.join(broadcast(med), "event_type")
+        .select(col("event_type"), col("cents"),
+          abs(col("cents") - col("med")).as("adev"), col("med"))
+      val mad = dev.groupBy(col("event_type")).agg(
+        expr("approx_percentile(adev, 0.5, 10000)").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          rankFlag(col("cents"), col("med"), 500L).as("med_ok"),
+          rankFlag(col("adev"), col("mad"), 500L).as("mad_ok"))
+    }),
+
     // replica comparison without moving data: an order-independent
     // content checksum per table — md5 over a canonical row string,
     // folded by count + XOR + SUM (all commutative). Two replicas
@@ -1871,6 +1947,24 @@ object SparkEntry {
           min(col("c")).as("min_c"), max(col("c")).as("max_c"))
     }),
 
+    // q_equidepth's 100 TB twin (see q_percentile_approx): the three
+    // quartile edges as approx sketches, each rank-contract-gated —
+    // the "swap approx_percentile at 100 TB" comment made a shipped,
+    // tested path.
+    "q_equidepth_approx" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select((dec(col("value"), 10, 2) * 100).cast(LongType).as("c"))
+      val qs = e.agg(
+        expr("approx_percentile(c, 0.25, 10000)").as("e1"),
+        expr("approx_percentile(c, 0.5, 10000)").as("e2"),
+        expr("approx_percentile(c, 0.75, 10000)").as("e3"))
+      e.crossJoin(broadcast(qs))
+        .agg(count(lit(1)).as("n"),
+          rankFlag(col("c"), col("e1"), 250L).as("q1_ok"),
+          rankFlag(col("c"), col("e2"), 500L).as("q2_ok"),
+          rankFlag(col("c"), col("e3"), 750L).as("q3_ok"))
+    }),
+
     // chi-square independence test lang × source over the FULL
     // contingency grid (zero cells included): every count is an exact
     // integer, expected values and per-cell contributions apply one
@@ -1963,6 +2057,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("qm")).cast(LongType).as("sum_qm"),
           min(col("qm")).as("min_qm"), max(col("qm")).as("max_qm"))
+    }),
+
+    // q_quality_calib's 100 TB twin (see q_percentile_approx):
+    // per-language quartile edges as approx sketches. The quality
+    // milli-unit domain has heavy ties (1001 possible values), which
+    // is exactly what rankFlag's count(<v)/count(≤v) bracketing is
+    // stated for.
+    "q_quality_calib_approx" -> ((s, dir) => {
+      val qm = (dec(TextFunctions.qualityScore(col("text")), 4, 3) * 1000)
+        .cast(LongType)
+      val d = Tables.documents(s, dir).select(col("lang"), qm.as("qm"))
+      val edges = d.groupBy("lang").agg(
+        expr("approx_percentile(qm, 0.25, 10000)").as("e1"),
+        expr("approx_percentile(qm, 0.5, 10000)").as("e2"),
+        expr("approx_percentile(qm, 0.75, 10000)").as("e3"))
+      d.join(broadcast(edges), "lang")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          rankFlag(col("qm"), col("e1"), 250L).as("q1_ok"),
+          rankFlag(col("qm"), col("e2"), 500L).as("q2_ok"),
+          rankFlag(col("qm"), col("e3"), 750L).as("q3_ok"))
     }),
 
     // deterministic train/val/test assignment (80/10/10) by integer
@@ -2398,6 +2513,31 @@ object SparkEntry {
         |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    // approx-percentile twins: group keys and counts recomputed
+    // exactly; the rank-contract flags are constant-true (the
+    // q_approx/q_sketch_table contract shape — a sketch outside its
+    // rank tolerance flips the Spark-side flag and the hash gate)
+    "q_percentile_approx" ->
+      """SELECT o_orderpriority, COUNT(*) AS n, 1 AS p50_ok, 1 AS p90_ok
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_winsorize_approx" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  1 AS lo_ok, 1 AS hi_ok, 1 AS clip_ok
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_mad_approx" ->
+      """SELECT event_type, COUNT(*) AS n, 1 AS med_ok, 1 AS mad_ok
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_equidepth_approx" ->
+      """SELECT COUNT(*) AS n, 1 AS q1_ok, 1 AS q2_ok, 1 AS q3_ok
+        |FROM events""".stripMargin,
+
+    "q_quality_calib_approx" ->
+      """SELECT lang, COUNT(*) AS n, 1 AS q1_ok, 1 AS q2_ok, 1 AS q3_ok
+        |FROM documents GROUP BY lang""".stripMargin,
 
     "q_skew_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_events,

@@ -33,6 +33,7 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
       "ann_ivf", "dedup_cosine", "mix_temperature", "q_gen_series",
       "q_scalar_filter", "q_approx",
       "q_equidepth", // 1-row broadcast quartile edges × events
+      "q_equidepth_approx", // same shape, approx edges
       "ann_knn_graph", // brute-force side of the recall contract
       "semantic_dedup", // exact all-pairs side of the agreement contract
       "q_tfidf", // 1-row broadcast corpus count × scored terms
