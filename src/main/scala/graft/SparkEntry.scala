@@ -1534,21 +1534,21 @@ object SparkEntry {
     // them; posting joins are term-filtered BEFORE touching docs, the
     // LIKE-scan a search engine must never do.
     "q_search" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val posting = Tables.documents(s, dir).select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("term"))
-      val ranked = posting.groupBy(col("term"))
+      // the two query terms (df ranks 3 and 5) via a distributed
+      // top-k (TakeOrderedAndProject) + a 5-row driver pull — the
+      // bounded-model pattern (IVF centroids), where a global
+      // row_number window would single-task the whole vocabulary
+      val top = posting.groupBy(col("term"))
         .agg(count(lit(1)).as("df"))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("df").desc, col("term"))))
-      val ta = ranked.filter(col("rk") === 3)
-        .select(col("term").as("term_a"))
-      val tb = ranked.filter(col("rk") === 5)
-        .select(col("term").as("term_b"))
-      posting.join(broadcast(ta), posting("term") === ta("term_a"))
-        .select(col("doc_id"), col("term_a"))
-        .join(posting.join(broadcast(tb), posting("term") === tb("term_b"))
-          .select(col("doc_id").as("doc_id_b"), col("term_b")),
+        .orderBy(col("df").desc, col("term"))
+        .limit(5).select(col("term")).collect().map(_.getString(0))
+      val (termA, termB) = (top(2), top(4))
+      posting.filter(col("term") === termA)
+        .select(col("doc_id"), lit(termA).as("term_a"))
+        .join(posting.filter(col("term") === termB)
+          .select(col("doc_id").as("doc_id_b"), lit(termB).as("term_b")),
           col("doc_id") === col("doc_id_b"))
         .select(col("doc_id"), col("term_a"), col("term_b"))
     }),

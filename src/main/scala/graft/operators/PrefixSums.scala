@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed exclusive prefix sums over a keyed totals table.
+  *
+  * The building block behind Mixer's token offsets and Eval's rank
+  * sums: given one total per key, every key needs the sum of all
+  * STRICTLY-prior keys' totals. A bare `Window.orderBy(key)` computes
+  * it in ONE task (Spark logs "No Partition Defined for Window
+  * operation") — fine for a value-domain-bounded table, an unbounded
+  * liability otherwise. This shape never materializes a global
+  * window:
+  *
+  *  1. super-bucket each key (arithmetic shift for integral keys —
+  *     exact at any magnitude; floor division for fractional ones;
+  *     both monotone, so a super-bucket is a contiguous key range),
+  *  2. within-super exclusive prefix via a PARTITIONED window,
+  *  3. super-bucket totals (|keys|/1024 rows) get their own exclusive
+  *     offsets from a broadcast non-equi self-join — quadratic only
+  *     in the super-bucket count ((10⁶ keys/1024)² ≈ 10⁶ comparisons)
+  *     and distributed across its partitions,
+  *  4. offset = super offset + within-super prefix.
+  *
+  * The totals table feeds steps 2 and 3; its aggregation exchange is
+  * shared by both consumers (ReuseExchange), so the producer runs
+  * once.
+  */
+object PrefixSums {
+
+  /** `totals(keyCol, totCol)` → `(keyCol, offCol)`: per key, the sum
+    * of `totCol` over all strictly-prior keys — prior = smaller, or
+    * greater when `descending`. Keys must be numeric (the super
+    * bucket is derived arithmetically); totals must be integral.
+    */
+  def exclusiveOffsets(totals: DataFrame, keyCol: String, totCol: String,
+                       offCol: String,
+                       descending: Boolean = false): DataFrame = {
+    val k = col(keyCol)
+    val integral = totals.schema(keyCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _: DecimalType => false
+      case _ => false
+    }
+    val sb = if (integral) shiftright(k.cast(LongType), 10)
+             else floor(k.cast(DoubleType) / 1024.0).cast(LongType)
+    val t = totals.select(k.as("_k"), col(totCol).as("_t"), sb.as("_sb"))
+
+    val w1 = Window.partitionBy(col("_sb"))
+      .orderBy(if (descending) col("_k").desc else col("_k").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = t.withColumn("_w", coalesce(sum(col("_t")).over(w1), lit(0L)))
+
+    val st = t.groupBy(col("_sb")).agg(sum(col("_t")).as("_st"))
+    val prior = if (descending) col("y._sb") > col("x._sb")
+                else col("y._sb") < col("x._sb")
+    val soff = st.alias("x")
+      .join(broadcast(st.select(col("_sb"), col("_st")).alias("y")),
+        prior, "left")
+      .groupBy(col("x._sb").as("_sb"))
+      .agg(coalesce(sum(col("y._st")), lit(0L)).as("_soff"))
+
+    within.join(broadcast(soff), "_sb")
+      .select(col("_k").as(keyCol), (col("_w") + col("_soff")).as(offCol))
+  }
+}

@@ -52,13 +52,14 @@ object Mixer {
     * bounds, a cache-coherence property rather than a plan property.
     * Here every value is a pure function of the data.
     *
-    * Scale notes: the offsets window is a single task over
-    * |distinct bucket| rows of 16 bytes — for an integer quality like
-    * `n_chars` that is the value domain (thousands at most). For a
-    * continuous quality column pass a quantized `bucketExpr` (e.g.
-    * `floor(col("q") * 64)`) to keep the bucket count bounded; the
-    * per-bucket corpus window then carries corpus/|buckets| rows per
-    * task. `qualityCol` must be non-null.
+    * Scale notes: the bucket offsets come from
+    * [[graft.operators.PrefixSums.exclusiveOffsets]] — a partitioned
+    * two-level prefix over the |distinct bucket| totals table, never
+    * a single-partition window, so even a very large bucket domain
+    * distributes. For a continuous quality column pass a quantized
+    * `bucketExpr` (e.g. `floor(col("q") * 64)`) so the per-bucket
+    * corpus window carries corpus/|buckets| rows per task; buckets
+    * must be numeric. `qualityCol` must be non-null.
     */
   def takeTokenBudget(docs: DataFrame, idCol: String, textCol: String,
                       qualityCol: String, budget: Long,
@@ -68,14 +69,9 @@ object Mixer {
       .withColumn("_b", bucketExpr.getOrElse(col(qualityCol)))
     // one (bucket, token-sum) row per distinct bucket; map-side combine
     // shrinks the shuffle to |buckets| rows per input partition
-    val offs = withTok.groupBy(col("_b"))
-      .agg(sum(col("n_tokens")).as("_bt"))
-      .withColumn("_off",
-        coalesce(
-          sum(col("_bt")).over(Window.orderBy(col("_b").desc)
-            .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .drop("_bt")
+    val offs = graft.operators.PrefixSums.exclusiveOffsets(
+      withTok.groupBy(col("_b")).agg(sum(col("n_tokens")).as("_bt")),
+      "_b", "_bt", "_off", descending = true)
     val w = Window.partitionBy(col("_b"))
       .orderBy(col(qualityCol).desc, col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -96,12 +92,12 @@ object Mixer {
     *
     * Same deterministic two-level prefix as [[takeTokenBudget]], with
     * ascending-id buckets of `bucketSize` documents: per-bucket sums →
-    * exclusive offsets over the tiny bucket table → within-bucket
+    * exclusive offsets ([[graft.operators.PrefixSums.exclusiveOffsets]]
+    * — partitioned, never a single-partition window) → within-bucket
     * window. No collect, no partition-id dependence, no corpus-scale
-    * single-partition stage. The offsets window processes
-    * corpus/bucketSize 16-byte rows in one task — size `bucketSize`
-    * to keep that around 10^6 rows (e.g. 10^5 for a 10^11-doc corpus);
-    * the default suits test-scale inputs.
+    * single-partition stage anywhere. Size `bucketSize` to keep the
+    * bucket-totals table around 10^6 rows (e.g. 10^5 for a
+    * 10^11-doc corpus); the default suits test-scale inputs.
     *
     * Output: `(id, n_tokens, pack_id, pack_offset)`, all BIGINT —
     * `pack_id = start_tok / seqLen`, `pack_offset = start_tok mod
@@ -113,14 +109,9 @@ object Mixer {
       .select(col(idCol), TextFunctions.wordCount(col(textCol))
         .cast(LongType).as("n_tokens"))
       .withColumn("_b", floor(col(idCol).cast(LongType) / bucketSize))
-    val offs = withTok.groupBy(col("_b"))
-      .agg(sum(col("n_tokens")).as("_bt"))
-      .withColumn("_off",
-        coalesce(
-          sum(col("_bt")).over(Window.orderBy(col("_b"))
-            .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .drop("_bt")
+    val offs = graft.operators.PrefixSums.exclusiveOffsets(
+      withTok.groupBy(col("_b")).agg(sum(col("n_tokens")).as("_bt")),
+      "_b", "_bt", "_off")
     val w = Window.partitionBy(col("_b")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withTok.join(offs, "_b")

@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.PrefixSums
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PrefixSumsSpec extends AnyFunSuite with SparkSpec {
+
+  test("exclusiveOffsets matches the naive reference, asc and desc, " +
+      "across super-bucket boundaries") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x5eed)
+    // keys straddle many shiftright(·,10) super-buckets, including
+    // negatives (floor-vs-trunc division would misgroup those)
+    val rows = Seq.tabulate(500)(_ =>
+      (rnd.nextLong() % 10000L, rnd.nextInt(100).toLong + 1L))
+      .distinctBy(_._1)
+    val df = rows.toDF("k", "t")
+    for (desc <- Seq(false, true)) {
+      val expected = rows.map { case (k, _) =>
+        k -> rows.collect {
+          case (k2, t2) if (if (desc) k2 > k else k2 < k) => t2
+        }.sum
+      }.toMap
+      val got = PrefixSums.exclusiveOffsets(df, "k", "t", "off", desc)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"desc=$desc")
+    }
+  }
+
+  test("exclusiveOffsets handles fractional keys") {
+    import spark.implicits._
+    val rows = Seq((0.5, 10L), (1.5, 20L), (2048.25, 30L), (-3000.75, 40L))
+    val got = PrefixSums.exclusiveOffsets(rows.toDF("k", "t"), "k", "t", "off")
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(got === Map(0.5 -> 40L, 1.5 -> 50L, 2048.25 -> 70L,
+      -3000.75 -> 0L))
+  }
+
+  test("exclusiveOffsets plans no single-partition global window") {
+    import spark.implicits._
+    val df = Seq.tabulate(100)(i => (i.toLong * 37L, 1L)).toDF("k", "t")
+    val plan = PrefixSums.exclusiveOffsets(df, "k", "t", "off")
+      .queryExecution.executedPlan.toString
+    // every Window node must carry a partition spec; an empty one
+    // renders as "Window [...], [k#..]" with no partitionBy list
+    val windowLines = plan.linesIterator.filter(_.contains("Window "))
+    assert(windowLines.forall(_.contains("windowspecdefinition(_sb")),
+      plan)
+  }
+}
