@@ -694,8 +694,12 @@ object SparkEntry {
         .withColumn("raw", when(pmod(col("event_id"), lit(7)) === 0,
           expr("substring(props, 1, length(props) - 1)"))
           .otherwise(col("props")))
+      // validity = the whole document parses (try_parse_json), not
+      // "some expected key is present" — a well-formed payload
+      // without a 'k' key must count valid, matching the oracle's
+      // json_valid exactly
       e.select(col("event_type"),
-          get_json_object(col("raw"), "$.k").isNotNull
+          expr("try_parse_json(raw)").isNotNull
             .cast("long").as("ok"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -2853,9 +2857,9 @@ object SparkEntry {
     "q_zorder" ->
       """WITH e AS (
         |  SELECT event_type,
-        |    user_id % 65536 AS x,
-        |    CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) % 65536
-        |      AS y
+        |    ((user_id % 65536) + 65536) % 65536 AS x,
+        |    (((CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT)
+        |       % 65536) + 65536) % 65536) AS y
         |  FROM events),
         |s AS (
         |  SELECT event_type,

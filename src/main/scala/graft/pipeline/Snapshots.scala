@@ -113,20 +113,36 @@ object Snapshots {
       .filter(col("n") > 0)
   }
 
-  /** Time travel over a versioned snapshot table: read an explicit
-    * version, or the newest one ≤ `asOf` when `asOf` is given — the
-    * query-side counterpart of the CDC sink's `v=<n>` layout. Listing
-    * is one directory scan of version names; no data files open until
-    * the chosen version is read.
+  /** The COMMITTED versions under a `v=<n>` snapshot layout, sorted
+    * ascending. A version counts only with its committer `_SUCCESS`
+    * marker present: a writer that crashed mid-population (or a
+    * legacy in-place overwrite caught in flight) leaves a directory
+    * without one, and no reader may select it as "latest". The CDC
+    * sink's atomic-rename publication plus this filter is the
+    * two-sided guarantee.
     */
-  def readVersion(spark: org.apache.spark.sql.SparkSession, path: String,
-                  asOf: Option[Long] = None): DataFrame = {
+  def committedVersions(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Seq[Long] = {
     import org.apache.hadoop.fs.Path
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val versions = fs.listStatus(hPath).map(_.getPath.getName)
+    if (!fs.exists(hPath)) return Nil
+    fs.listStatus(hPath).toSeq.map(_.getPath.getName)
       .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+      .filter(v => fs.exists(new Path(s"$path/v=$v/_SUCCESS")))
       .sorted
+  }
+
+  /** Time travel over a versioned snapshot table: read an explicit
+    * version, or the newest one ≤ `asOf` when `asOf` is given — the
+    * query-side counterpart of the CDC sink's `v=<n>` layout. Listing
+    * is one directory scan of version names (uncommitted versions —
+    * no `_SUCCESS` — are invisible, see [[committedVersions]]); no
+    * data files open until the chosen version is read.
+    */
+  def readVersion(spark: org.apache.spark.sql.SparkSession, path: String,
+                  asOf: Option[Long] = None): DataFrame = {
+    val versions = committedVersions(spark, path)
     val eligible = asOf.fold(versions)(a => versions.filter(_ <= a))
     require(eligible.nonEmpty,
       s"no snapshot version${asOf.fold("")(a => s" <= $a")} under $path")
@@ -135,10 +151,15 @@ object Snapshots {
 
   /** Retention for a versioned snapshot table (the `v=<n>` directories
     * [[graft.streaming.GraftStreams.cdcSnapshotSink]] maintains):
-    * delete every version except the newest `keepLast`. Deletion order
-    * is oldest-first and each result is checked, so a crash mid-vacuum
-    * leaves a contiguous suffix of versions — readers of "latest" are
-    * never broken, and re-running completes the job. Returns the
+    * delete every COMMITTED version except the newest `keepLast`, and
+    * sweep writer debris — `_tmp_v=` staging directories and
+    * uncommitted `v=` directories (no `_SUCCESS`) older than the
+    * newest committed version. Retention counts committed versions
+    * only, so a trailing crashed write can never cause the last good
+    * snapshots to be vacuumed away. Deletion order is oldest-first
+    * and each result is checked, so a crash mid-vacuum leaves a
+    * contiguous suffix of versions — readers of "latest" are never
+    * broken, and re-running completes the job. Returns the committed
     * versions deleted.
     */
   def vacuumVersions(spark: org.apache.spark.sql.SparkSession, path: String,
@@ -148,15 +169,20 @@ object Snapshots {
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hPath)) return Nil
-    val versions = fs.listStatus(hPath).map(_.getPath.getName)
-      .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
-      .sorted
-    val doomed = versions.dropRight(keepLast)
-    doomed.foreach { v =>
-      val dir = new Path(s"$path/v=$v")
+    def del(dir: Path): Unit =
       if (!fs.delete(dir, true))
         throw new java.io.IOException(s"vacuum: delete of $dir failed")
+    val committed = committedVersions(spark, path)
+    val doomed = committed.dropRight(keepLast)
+    doomed.foreach(v => del(new Path(s"$path/v=$v")))
+    val names = fs.listStatus(hPath).map(_.getPath.getName)
+    names.filter(_.startsWith("_tmp_v="))
+      .foreach(n => del(new Path(s"$path/$n")))
+    committed.lastOption.foreach { newest =>
+      names.collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+        .filter(v => v < newest && !committed.contains(v))
+        .foreach(v => del(new Path(s"$path/v=$v")))
     }
-    doomed.toSeq
+    doomed
   }
 }

@@ -46,12 +46,22 @@ object GraftStreams {
       .option("checkpointLocation", checkpoint)
       .start()
 
-  /** One CDC micro-batch: read the latest snapshot version BELOW this
-    * batch id (a retry must fold from the same base it saw the first
-    * time, never from its own half-written output), apply the
-    * changeset, overwrite `v=<batchId>`. Same base + same batch →
-    * same bytes, so at-least-once foreachBatch becomes exactly-once
-    * snapshot maintenance.
+  /** One CDC micro-batch: read the latest COMMITTED snapshot version
+    * BELOW this batch id (a retry must fold from the same base it saw
+    * the first time, never from its own half-written output), apply
+    * the changeset, publish `v=<batchId>`.
+    *
+    * Publication is atomic-rename, not in-place: the multi-file
+    * parquet job lands in `_tmp_v=<batchId>` (underscore-prefixed —
+    * invisible to both the version listing and Spark's file readers)
+    * and a directory rename moves it into place, so a crash mid-write
+    * never leaves a half-populated `v=` directory and a concurrent
+    * reader of "latest" never observes one mid-population. Version
+    * consumers additionally require the committer's `_SUCCESS` marker
+    * (see [[graft.pipeline.Snapshots.readVersion]]), which covers
+    * directories produced before this discipline. Same base + same
+    * batch → same bytes, so at-least-once foreachBatch becomes
+    * exactly-once snapshot maintenance.
     */
   private[graft] def applyCdcBatch(batch: DataFrame, batchId: Long,
                                    path: String, keyCol: String,
@@ -64,22 +74,26 @@ object GraftStreams {
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], baseSchema)
     }
-    graft.pipeline.Snapshots.applyChangeset(base, batch, keyCol, opCol)
-      .write.mode("overwrite").parquet(s"$path/v=$batchId")
+    val folded =
+      graft.pipeline.Snapshots.applyChangeset(base, batch, keyCol, opCol)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_tmp_v=$batchId")
+    val dst = new org.apache.hadoop.fs.Path(s"$path/v=$batchId")
+    fs.delete(tmp, true)
+    folded.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(dst, true)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(
+        s"cdc snapshot publish: rename $tmp -> $dst failed")
   }
 
   private def latestVersionBelow(spark: SparkSession, path: String,
-                                 batchId: Long): Option[String] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return None
-    fs.listStatus(p).toSeq
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+                                 batchId: Long): Option[String] =
+    graft.pipeline.Snapshots.committedVersions(spark, path)
       .filter(_ < batchId)
-      .sorted.lastOption
+      .lastOption
       .map(v => s"$path/v=$v")
-  }
 
   /** Streaming CDC apply — fold a stream of keyed I/U/D change rows
     * into a continuously maintained snapshot TABLE (the streaming

@@ -29,6 +29,46 @@ class WarehouseSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("uncommitted snapshot versions are invisible to readers and " +
+      "swept by vacuum") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cm").toString
+    Seq(0L, 3L).foreach { v =>
+      Seq((v, s"state at v$v")).toDF("doc_id", "text")
+        .write.parquet(s"$dir/snap/v=$v")
+    }
+    // a crashed writer's leavings: data files but no _SUCCESS marker,
+    // plus an abandoned rename-staging directory
+    Seq((9L, "half-written")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/snap/v=7")
+    val fs = new java.io.File(s"$dir/snap/v=7/_SUCCESS")
+    assert(fs.delete(), "fixture: _SUCCESS must exist to remove")
+    Seq((8L, "staging")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/snap/_tmp_v=8")
+    // "latest" must be the newest COMMITTED version, not v=7
+    assert(Snapshots.readVersion(spark, s"$dir/snap")
+      .head.getString(1) === "state at v3")
+    assert(Snapshots.committedVersions(spark, s"$dir/snap") === Seq(0L, 3L))
+    // vacuum keeps both committed versions, removes the debris only
+    assert(Snapshots.vacuumVersions(spark, s"$dir/snap", keepLast = 2) === Nil)
+    val left = new java.io.File(s"$dir/snap").listFiles.map(_.getName).toSet
+    assert(left === Set("v=0", "v=3", "v=7"),
+      s"v=7 is NEWER than every committed version (a possibly in-flight " +
+        s"write) and must survive; staging dirs must not: $left")
+    // the CDC writer itself publishes by rename: after a batch, the
+    // version is committed and no staging directory remains
+    graft.streaming.GraftStreams.applyCdcBatch(
+      Seq((1L, "x", "I")).toDF("doc_id", "text", "op"),
+      9L, s"$dir/snap", "doc_id", "op")
+    assert(Snapshots.committedVersions(spark, s"$dir/snap")
+      === Seq(0L, 3L, 9L))
+    val after = new java.io.File(s"$dir/snap").listFiles.map(_.getName).toSet
+    assert(!after.exists(_.startsWith("_tmp_v=")), after.toString)
+    // and the batch folded from v=3, never from the uncommitted v=7
+    val texts = Snapshots.readVersion(spark, s"$dir/snap")
+      .collect().map(_.getString(1)).toSet
+    assert(texts === Set("state at v3", "x"))
+  }
+
   test("dynamic partition overwrite replaces only the written partitions") {
     // the daily-incremental idiom at 100 TB: re-running one day's load
     // must not truncate the other 364 partitions (static overwrite
