@@ -66,6 +66,57 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(sink.filter(col("accountId") === 1).count() === 1)
   }
 
+  test("perturbed out-of-order source: end-to-end pipeline drops the " +
+      "late batch, keeps the perturbed windows (reference " +
+      "OutofOrderTumblingWindow semantics)") {
+    implicit val sqlCtx = spark.sqlContext
+    // the full reference pipeline: source → ±500 s hash perturbation →
+    // 5 s watermark → tumbling sum. Because perturb() is a pure
+    // projection, the EXPECTED output computes in batch mode over the
+    // same rows — the stream must agree exactly.
+    val phase1 = Seq(tx(1, 60, 10), tx(1, 70, 400), tx(2, 30, 200))
+    val phase3 = Seq(tx(7, 999, 20), tx(7, 5, 300))
+    val sizeSec = 10L
+
+    val input = MemoryStream[Transaction]
+    val piped = StreamingFraud.tumblingAlerts(
+      TransactionGen.perturb(input.toDF()), sizeSec = sizeSec,
+      threshold = 0.0, watermarkDelay = "5 seconds")
+    val sink = runToSink(piped, "t_ooo", "append") { step =>
+      input.addData(phase1: _*)
+      step(0)
+      // closer: perturbed ts ≥ Base+1500 s pushes the watermark past
+      // every phase-1/phase-3 window end (their perturbed ts ≤
+      // Base+900 s), exactly like the reference's bounded strategy
+      input.addData(tx(9, 1, 2000))
+      step(0)
+      input.addData(phase3: _*) // every row now beyond the watermark
+      step(0)
+      input.addData(tx(9, 1, 4000)) // close anything still open
+      step(0)
+    }
+
+    val expected = TransactionGen.perturb(phase1.toDF())
+      .groupBy(col("accountId"),
+        window(col("ts"), s"$sizeSec seconds").as("w"))
+      .agg(sum(col("amount")).as("total"), count(lit(1)).as("cnt"))
+      .select(col("accountId"), unix_millis(col("w.start")).as("windowStartMs"),
+        col("total"), col("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    val got = sink.filter(col("accountId").isin(1L, 2L, 7L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(got === expected)
+    // the late batch died at the watermark: account 7 never emits
+    assert(!got.exists(_._1 == 7L))
+    // and the perturbation actually moved event time off the source
+    // second marks (offsets are not multiples of 1000 ms)
+    val moved = TransactionGen.perturb(phase1.toDF())
+      .filter(unix_millis(col("ts")) % 1000 =!= 0).count()
+    assert(moved > 0)
+  }
+
   test("timer detector buffers per account and alerts on event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Transaction]
