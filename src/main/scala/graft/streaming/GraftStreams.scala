@@ -20,6 +20,30 @@ object GraftStreams {
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         "true")
 
+  /** Prometheus scrape endpoint — parity with the reference's
+    * Prometheus/Grafana variants (GraphSolution-Prometheus-*
+    * flink-conf.yaml configures the PrometheusReporter; FraudDetector
+    * .java:50-64 registers throughput/latency gauges). Spark ships
+    * the equivalent natively: the driver UI's PrometheusServlet
+    * (`/metrics/prometheus`) exposes every registered driver metric,
+    * and `spark.sql.streaming.metricsEnabled` publishes per-query
+    * streaming gauges (inputRate, processingRate, latency,
+    * state-store rows) into that registry — the engine-measured
+    * versions of the two gauges the reference computes by hand.
+    * Scrape `http://<driver>:<uiPort>/metrics/prometheus`.
+    */
+  def withPrometheus(builder: SparkSession.Builder): SparkSession.Builder =
+    builder
+      .config("spark.ui.enabled", "true")
+      // driver registry → /metrics/prometheus (PrometheusServlet sink)
+      .config("spark.metrics.conf.*.sink.prometheusServlet.class",
+        "org.apache.spark.metrics.sink.PrometheusServlet")
+      .config("spark.metrics.conf.*.sink.prometheusServlet.path",
+        "/metrics/prometheus")
+      // executor metrics → /metrics/executors/prometheus
+      .config("spark.ui.prometheus.enabled", "true")
+      .config("spark.sql.streaming.metricsEnabled", "true")
+
   /** One micro-batch's write: overwrite this batch's own partition
     * directory. Re-running the same (batch, batchId) — what a retry
     * does — replaces the directory contents, never duplicates.

@@ -41,7 +41,10 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
       "q_chi2", // marginal grid: langs × broadcast sources × 1-row total
       "q_collocations", // 1-row broadcast word total × bigram counts
       "q_heavy_hitters", // 1-row broadcast token total × candidate counts
-      "q_pagerank") // 1-row broadcast node count × the node frame
+      "q_pagerank", // 1-row broadcast node count × the node frame
+      // PrefixSums.exclusiveOffsets: broadcast non-equi self-join of
+      // the super-bucket totals (quadratic only in |buckets|/1024)
+      "mix_budget", "pack_sequences", "q_auc")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
