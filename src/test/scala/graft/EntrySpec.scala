@@ -8,13 +8,27 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every declared query runs and is non-empty on sf0.001") {
+  test("every declared query runs and is non-empty on sf0.001; " +
+      "Bench's isolation discipline leaves no persistent blocks") {
+    // the second clause protects a measured failure mode: operators
+    // persist/localCheckpoint multi-consumer intermediates, and if
+    // Bench's per-name clearing (clearCache + unpersist + GC,
+    // Bench.scala) ever stopped reclaiming them, accumulated blocks
+    // would bill later queries 5-50x (round-6 root cause). Any
+    // operator whose blocks survive this discipline fails here.
+    val leaks = scala.collection.mutable.ListBuffer.empty[String]
     val empties = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val n = fn(spark, sf).count()
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        if (spark.sparkContext.getPersistentRDDs.nonEmpty)
+          leaks += name
         if (n == 0) Some(name) else None
     }
     assert(empties.isEmpty, s"empty results: $empties")
+    assert(leaks.isEmpty, s"blocks survive Bench clearing after: $leaks")
   }
 
   test("oracle SQL exists only for declared queries") {
