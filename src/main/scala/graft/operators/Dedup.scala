@@ -334,6 +334,25 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Fold an admitted batch into an index: the batch's own
+    * band/shingle/size tables (one batch scan — [[buildBandIndex]]
+    * on the batch) unioned onto the corpus tables, so a daily
+    * pipeline maintains its index at batch cost and never rebuilds
+    * from corpus text. Persist the result with [[saveBandIndex]]
+    * (or write just the batch tables into the same layout as
+    * additional parquet files).
+    */
+  def extendIndex(index: MinhashIndex, batch: DataFrame,
+                  idCol: String, textCol: String): MinhashIndex = {
+    val b = buildBandIndex(batch, idCol, textCol, index.shingleN,
+      index.k, index.nBands)
+    MinhashIndex(
+      index.bands.unionByName(b.bands),
+      index.shingles.unionByName(b.shingles),
+      index.sizes.unionByName(b.sizes),
+      index.shingleN, index.k, index.nBands)
+  }
+
   /** One-shot convenience wrapper: [[buildBandIndex]] on `corpus`
     * (in-memory, not written to storage) + [[admitBatch]]. A real
     * pipeline builds the index once with [[buildBandIndex]] /

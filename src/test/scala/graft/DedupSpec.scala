@@ -377,6 +377,30 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     rm(new java.io.File(tmp))
   }
 
+  test("extendIndex: admission against an extended index equals " +
+      "one-shot admission against the grown corpus") {
+    val planted = withNearCopies
+    // day 0 corpus, day 1 batch (even-hundred ids), day 2 batch (the
+    // planted near-copies) — day 2 must pair against corpus ∪ day 1
+    val corpus0 = planted.filter(col("doc_id") < 1000000L &&
+      pmod(col("doc_id"), lit(100)) =!= 0)
+    val day1 = planted.filter(col("doc_id") < 1000000L &&
+      pmod(col("doc_id"), lit(100)) === 0)
+    val day2 = planted.filter(col("doc_id") >= 1000000L)
+    val idx0 = Dedup.buildBandIndex(corpus0, "doc_id", "text",
+      shingleN = 3, k = 64, bands = 32)
+    val idx1 = Dedup.extendIndex(idx0, day1, "doc_id", "text")
+    val got = Dedup.admitBatch(idx1, day2, "doc_id", "text",
+      minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = Dedup.minhashIncrementalVerified(
+      corpus0.unionByName(day1), day2, "doc_id", "text",
+      shingleN = 3, k = 64, bands = 32, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("decontaminate broadcasts the benchmark side (no corpus self-join)") {
     val docs10 = docs
     val plan = Dedup.decontaminate(
