@@ -35,6 +35,26 @@ class EmptyInputSpec extends AnyFunSuite with SparkSpec {
       .count() === 0)
   }
 
+  test("prefix sums, index admission, and index extension handle " +
+      "empty inputs") {
+    import spark.implicits._
+    // empty totals table → empty offsets, both orders
+    val noTotals = Seq.empty[(Long, Long)].toDF("k", "t")
+    assert(graft.operators.PrefixSums
+      .exclusiveOffsets(noTotals, "k", "t", "off").count() === 0)
+    assert(graft.operators.PrefixSums
+      .exclusiveOffsets(noTotals, "k", "t", "off", descending = true)
+      .count() === 0)
+    // empty admission batch against a real index → no pairs
+    val docs = Tables.documents(spark, sf).limit(50)
+    val idx = Dedup.buildBandIndex(docs, "doc_id", "text")
+    assert(Dedup.admitBatch(idx, noDocs, "doc_id", "text").count() === 0)
+    // extending with an empty batch preserves the index contents
+    val extended = Dedup.extendIndex(idx, noDocs, "doc_id", "text")
+    assert(extended.bands.count() === idx.bands.count())
+    assert(extended.sizes.count() === idx.sizes.count())
+  }
+
   test("changeset ops: empty changes pass the base through unchanged") {
     import spark.implicits._
     val base = Seq(1L -> "one", 2L -> "two").toDF("doc_id", "text")
