@@ -28,22 +28,42 @@ object Bench {
     // (measured: the same query swings 4s <-> 33s with run order).
     // Clearing before each NAME keeps the two reps' steady-state
     // reuse while each query's cost stays its own.
+    // a failed rep records the exception (class: message) instead of a
+    // timing — a regression must surface as an error string in the
+    // artifact, never hide as a plausible-looking -1 "timing". Both
+    // reps are emitted too, so bimodality (cold/steady split, block-
+    // manager interference) is visible, not collapsed into the min.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       System.gc() // lets the ContextCleaner drop dead checkpoint blocks
+      var err: Option[String] = None
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            err = Some(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      (name, times, err)
+    }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case '\r' => "\\r"; case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val ok = results.filter(_._3.isEmpty)
+    val qs = ok.map { case (k, t, _) => jstr(k) + ":" + t.min }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val reps = results.map { case (k, t, _) =>
+      jstr(k) + ":[" + t.mkString(",") + "]" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
+      .mkString("{", ",", "}")
+    val total = ok.map(_._2.min).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -322,7 +322,7 @@ object Dedup {
       .join(shAll.select(col("doc_id").as("id_b"), col("sh")),
         Seq("id_b", "sh"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    inter
+    val verified = inter
       .join(sizesN.select(col("doc_id").as("id_a"), col("sz").as("sz_a")),
         "id_a")
       .join(sizesAll.select(col("doc_id").as("id_b"), col("sz").as("sz_b")),
@@ -332,15 +332,30 @@ object Dedup {
           (col("sz_a") + col("sz_b") - col("inter")), 3))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    // materialize (pair-set-sized) so the per-call pins can be freed
+    // HERE: a daily admission loop must not accumulate cached blocks
+    // in the caller's session (the pageRank discipline)
+    val result = verified.localCheckpoint(true)
+    shN.unpersist(blocking = false)
+    cand.unpersist(blocking = false)
+    result
   }
 
   /** Fold an admitted batch into an index: the batch's own
     * band/shingle/size tables (one batch scan — [[buildBandIndex]]
     * on the batch) unioned onto the corpus tables, so a daily
     * pipeline maintains its index at batch cost and never rebuilds
-    * from corpus text. Persist the result with [[saveBandIndex]]
-    * (or write just the batch tables into the same layout as
-    * additional parquet files).
+    * from corpus text.
+    *
+    * Compaction cadence: each extend deepens the in-memory union
+    * lineage by one level (and pins one more batch-shingle cache), so
+    * a long-lived admission loop should re-[[saveBandIndex]] every
+    * ~10 extends and [[loadBandIndex]] back — the save compacts the
+    * union tree into three flat parquet tables and the reload's plan
+    * depth is constant again. Save-after-extends is exact: the
+    * re-saved index equals a fresh [[buildBandIndex]] of the grown
+    * corpus (spec: "re-save discipline"), because the three tables
+    * are row-wise unions with no ordering dependence.
     */
   def extendIndex(index: MinhashIndex, batch: DataFrame,
                   idCol: String, textCol: String): MinhashIndex = {
@@ -365,9 +380,14 @@ object Dedup {
                                  idCol: String, textCol: String,
                                  shingleN: Int = 3, k: Int = 64,
                                  bands: Int = 32,
-                                 minJaccard: Double = 0.5): DataFrame =
-    admitBatch(buildBandIndex(corpus, idCol, textCol, shingleN, k, bands),
-      newBatch, idCol, textCol, minJaccard)
+                                 minJaccard: Double = 0.5): DataFrame = {
+    val index = buildBandIndex(corpus, idCol, textCol, shingleN, k, bands)
+    // admitBatch materializes its result, so the one-shot index's
+    // corpus-shingle pin can be freed here rather than leak
+    val out = admitBatch(index, newBatch, idCol, textCol, minJaccard)
+    index.shingles.unpersist(blocking = false)
+    out
+  }
 
   /** SimHash near-duplicate pairs: 64-bit signature per document
     * (custom codegen'd kernel), candidate generation by pigeonhole on

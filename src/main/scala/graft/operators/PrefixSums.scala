@@ -15,19 +15,29 @@ import org.apache.spark.sql.types._
   * liability otherwise. This shape never materializes a global
   * window:
   *
-  *  1. super-bucket each key (arithmetic shift for integral keys —
-  *     exact at any magnitude; floor division for fractional ones;
-  *     both monotone, so a super-bucket is a contiguous key range),
+  *  1. super-bucket each key by ADAPTIVE range division: bucket width
+  *     = key range / (|keys|/1024), from a one-row min/max/count agg
+  *     that rides along as a broadcast frame (no driver action). The
+  *     division is monotone, so a super-bucket is a contiguous key
+  *     range — and the bucket count tracks |keys|/1024 regardless of
+  *     key DENSITY. (A fixed `key/1024` width degenerates at both
+  *     extremes: fractional scores in [0,1] all land in one bucket —
+  *     the global-window task again — and integral keys spaced >1024
+  *     apart get one bucket per key, an O(|keys|²) step-3 self-join.)
+  *     Integral keys bucket in DECIMAL(38,0) — exact at any
+  *     magnitude; fractional ones in Double (monotone, which is all
+  *     bucketing needs).
   *  2. within-super exclusive prefix via a PARTITIONED window,
-  *  3. super-bucket totals (|keys|/1024 rows) get their own exclusive
+  *  3. super-bucket totals (~|keys|/1024 rows) get their own exclusive
   *     offsets from a broadcast non-equi self-join — quadratic only
   *     in the super-bucket count ((10⁶ keys/1024)² ≈ 10⁶ comparisons)
   *     and distributed across its partitions,
   *  4. offset = super offset + within-super prefix.
   *
-  * The totals table feeds steps 2 and 3; its aggregation exchange is
-  * shared by both consumers (ReuseExchange), so the producer runs
-  * once.
+  * The totals table feeds the stats agg and steps 2 and 3; its
+  * aggregation exchange is shared by the step-2/3 consumers
+  * (ReuseExchange), so the producer runs once more than before —
+  * a key-table pass, not a data pass.
   */
 object PrefixSums {
 
@@ -45,9 +55,32 @@ object PrefixSums {
       case _: DecimalType => false
       case _ => false
     }
-    val sb = if (integral) shiftright(k.cast(LongType), 10)
-             else floor(k.cast(DoubleType) / 1024.0).cast(LongType)
-    val t = totals.select(k.as("_k"), col(totCol).as("_t"), sb.as("_sb"))
+    val dec = DecimalType(38, 0)
+    val stats =
+      if (integral)
+        totals.agg(min(k.cast(dec)).as("_kmin"), max(k.cast(dec)).as("_kmax"),
+          count(lit(1)).as("_nk"))
+      else
+        totals.agg(min(k.cast(DoubleType)).as("_kmin"),
+          max(k.cast(DoubleType)).as("_kmax"), count(lit(1)).as("_nk"))
+    // target ~1024 keys per super-bucket; width >= 1 unit of range so
+    // a sub-1024-key or single-key table folds to one bucket
+    val nb = greatest(lit(1L), ceil(col("_nk") / 1024.0).cast(LongType))
+    val kk = col("_k") // post-rename key, resolved after the crossJoin
+    val sb =
+      if (integral) {
+        val w = greatest(lit(1).cast(dec),
+          floor((col("_kmax") - col("_kmin")) / nb).cast(dec))
+        floor((kk.cast(dec) - col("_kmin")) / w).cast(LongType)
+      } else {
+        val w = (col("_kmax") - col("_kmin")) / nb.cast(DoubleType)
+        when(col("_kmax") === col("_kmin"), lit(0L))
+          .otherwise(least(floor((kk.cast(DoubleType) - col("_kmin")) / w)
+            .cast(LongType), nb - 1))
+      }
+    val t = totals.select(k.as("_k"), col(totCol).as("_t"))
+      .crossJoin(broadcast(stats))
+      .select(col("_k"), col("_t"), sb.as("_sb"))
 
     val w1 = Window.partitionBy(col("_sb"))
       .orderBy(if (descending) col("_k").desc else col("_k").asc)

@@ -127,9 +127,12 @@ object Snapshots {
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hPath)) return Nil
-    fs.listStatus(hPath).toSeq.map(_.getPath.getName)
-      .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
-      .filter(v => fs.exists(new Path(s"$path/v=$v/_SUCCESS")))
+    // ONE glob listing for the markers, not one exists() RPC per
+    // version: this runs on every CDC micro-batch (latestVersionBelow),
+    // so on an object store the per-version probe would make apply
+    // cost grow O(version history) in round-trips until a vacuum.
+    Option(fs.globStatus(new Path(hPath, "v=*/_SUCCESS"))).toSeq.flatten
+      .map(_.getPath.getParent.getName.drop(2).toLong)
       .sorted
   }
 
@@ -152,9 +155,11 @@ object Snapshots {
   /** Retention for a versioned snapshot table (the `v=<n>` directories
     * [[graft.streaming.GraftStreams.cdcSnapshotSink]] maintains):
     * delete every COMMITTED version except the newest `keepLast`, and
-    * sweep writer debris — `_tmp_v=` staging directories and
-    * uncommitted `v=` directories (no `_SUCCESS`) older than the
-    * newest committed version. Retention counts committed versions
+    * sweep writer debris — `_tmp_v=` staging directories at or below
+    * the newest committed version and uncommitted `v=` directories
+    * (no `_SUCCESS`) older than it; debris NEWER than the newest
+    * commit is left alone, because it may be the streaming writer's
+    * in-flight publication. Retention counts committed versions
     * only, so a trailing crashed write can never cause the last good
     * snapshots to be vacuumed away. Deletion order is oldest-first
     * and each result is checked, so a crash mid-vacuum leaves a
@@ -176,9 +181,17 @@ object Snapshots {
     val doomed = committed.dropRight(keepLast)
     doomed.foreach(v => del(new Path(s"$path/v=$v")))
     val names = fs.listStatus(hPath).map(_.getPath.getName)
-    names.filter(_.startsWith("_tmp_v="))
-      .foreach(n => del(new Path(s"$path/$n")))
+    // both debris sweeps are guarded by `<= / < newest committed`: a
+    // staging dir or uncommitted version NEWER than the newest commit
+    // may be an in-flight publication by the streaming writer, and a
+    // concurrent vacuum must never race it (delete its output between
+    // write and rename). Anything at-or-below the newest commit is by
+    // construction dead — the CDC sink publishes versions in batch-id
+    // order, so an in-flight batch id is always > the newest commit.
     committed.lastOption.foreach { newest =>
+      names.collect { case n if n.startsWith("_tmp_v=") => n.drop(7).toLong }
+        .filter(_ <= newest)
+        .foreach(v => del(new Path(s"$path/_tmp_v=$v")))
       names.collect { case n if n.startsWith("v=") => n.drop(2).toLong }
         .filter(v => v < newest && !committed.contains(v))
         .foreach(v => del(new Path(s"$path/v=$v")))

@@ -91,6 +91,17 @@ object GraftStreams {
                                    path: String, keyCol: String,
                                    opCol: String): Unit = {
     val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_tmp_v=$batchId")
+    val dst = new org.apache.hadoop.fs.Path(s"$path/v=$batchId")
+    // a retry of an ALREADY-COMMITTED batch (failure after rename,
+    // before the checkpoint advanced) is a no-op: same base + same
+    // batch → same bytes, so skipping is exactly-once — and it keeps
+    // v=<batchId>, at that moment the latest committed version,
+    // continuously readable instead of vanishing for a
+    // delete-to-rename window under a concurrent reader.
+    if (fs.exists(new org.apache.hadoop.fs.Path(dst, "_SUCCESS"))) return
     val baseSchema = org.apache.spark.sql.types.StructType(
       batch.schema.filterNot(_.name == opCol))
     val base = latestVersionBelow(spark, path, batchId) match {
@@ -100,12 +111,10 @@ object GraftStreams {
     }
     val folded =
       graft.pipeline.Snapshots.applyChangeset(base, batch, keyCol, opCol)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/_tmp_v=$batchId")
-    val dst = new org.apache.hadoop.fs.Path(s"$path/v=$batchId")
     fs.delete(tmp, true)
     folded.write.mode("overwrite").parquet(tmp.toString)
+    // only a half-populated dst (exists but no _SUCCESS — handled
+    // above otherwise) can be standing here; clear it for the rename
     fs.delete(dst, true)
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(

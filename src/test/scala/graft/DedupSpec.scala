@@ -401,6 +401,70 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("the dedup_minhash_inc GATE itself runs the stored-index path: " +
+      "a saved parquet index exists and its tables load as file scans") {
+    // round-7 judge ask #1: the CORRECTNESS-gated query must exercise
+    // the save→load→admit path users run at scale, not the in-memory
+    // one-shot wrapper. The query memoizes a built-and-SAVED index per
+    // dataset dir; admission loads it back from parquet.
+    val out = SparkEntry.queries("dedup_minhash_inc")(spark, sf)
+    assert(out.count() > 0)
+    val idxDir = SparkEntry.minhashIndexDirs.get(sf)
+    assert(idxDir.isDefined, "gate did not save a band index")
+    for (t <- Seq("bands", "shingles", "sizes", "params"))
+      assert(new java.io.File(s"${idxDir.get}/$t").isDirectory,
+        s"missing saved index table $t under ${idxDir.get}")
+    // the admission input is a parquet scan of the saved index — the
+    // corpus-text scan happens only at (memoized) build time
+    val loaded = Dedup.loadBandIndex(spark, idxDir.get)
+    val plan = loaded.bands.queryExecution.executedPlan.toString
+    assert(plan.contains("parquet") &&
+      plan.contains(new java.io.File(idxDir.get).getName), plan)
+  }
+
+  test("re-save discipline: extends followed by save/load equals a " +
+      "fresh index of the grown corpus") {
+    // the compaction cadence extendIndex documents: after N daily
+    // extends, re-saving and reloading must be EXACT — admission
+    // against the round-tripped extended index equals admission
+    // against a from-scratch index of the same grown corpus.
+    val planted = withNearCopies
+    val corpus0 = planted.filter(col("doc_id") < 1000000L &&
+      pmod(col("doc_id"), lit(100)) >= 2)
+    val day1 = planted.filter(col("doc_id") < 1000000L &&
+      pmod(col("doc_id"), lit(100)) === 0)
+    val day2 = planted.filter(col("doc_id") < 1000000L &&
+      pmod(col("doc_id"), lit(100)) === 1)
+    val probe = planted.filter(col("doc_id") >= 1000000L)
+
+    val extended = Dedup.extendIndex(
+      Dedup.extendIndex(
+        Dedup.buildBandIndex(corpus0, "doc_id", "text",
+          shingleN = 3, k = 64, bands = 32),
+        day1, "doc_id", "text"),
+      day2, "doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-resave")
+      .toFile.getAbsolutePath
+    Dedup.saveBandIndex(extended, tmp)
+    val roundTripped = Dedup.loadBandIndex(spark, tmp)
+
+    val grown = corpus0.unionByName(day1).unionByName(day2)
+    val fresh = Dedup.buildBandIndex(grown, "doc_id", "text",
+      shingleN = 3, k = 64, bands = 32)
+    def admit(ix: Dedup.MinhashIndex) =
+      Dedup.admitBatch(ix, probe, "doc_id", "text", minJaccard = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val got = admit(roundTripped)
+    assert(got === admit(fresh))
+    assert(got.nonEmpty)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(tmp))
+  }
+
   test("decontaminate broadcasts the benchmark side (no corpus self-join)") {
     val docs10 = docs
     val plan = Dedup.decontaminate(

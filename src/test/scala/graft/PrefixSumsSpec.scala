@@ -37,6 +37,31 @@ class PrefixSumsSpec extends AnyFunSuite with SparkSpec {
       -3000.75 -> 0L))
   }
 
+  test("exclusiveOffsets stays correct at the density extremes the " +
+      "adaptive width exists for") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xced5)
+    // (a) fractional keys confined to [0,1] — the aucMicro score shape
+    // that a fixed /1024 width folds into ONE super-bucket
+    val dense = Seq.tabulate(3000)(_ => rnd.nextDouble())
+      .distinct.map(k => (k, 1L))
+    val gotD = PrefixSums.exclusiveOffsets(dense.toDF("k", "t"), "k", "t",
+      "off").collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val sortedD = dense.map(_._1).sorted
+    assert(gotD === sortedD.zipWithIndex.map { case (k, i) =>
+      k -> i.toLong }.toMap)
+    // (b) integral keys spaced ~1e6 apart — the sparse shape a fixed
+    // width explodes into one bucket PER KEY (O(|keys|²) step 3)
+    val sparse = Seq.tabulate(2000)(i =>
+      (i.toLong * 1000000L - 777000000L, rnd.nextInt(50).toLong + 1L))
+    val gotS = PrefixSums.exclusiveOffsets(sparse.toDF("k", "t"), "k", "t",
+      "off", descending = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val suffix = sparse.sortBy(-_._1)
+      .scanLeft(0L)(_ + _._2).dropRight(1)
+    assert(gotS === sparse.sortBy(-_._1).map(_._1).zip(suffix).toMap)
+  }
+
   test("exclusiveOffsets plans no single-partition global window") {
     import spark.implicits._
     val df = Seq.tabulate(100)(i => (i.toLong * 37L, 1L)).toDF("k", "t")

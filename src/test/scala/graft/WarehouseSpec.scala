@@ -36,8 +36,12 @@ class WarehouseSpec extends AnyFunSuite with SparkSpec {
       Seq((v, s"state at v$v")).toDF("doc_id", "text")
         .write.parquet(s"$dir/snap/v=$v")
     }
-    // a crashed writer's leavings: data files but no _SUCCESS marker,
-    // plus an abandoned rename-staging directory
+    // a crashed writer's leavings: an OLD abandoned staging dir
+    // (batch id below the newest commit — unambiguously dead), plus
+    // data files with no _SUCCESS marker and a staging dir NEWER than
+    // every commit — either of which may be an in-flight publication
+    Seq((1L, "old staging")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/snap/_tmp_v=1")
     Seq((9L, "half-written")).toDF("doc_id", "text")
       .write.parquet(s"$dir/snap/v=7")
     val fs = new java.io.File(s"$dir/snap/v=7/_SUCCESS")
@@ -48,12 +52,15 @@ class WarehouseSpec extends AnyFunSuite with SparkSpec {
     assert(Snapshots.readVersion(spark, s"$dir/snap")
       .head.getString(1) === "state at v3")
     assert(Snapshots.committedVersions(spark, s"$dir/snap") === Seq(0L, 3L))
-    // vacuum keeps both committed versions, removes the debris only
+    // vacuum keeps both committed versions, removes the DEAD debris
+    // only: anything newer than the newest commit may be in flight
+    // (the streaming writer racing this vacuum) and must survive
     assert(Snapshots.vacuumVersions(spark, s"$dir/snap", keepLast = 2) === Nil)
     val left = new java.io.File(s"$dir/snap").listFiles.map(_.getName).toSet
-    assert(left === Set("v=0", "v=3", "v=7"),
-      s"v=7 is NEWER than every committed version (a possibly in-flight " +
-        s"write) and must survive; staging dirs must not: $left")
+    assert(left === Set("v=0", "v=3", "v=7", "_tmp_v=8"),
+      s"v=7 and _tmp_v=8 are NEWER than every committed version (a " +
+        s"possibly in-flight publication) and must survive; dead " +
+        s"staging dirs at-or-below the newest commit must not: $left")
     // the CDC writer itself publishes by rename: after a batch, the
     // version is committed and no staging directory remains
     graft.streaming.GraftStreams.applyCdcBatch(
@@ -62,11 +69,42 @@ class WarehouseSpec extends AnyFunSuite with SparkSpec {
     assert(Snapshots.committedVersions(spark, s"$dir/snap")
       === Seq(0L, 3L, 9L))
     val after = new java.io.File(s"$dir/snap").listFiles.map(_.getName).toSet
-    assert(!after.exists(_.startsWith("_tmp_v=")), after.toString)
+    assert(!after.contains("_tmp_v=9"), after.toString)
+    // and the NEXT vacuum — now that v=9 committed — sweeps the
+    // formerly-in-flight-eligible _tmp_v=8 as dead debris
+    assert(Snapshots.vacuumVersions(spark, s"$dir/snap", keepLast = 3) === Nil)
+    val swept = new java.io.File(s"$dir/snap").listFiles.map(_.getName).toSet
+    assert(swept === Set("v=0", "v=3", "v=9"), swept.toString)
     // and the batch folded from v=3, never from the uncommitted v=7
     val texts = Snapshots.readVersion(spark, s"$dir/snap")
       .collect().map(_.getString(1)).toSet
     assert(texts === Set("state at v3", "x"))
+  }
+
+  test("CDC retry of an already-committed batch is a no-op, never a " +
+      "delete-then-rewrite of the latest version") {
+    // foreachBatch is at-least-once: a crash after the rename but
+    // before the checkpoint advanced re-delivers the same batch. The
+    // re-publication must not take v=<batchId> — at that moment the
+    // latest committed version — offline for a delete-to-rename
+    // window under a concurrent reader.
+    val dir = java.nio.file.Files.createTempDirectory("graft_retry").toString
+    val batch = Seq((1L, "a", "I"), (2L, "b", "I"))
+      .toDF("doc_id", "text", "op")
+    graft.streaming.GraftStreams.applyCdcBatch(
+      batch, 0L, s"$dir/snap", "doc_id", "op")
+    val files = new java.io.File(s"$dir/snap/v=0").listFiles
+      .map(f => f.getName -> f.lastModified).toMap
+    Thread.sleep(20)
+    // the retry: same batch id, already committed → must not rewrite
+    graft.streaming.GraftStreams.applyCdcBatch(
+      batch, 0L, s"$dir/snap", "doc_id", "op")
+    val after = new java.io.File(s"$dir/snap/v=0").listFiles
+      .map(f => f.getName -> f.lastModified).toMap
+    assert(after === files,
+      "retry of a committed batch must leave the published files untouched")
+    assert(Snapshots.readVersion(spark, s"$dir/snap")
+      .collect().map(_.getString(1)).toSet === Set("a", "b"))
   }
 
   test("dynamic partition overwrite replaces only the written partitions") {
