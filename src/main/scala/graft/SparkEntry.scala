@@ -94,6 +94,49 @@ object SparkEntry {
       sum(when(x <= edge, 1L).otherwise(0L)) * 1000 >=
         lit(pml - tolPml) * count(lit(1)), 1).otherwise(0)
 
+  /** Unrolled DuckDB mirror of Bpe.vocab: `merges` rounds of
+    * pair-count → deterministic argmax → doubled-delimiter replace,
+    * generated mechanically per round the way q_pagerank's oracle
+    * unrolls its iterations. Same tie-break (count desc, lhs, rhs),
+    * same overlap-inclusive adjacent-pair counting, same leftmost
+    * non-overlapping replace — so the merge tables hash-match.
+    */
+  private def bpeOracleSql(merges: Int): String = {
+    // MATERIALIZED is load-bearing: each wordsN is referenced twice
+    // (pair count + next round's replace), and letting DuckDB inline
+    // the chain re-evaluates it per reference — measured 42.7 s vs
+    // 0.2 s at sf0.01 for identical results.
+    val base =
+      """WITH words0 AS MATERIALIZED (
+        |  SELECT regexp_replace(word, '(.)', '•\1•', 'g') AS w,
+        |    COUNT(*) AS freq
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+        |        FROM documents) t
+        |  WHERE regexp_matches(word, '^[a-z]+$')
+        |  GROUP BY 1)""".stripMargin
+    val rounds = (1 to merges).map { r =>
+      s"""b$r AS MATERIALIZED (
+         |  SELECT syms[i] AS lhs, syms[i + 1] AS rhs,
+         |    CAST(SUM(freq) AS BIGINT) AS pair_count
+         |  FROM (SELECT freq, syms, generate_subscripts(syms, 1) AS i
+         |        FROM (SELECT freq,
+         |                string_split(trim(w, '•'), '••') AS syms
+         |              FROM words${r - 1}) s$r) e$r
+         |  WHERE i < len(syms)
+         |  GROUP BY 1, 2
+         |  ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+         |words$r AS MATERIALIZED (
+         |  SELECT replace(w, '•' || lhs || '••' || rhs || '•',
+         |    '•' || lhs || rhs || '•') AS w, freq
+         |  FROM words${r - 1}, b$r)""".stripMargin
+    }.mkString(",\n", ",\n", "\n")
+    val out = (1 to merges).map { r =>
+      s"SELECT $r AS merge_round, lhs, rhs, lhs || rhs AS merged," +
+        s" pair_count FROM b$r"
+    }.mkString("\nUNION ALL ")
+    base + rounds + out + "\nORDER BY merge_round"
+  }
+
   /** Flagship: the reference's fraud pipeline on the events stream —
     * per-user daily windowed sums above threshold (driver smoke-checks
     * rows > 0 on sf0.001).
@@ -500,6 +543,15 @@ object SparkEntry {
         .orderBy(col("n_ab").desc, col("w_a"), col("w_b"))
         .limit(20)
     }),
+
+    // BPE vocabulary induction, engine-exact: 10 fixed merge rounds
+    // over integer pair counts with a deterministic tie-break (the
+    // q_pagerank unrolled-rounds oracling pattern). The greedy
+    // leftmost merge application is a plain string replace over a
+    // doubled-delimiter word encoding — see operators/Bpe.scala.
+    "q_bpe_vocab" -> ((s, dir) =>
+      operators.Bpe.vocab(Tables.documents(s, dir), "text", merges = 10)
+        .orderBy(col("merge_round"))),
 
     "q_asof" -> ((s, dir) => {
       // point-in-time: each purchase matched to the user's latest
@@ -2502,6 +2554,8 @@ object SparkEntry {
         |CROSS JOIN tot
         |ORDER BY n_ab DESC, w_a, w_b
         |LIMIT 20""".stripMargin,
+
+    "q_bpe_vocab" -> bpeOracleSql(10),
 
     // same first-token blocking, then exact levenshtein — DuckDB's
     // and Spark's edit distances are the identical DP integers

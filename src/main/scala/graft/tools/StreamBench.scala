@@ -28,7 +28,8 @@ object StreamBench {
     // transformWithState requires the RocksDB provider (and "timer"
     // runs on it too so the tws comparison isolates the API, not the
     // state store)
-    val spark = (if (pipeline == "tws" || pipeline == "timer")
+    val spark = (if (pipeline == "tws" || pipeline == "timer" ||
+        pipeline == "ooo")
       graft.streaming.GraftStreams.withRocksDBState(b0) else b0).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -69,6 +70,15 @@ object StreamBench {
           tx.select(col("ts"), concat_ws(" ", lit("tx"), col("accountId"),
             floor(col("amount") / 10).cast("long")).as("text")),
           "ts", "text", watermarkDelay = "2 seconds")
+      case "ooo" =>
+        // the reference's out-of-order variant at rate: ±500 s
+        // hash-perturbed event time (OutofOrderTumblingWindow/
+        // FraudDetectionJob.java:62-70) into a 5 s bounded-out-of-
+        // orderness watermark on RocksDB state — rows later than the
+        // watermark drop, and the engine's numRowsDroppedByWatermark
+        // counts them (reported below as lateDropped)
+        StreamingFraud.tumblingAlerts(TransactionGen.perturb(tx),
+          sizeSec = 5, threshold = 100000.0, watermarkDelay = "5 seconds")
       case _ =>
         StreamingFraud.tumblingAlerts(tx, sizeSec = 5,
           threshold = 100000.0, watermarkDelay = "2 seconds")
@@ -86,8 +96,10 @@ object StreamBench {
     val steady = progress.drop(math.min(3, progress.length - 1)) // skip warmup
     val rps = steady.map(_.processedRowsPerSecond).filter(!_.isNaN)
     val rows = steady.map(_.numInputRows).sum
+    val dropped = steady.flatMap(_.stateOperators)
+      .map(_.numRowsDroppedByWatermark).sum
     val mean = if (rps.nonEmpty) rps.sum / rps.length else 0.0
-    println(s"""{"metric":"stream_rows_per_sec","value":$mean,"unit":"rows/sec","rows":$rows,"batches":${steady.length},"configuredRate":$rowsPerSec,"pipeline":"$pipeline"}""")
+    println(s"""{"metric":"stream_rows_per_sec","value":$mean,"unit":"rows/sec","rows":$rows,"lateDropped":$dropped,"batches":${steady.length},"configuredRate":$rowsPerSec,"pipeline":"$pipeline"}""")
     spark.stop()
   }
 }
