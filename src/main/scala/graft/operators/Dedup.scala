@@ -286,6 +286,25 @@ object Dedup {
   def admitBatch(index: MinhashIndex, newBatch: DataFrame,
                  idCol: String, textCol: String,
                  minJaccard: Double = 0.5): DataFrame = {
+    // loop-scoped, restored on exit: lets AQE right-size stages that
+    // read the shN/cand pins — without it the cached 32-way layout is
+    // frozen into the verify join and the final materialization
+    // re-runs wide stages (the Graph.pageRank finding; measured here
+    // ~2.7 s → ~2.0 s steady-state admission at sf0.1)
+    val spark = newBatch.sparkSession
+    val ccKey = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    val ccPrev = spark.conf.getOption(ccKey)
+    spark.conf.set(ccKey, "true")
+    try admitBatchImpl(index, newBatch, idCol, textCol, minJaccard)
+    finally ccPrev match {
+      case Some(v) => spark.conf.set(ccKey, v)
+      case None => spark.conf.unset(ccKey)
+    }
+  }
+
+  private def admitBatchImpl(index: MinhashIndex, newBatch: DataFrame,
+                             idCol: String, textCol: String,
+                             minJaccard: Double): DataFrame = {
     val shN = hashedShingles(newBatch, idCol, textCol, index.shingleN)
       .persist()
     shN.count() // eager fill — see ngramJaccard

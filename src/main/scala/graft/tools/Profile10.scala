@@ -1,0 +1,27 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Dev scratch: steady-state admission cost of the stored-index gate
+  * query (rep 2+ = load + admitBatch only, build memoized away).
+  */
+object Profile10 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+    for (rep <- 1 to 3) {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries("dedup_minhash_inc")(spark, dir).count()
+      println(f"[p10] rep $rep dedup_minhash_inc ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
+    }
+    spark.stop()
+  }
+}
