@@ -9,12 +9,18 @@ Each fact-table replica r shifts every key column by r*10^9, so
 referential integrity (orders.o_custkey -> customer.c_custkey,
 lineitem.l_orderkey -> orders.o_orderkey, ...) holds within every
 replica and key spaces never collide. Dimension tables (region,
-nation) stay fixed, TPC-H style. Embedding vectors get their first
-component nudged by r*0.001 so replicated vectors are not exact
-duplicates (exact-tie top-k across identical copies would make any
-engine's k-th neighbor nondeterministic — a data pathology, not an
-engine property). Document text IS exact-copied: 5x planted exact
-and near duplicates are a stress test the dedup family must absorb.
+nation) stay fixed, TPC-H style.
+
+Replicas must NOT be near-duplicates of each other: exact-copy text
+multiplies every dup cluster into a 5x clique, which blows up
+pair/closure structures quadratically (measured: the sf0.5 oracle
+sweep's transitive-closure CTEs ran 80+ CPU-minutes before being
+killed, and cosine pairs went 990 -> 635k). So replica r>0 suffixes
+every document word with "#r<r>" (replica shingle/word sets are
+disjoint — within-replica dup structure is preserved exactly, so
+dedup outputs scale by exactly 5x) and circularly rotates embedding
+vectors by r components (rotated random vectors are uncorrelated, so
+no cross-replica near-neighbors; component distributions unchanged).
 
 Timestamps pass through DuckDB unchanged (micros, naive) — the same
 annotation the driver's current generator writes.
@@ -34,7 +40,7 @@ KEYS = {
     "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
-    "embeddings": ["id"],
+    "embeddings": ["vec_id"],
 }
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -48,6 +54,8 @@ def main():
         cols = [c[0] for c in
                 con.sql(f"DESCRIBE SELECT * FROM '{src}/{t}.parquet'")
                 .fetchall()]
+        missing = [k for k in KEYS.get(t, []) if k not in cols]
+        assert not missing, f"{t}: key columns {missing} not in {cols}"
         if t not in KEYS:
             con.sql(f"COPY (SELECT * FROM '{src}/{t}.parquet') TO "
                     f"'{dst}/{t}.parquet' (FORMAT PARQUET)")
@@ -59,11 +67,14 @@ def main():
             for c in cols:
                 if c in KEYS[t]:
                     sel.append(f"{c} + {r * SHIFT} AS {c}")
-                elif t == "embeddings" and c == "embedding":
+                elif t == "embeddings" and c == "embedding" and r:
                     sel.append(
-                        f"CAST(list_concat([embedding[1] + {r} * 0.001],"
-                        f" embedding[2:]) AS FLOAT[]) AS embedding"
-                        if r else c)
+                        f"CAST(list_concat(embedding[{r + 1}:],"
+                        f" embedding[1:{r}]) AS FLOAT[]) AS embedding")
+                elif t == "documents" and c == "text" and r:
+                    sel.append(
+                        rf"regexp_replace(text, '(\S+)', '\1#r{r}', 'g')"
+                        f" AS text")
                 else:
                     sel.append(c)
             parts.append(f"SELECT {', '.join(sel)} FROM '{src}/{t}.parquet'")
