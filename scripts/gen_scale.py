@@ -18,9 +18,16 @@ sweep's transitive-closure CTEs ran 80+ CPU-minutes before being
 killed, and cosine pairs went 990 -> 635k). So replica r>0 suffixes
 every document word with "#r<r>" (replica shingle/word sets are
 disjoint — within-replica dup structure is preserved exactly, so
-dedup outputs scale by exactly 5x) and circularly rotates embedding
-vectors by r components (rotated random vectors are uncorrelated, so
-no cross-replica near-neighbors; component distributions unchanged).
+dedup outputs scale by exactly 5x). The embeddings table is NOT
+replicated: in 64 dimensions, cross-replica cosines concentrate at
+N(0, 1/64) — ~0.8% of pairs exceed the 0.3 pair threshold by tail
+alone, so ANY 5x copy scheme (tried: first-component nudge, circular
+rotation, per-replica +-1 sign patterns) densifies the brute-force
+pair graph ~100x and the transitive-closure oracles blow up. That is
+vector geometry, not an engine property; the base table already
+exercises the embedding operators, and their at-scale behavior is
+covered by the IVF/LSH/PQ recall contracts whose candidate structures
+are sublinear by design.
 
 Timestamps pass through DuckDB unchanged (micros, naive) — the same
 annotation the driver's current generator writes.
@@ -40,7 +47,7 @@ KEYS = {
     "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+    # embeddings deliberately absent -> copied once (see module doc)
 }
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -67,10 +74,6 @@ def main():
             for c in cols:
                 if c in KEYS[t]:
                     sel.append(f"{c} + {r * SHIFT} AS {c}")
-                elif t == "embeddings" and c == "embedding" and r:
-                    sel.append(
-                        f"CAST(list_concat(embedding[{r + 1}:],"
-                        f" embedding[1:{r}]) AS FLOAT[]) AS embedding")
                 elif t == "documents" and c == "text" and r:
                     sel.append(
                         rf"regexp_replace(text, '(\S+)', '\1#r{r}', 'g')"
