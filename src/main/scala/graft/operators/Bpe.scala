@@ -50,6 +50,24 @@ object Bpe {
     */
   def vocab(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
     require(merges >= 1, "need at least one merge round")
+    // loop-scoped, restored on exit: lets AQE right-size the stages
+    // that read each round's pinned word table — the Graph.pageRank
+    // finding; without it the 2×merges materializations (per-round
+    // best checkpoint + next-words fill) each re-run wide 32-task
+    // stages over a vocabulary-sized frame
+    val spark = docs.sparkSession
+    val ccKey = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    val ccPrev = spark.conf.getOption(ccKey)
+    spark.conf.set(ccKey, "true")
+    try vocabImpl(docs, textCol, merges)
+    finally ccPrev match {
+      case Some(v) => spark.conf.set(ccKey, v)
+      case None => spark.conf.unset(ccKey)
+    }
+  }
+
+  private def vocabImpl(docs: DataFrame, textCol: String,
+                        merges: Int): DataFrame = {
     // corpus -> word-frequency table, symbols pre-wrapped: "ab" ->
     // "•a••b•". regexp_replace of every char with •c• builds the
     // doubled-delimiter form in one codegen'd pass, no char split.
@@ -69,13 +87,19 @@ object Bpe {
       val m = greatest(size(syms) - 1, lit(0))
       val pairs = zip_with(slice(syms, lit(1), m), slice(syms, lit(2), m),
         (a, b) => struct(a.as("lhs"), b.as("rhs")))
+      // eager localCheckpoint: cuts the logical lineage into `words`
+      // each round — without it the per-round plans nest one another
+      // and the final union's serialized plan grows 2^rounds (OOMs
+      // the driver). One extra one-row job per round; a lazy
+      // checkpoint measures no faster (the broadcast build triggers
+      // it as its own job either way)
       val best = words
         .select(col("freq"), explode(pairs).as("p"))
         .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
         .agg(sum(col("freq")).as("pair_count"))
         .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
         .limit(1)
-        .localCheckpoint(true) // one row; cuts lineage into `words`
+        .localCheckpoint(true)
       merged += best.select(lit(round).as("merge_round"), col("lhs"),
         col("rhs"), concat(col("lhs"), col("rhs")).as("merged"),
         col("pair_count"))
