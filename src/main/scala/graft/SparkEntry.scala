@@ -94,14 +94,16 @@ object SparkEntry {
       sum(when(x <= edge, 1L).otherwise(0L)) * 1000 >=
         lit(pml - tolPml) * count(lit(1)), 1).otherwise(0)
 
-  /** Unrolled DuckDB mirror of Bpe.vocab: `merges` rounds of
-    * pair-count → deterministic argmax → doubled-delimiter replace,
-    * generated mechanically per round the way q_pagerank's oracle
-    * unrolls its iterations. Same tie-break (count desc, lhs, rhs),
-    * same overlap-inclusive adjacent-pair counting, same leftmost
-    * non-overlapping replace — so the merge tables hash-match.
+  /** Shared unrolled DuckDB mirror of Bpe.induceMerges: `merges`
+    * rounds of pair-count → deterministic argmax → doubled-delimiter
+    * replace, generated mechanically per round the way q_pagerank's
+    * oracle unrolls its iterations. Same tie-break (count desc, lhs,
+    * rhs), same overlap-inclusive adjacent-pair counting, same
+    * leftmost non-overlapping replace — so the merge tables
+    * hash-match. Yields CTEs `words0..wordsN` and `b1..bN` for the
+    * vocab and tokenize oracles to build on.
     */
-  private def bpeOracleSql(merges: Int): String = {
+  private def bpeInductionCtes(merges: Int): String = {
     // MATERIALIZED is load-bearing: each wordsN is referenced twice
     // (pair count + next round's replace), and letting DuckDB inline
     // the chain re-evaluates it per reference — measured 42.7 s vs
@@ -130,11 +132,53 @@ object SparkEntry {
          |    '•' || lhs || rhs || '•') AS w, freq
          |  FROM words${r - 1}, b$r)""".stripMargin
     }.mkString(",\n", ",\n", "\n")
+    base + rounds
+  }
+
+  private def bpeOracleSql(merges: Int): String = {
     val out = (1 to merges).map { r =>
       s"SELECT $r AS merge_round, lhs, rhs, lhs || rhs AS merged," +
         s" pair_count FROM b$r"
     }.mkString("\nUNION ALL ")
-    base + rounds + out + "\nORDER BY merge_round"
+    bpeInductionCtes(merges) + out + "\nORDER BY merge_round"
+  }
+
+  /** Mirror of Bpe.tokenize: re-run the unrolled induction, then
+    * chain the per-round replaces over a (source, word) frequency
+    * table and account tokens per source — all integer.
+    */
+  private def bpeTokenizeOracleSql(merges: Int): String = {
+    val src0 =
+      """src0 AS MATERIALIZED (
+        |  SELECT source, word,
+        |    regexp_replace(word, '(.)', '•\1•', 'g') AS w,
+        |    COUNT(*) AS freq
+        |  FROM (SELECT source,
+        |          unnest(string_split(lower(text), ' ')) AS word
+        |        FROM documents) t
+        |  WHERE regexp_matches(word, '^[a-z]+$')
+        |  GROUP BY 1, 2, 3)""".stripMargin
+    val applies = (1 to merges).map { r =>
+      s"""src$r AS MATERIALIZED (
+         |  SELECT source, word, replace(w, '•' || lhs || '••' || rhs || '•',
+         |    '•' || lhs || rhs || '•') AS w, freq
+         |  FROM src${r - 1}, b$r)""".stripMargin
+    }.mkString(",\n", ",\n", "\n")
+    val agg =
+      s"""SELECT source,
+         |  CAST(SUM(freq) AS BIGINT) AS n_words,
+         |  CAST(COUNT(*) AS BIGINT) AS n_word_forms,
+         |  CAST(SUM(freq * length(word)) AS BIGINT) AS base_symbols,
+         |  CAST(SUM(freq * len(string_split(trim(w, '•'), '••')))
+         |    AS BIGINT) AS bpe_tokens,
+         |  (1000 * CAST(SUM(freq * len(string_split(trim(w, '•'), '••')))
+         |      AS BIGINT))
+         |    // CAST(SUM(freq * length(word)) AS BIGINT)
+         |    AS compression_pml
+         |FROM src$merges
+         |GROUP BY source
+         |ORDER BY source""".stripMargin
+    bpeInductionCtes(merges) + ",\n" + src0 + applies + agg
   }
 
   /** Flagship: the reference's fraud pipeline on the events stream —
@@ -553,6 +597,16 @@ object SparkEntry {
       operators.Bpe.vocab(Tables.documents(s, dir), "text", merges = 10)
         .orderBy(col("merge_round"))),
 
+    // the induced vocabulary APPLIED: per-source token accounting
+    // under 10 learned merges — the "how many training tokens does
+    // each source contribute" pass. The driver-held merge list
+    // unrolls into 10 literal replaces inside one codegen'd map-only
+    // projection over the (source, word) frequency table, so apply
+    // cost is O(vocab), never O(corpus).
+    "q_bpe_tokenize" -> ((s, dir) =>
+      operators.Bpe.tokenize(Tables.documents(s, dir), "text", "source",
+        merges = 10)),
+
     "q_asof" -> ((s, dir) => {
       // point-in-time: each purchase matched to the user's latest
       // preceding (inclusive) click — genuinely interleaved streams
@@ -661,6 +715,34 @@ object SparkEntry {
             col("n_exact").cast(DoubleType)) <=
             col("n_exact").cast(DoubleType) * 0.10, 1)
             .otherwise(0).as("hll_ok"))
+    }),
+
+    // the FREQUENCY twin of q_sketch_table: per-event-type Count-Min
+    // cell tables built in one raw scan, merged by counter addition
+    // into a global sketch, then point-estimated for the top-20 users
+    // — q_heavy_hitters' question answered without re-scanning raw
+    // keys. Gate is the CMS guarantee as a contract: est ≥ true
+    // (always, sketches never undercount) and est ≤ true + ε·N + 8
+    // (ε = 4/width; depth-5 row minimum puts a genuine merge or hash
+    // bug far outside the slack while honest estimates sit at or near
+    // exact — deterministic for fixed data, like every sketch gate).
+    "q_cms" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val perType = Sketches.cmsBuild(ev, "user_id", Seq("event_type"))
+      val global = Sketches.cmsMerge(perType, Seq.empty)
+      val truth = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("user_id")).limit(20)
+      val total = ev.agg(count(lit(1)).as("n_total"))
+      Sketches.cmsEstimate(global, truth, "user_id")
+        .join(truth, "user_id")
+        .crossJoin(broadcast(total))
+        .select(col("user_id"), col("true_cnt"),
+          when(col("cms_est") >= col("true_cnt"), 1).otherwise(0)
+            .as("cms_ge_true"),
+          when(col("cms_est") <= col("true_cnt") +
+            expr("(4 * n_total) div 2048") + lit(8L), 1).otherwise(0)
+            .as("cms_within_eps"))
     }),
 
     // one-pass data profiling: every per-column stat AND every
@@ -2556,6 +2638,7 @@ object SparkEntry {
         |LIMIT 20""".stripMargin,
 
     "q_bpe_vocab" -> bpeOracleSql(10),
+    "q_bpe_tokenize" -> bpeTokenizeOracleSql(10),
 
     // same first-token blocking, then exact levenshtein — DuckDB's
     // and Spark's edit distances are the identical DP integers
@@ -2747,6 +2830,12 @@ object SparkEntry {
         |    AS n_days,
         |  1 AS hll_ok
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_cms" ->
+      """SELECT user_id, COUNT(*) AS true_cnt,
+        |  1 AS cms_ge_true, 1 AS cms_within_eps
+        |FROM events GROUP BY user_id
+        |ORDER BY true_cnt DESC, user_id LIMIT 20""".stripMargin,
 
     // same single-pass moments (HUGEINT per-row products mirror the
     // Spark side's DECIMAL(38,0)); the correlation expression is the

@@ -2,10 +2,11 @@ package graft.operators
 
 import scala.collection.mutable.ArrayBuffer
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Byte-pair-encoding vocabulary induction over a document corpus.
+/** Byte-pair-encoding vocabulary induction over a document corpus,
+  * and its application back to the corpus (tokenization).
   *
   * The classic iterative scheme (count adjacent symbol pairs weighted
   * by word frequency, merge the most frequent pair everywhere, repeat)
@@ -28,12 +29,15 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the corpus is read once into a word-frequency table
   * (one vocabulary shuffle); every round after that touches only that
-  * table — a map-side pair explode, a (lhs,rhs)-keyed count shuffle, a
-  * TakeOrdered(1) for the argmax, and a map-only broadcast apply. No
-  * round re-reads corpus text, so cost is merges × O(vocab), not
-  * merges × O(corpus). The per-round best row is localCheckpointed
-  * (one-row frame) so the returned merge table holds no lineage into
-  * the unpersisted intermediate word tables.
+  * table — a map-side pair explode, a (lhs,rhs)-keyed count shuffle,
+  * and a TakeOrdered(1) argmax whose single row is pulled to the
+  * driver (the bounded-model pattern: IVF centroids, the q_search
+  * term pick). Holding the merge table driver-side makes each round's
+  * re-encode a map-only projection over LITERAL patterns — no
+  * broadcast build, no crossJoin, no per-round checkpoint — and the
+  * returned merge table is a local relation with no lineage at all.
+  * No round re-reads corpus text, so cost is merges × O(vocab), not
+  * merges × O(corpus).
   *
   * Words are lowercased and restricted to /^[a-z]+$/ — BPE induction
   * normalizes its input by convention, and the restriction also
@@ -41,33 +45,94 @@ import org.apache.spark.sql.functions._
   *
   * Contract: the corpus must contain at least `merges` distinct
   * adjacent pairs (any natural-language corpus does); otherwise later
-  * rounds have no argmax and the merge table comes up short.
+  * rounds have no argmax and induction fails fast.
   */
 object Bpe {
+
+  /** One induced merge rule (row `merge_round` of the merge table). */
+  final case class Merge(merge_round: Int, lhs: String, rhs: String,
+                         merged: String, pair_count: Long)
 
   /** Induce `merges` BPE merges from `docs(textCol)`. Returns one row
     * per round: (merge_round, lhs, rhs, merged, pair_count).
     */
   def vocab(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    induceMerges(docs, textCol, merges).toDF()
+  }
+
+  /** Tokenize the corpus under its own induced vocabulary: run
+    * `merges` rounds of induction, then apply the learned merge table
+    * to every word and account tokens per `srcCol` group — the
+    * "how many training tokens does each source contribute" pass.
+    *
+    * Output per source: word instances, distinct word forms, base
+    * (character) symbol count, post-merge BPE token count, and the
+    * integer-permille compression ratio. All counters are exact
+    * BIGINTs.
+    *
+    * Scale shape: induction as in [[vocab]]; application is ONE
+    * map-only projection — the driver-held merge list unrolls into a
+    * chain of `merges` literal `replace` calls, fully inside
+    * whole-stage codegen — over a (source, word)-keyed frequency
+    * table, so apply cost is O(vocab), never O(corpus).
+    */
+  def tokenize(docs: DataFrame, textCol: String, srcCol: String,
+               merges: Int): DataFrame = {
+    val ms = induceMerges(docs, textCol, merges)
+    val words = docs
+      .select(col(srcCol).as("source"),
+        explode(split(lower(col(textCol)), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("freq"))
+    val enc0 = regexp_replace(col("word"), "(.)", "•$1•")
+    val encN = ms.foldLeft(enc0)((acc, m) => applyMerge(acc, m.lhs, m.rhs))
+    words
+      .select(col("source"), col("freq"),
+        length(col("word")).cast("long").as("n_chars"),
+        size(split(trim(encN, "•"), "••")).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("freq")).as("n_words"),
+        count(lit(1)).as("n_word_forms"),
+        sum(col("freq") * col("n_chars")).as("base_symbols"),
+        sum(col("freq") * col("n_tok")).as("bpe_tokens"))
+      .withColumn("compression_pml",
+        expr("(1000 * bpe_tokens) div base_symbols"))
+      .orderBy(col("source"))
+  }
+
+  /** Merging (lhs, rhs) in the doubled-delimiter encoding is a plain
+    * left-to-right literal replace — see the object doc.
+    */
+  private def applyMerge(w: Column, lhs: String, rhs: String): Column =
+    replace(w, lit(s"•$lhs••$rhs•"), lit(s"•$lhs$rhs•"))
+
+  /** The induction loop; merge rules come back as a driver-side list
+    * (bounded: `merges` rows) so both [[vocab]] and [[tokenize]]
+    * consume them without re-running.
+    */
+  private[graft] def induceMerges(docs: DataFrame, textCol: String,
+                                  merges: Int): Seq[Merge] = {
     require(merges >= 1, "need at least one merge round")
     // loop-scoped, restored on exit: lets AQE right-size the stages
     // that read each round's pinned word table — the Graph.pageRank
-    // finding; without it the 2×merges materializations (per-round
-    // best checkpoint + next-words fill) each re-run wide 32-task
-    // stages over a vocabulary-sized frame
+    // finding; without it the per-round materializations re-run wide
+    // 32-task stages over a vocabulary-sized frame
     val spark = docs.sparkSession
     val ccKey = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
     val ccPrev = spark.conf.getOption(ccKey)
     spark.conf.set(ccKey, "true")
-    try vocabImpl(docs, textCol, merges)
+    try induceImpl(docs, textCol, merges)
     finally ccPrev match {
       case Some(v) => spark.conf.set(ccKey, v)
       case None => spark.conf.unset(ccKey)
     }
   }
 
-  private def vocabImpl(docs: DataFrame, textCol: String,
-                        merges: Int): DataFrame = {
+  private def induceImpl(docs: DataFrame, textCol: String,
+                         merges: Int): Seq[Merge] = {
     // corpus -> word-frequency table, symbols pre-wrapped: "ab" ->
     // "•a••b•". regexp_replace of every char with •c• builds the
     // doubled-delimiter form in one codegen'd pass, no char split.
@@ -80,34 +145,28 @@ object Bpe {
         col("freq"))
 
     var words = words0.persist()
-    words.count() // eager fill: every round reuses this frame twice
-    val merged = ArrayBuffer.empty[DataFrame]
+    words.count() // eager fill: every round reuses this frame
+    val out = ArrayBuffer.empty[Merge]
     for (round <- 1 to merges) {
       val syms = split(trim(col("w"), "•"), "••")
       val m = greatest(size(syms) - 1, lit(0))
       val pairs = zip_with(slice(syms, lit(1), m), slice(syms, lit(2), m),
         (a, b) => struct(a.as("lhs"), b.as("rhs")))
-      // eager localCheckpoint: cuts the logical lineage into `words`
-      // each round — without it the per-round plans nest one another
-      // and the final union's serialized plan grows 2^rounds (OOMs
-      // the driver). One extra one-row job per round; a lazy
-      // checkpoint measures no faster (the broadcast build triggers
-      // it as its own job either way)
+      // argmax as TakeOrdered(1) + a ONE-ROW driver pull per round —
+      // never a full sort, never more than one row off the cluster
       val best = words
         .select(col("freq"), explode(pairs).as("p"))
         .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
         .agg(sum(col("freq")).as("pair_count"))
         .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
         .limit(1)
-        .localCheckpoint(true)
-      merged += best.select(lit(round).as("merge_round"), col("lhs"),
-        col("rhs"), concat(col("lhs"), col("rhs")).as("merged"),
-        col("pair_count"))
+        .collect()
+      require(best.nonEmpty, s"corpus exhausted at merge round $round")
+      val (lhs, rhs) = (best(0).getString(0), best(0).getString(1))
+      out += Merge(round, lhs, rhs, lhs + rhs, best(0).getLong(2))
       if (round < merges) {
-        val next = words.crossJoin(broadcast(best))
-          .select(expr("replace(w, concat('•', lhs, '••', rhs, '•')," +
-              " concat('•', lhs, rhs, '•'))").as("w"),
-            col("freq"))
+        val next = words
+          .select(applyMerge(col("w"), lhs, rhs).as("w"), col("freq"))
           .persist()
         next.count()
         words.unpersist(blocking = false)
@@ -115,6 +174,6 @@ object Bpe {
       }
     }
     words.unpersist(blocking = false)
-    merged.reduce(_ unionAll _)
+    out.toSeq
   }
 }

@@ -45,4 +45,67 @@ object Sketches {
       .agg(expr("hll_sketch_estimate(hll_union_agg(hll_sketch))")
              .as("distinct_est"),
            count(lit(1)).as("n_sketches"))
+
+  // ---- Count-Min: mergeable FREQUENCY sketch tables ----------------
+  //
+  // HLL answers "how many distinct"; Count-Min answers "how often is
+  // key k" from the same pre-aggregated-table playbook. A CMS is held
+  // as a sparse TABLE of (depth-row, bucket, count) cells rather than
+  // a binary blob: building it is one hash aggregation (map-side
+  // partial combine — the shuffle carries ≤ depth×width counter
+  // cells per partition, never raw keys), merging sketches is a
+  // groupBy-SUM over cells (counter addition is the CMS merge, made
+  // associative/commutative/idempotent-free by construction), and
+  // estimation is an equi-join on (row, bucket) + MIN over rows.
+  // Every step is a plain relational operator, so Catalyst/AQE plan
+  // it like any aggregate — no opaque UDAF buffers on the shuffle.
+  //
+  // Guarantee (standard CMS): est ≥ true always; est ≤ true + ε·N
+  // with probability ≥ 1 − (1/2)^depth per probe for width = 2/ε.
+  // The per-row hash is xxhash64(key, row) — Spark's seeded hash
+  // chain — so cells are deterministic for fixed data.
+
+  /** Scan once into per-(dims) CMS cell tables: one sparse
+    * (cms_row, cms_bucket, cnt) set per dims cell.
+    */
+  def cmsBuild(df: DataFrame, keyCol: String, dims: Seq[String],
+               depth: Int = 5, width: Int = 2048): DataFrame =
+    df.select(dims.map(col) :+ col(keyCol).as("_k"): _*)
+      .select(dims.map(col) :+ explode(
+        expr(s"transform(sequence(0, ${depth - 1}), " +
+          s"i -> struct(i AS r, pmod(xxhash64(_k, i), $width) AS b))"))
+        .as("_rb"): _*)
+      .groupBy((dims.map(col) :+ col("_rb.r").as("cms_row")
+        :+ col("_rb.b").as("cms_bucket")): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge sketch cells down to coarser `dims` (counter addition —
+    * the CMS union). Merging to `Seq()` yields one global sketch.
+    */
+  def cmsMerge(cells: DataFrame, dims: Seq[String]): DataFrame =
+    cells.groupBy((dims.map(col) :+ col("cms_row")
+      :+ col("cms_bucket")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-estimate each probe key against one (already-merged)
+    * sketch: MIN over depth rows of the joined cell counts. Probes
+    * are a small frame (broadcast); keys absent from the stream
+    * estimate as the row-wise bucket minimum (0 when any bucket is
+    * empty).
+    */
+  def cmsEstimate(cells: DataFrame, probes: DataFrame, keyCol: String,
+                  depth: Int = 5, width: Int = 2048): DataFrame = {
+    val exploded = probes
+      .select(col("*"), explode(
+        expr(s"transform(sequence(0, ${depth - 1}), " +
+          s"i -> struct(i AS r, pmod(xxhash64($keyCol, i), $width) AS b))"))
+        .as("_rb"))
+      .select(col("*"), col("_rb.r").as("cms_row"),
+        col("_rb.b").as("cms_bucket"))
+      .drop("_rb")
+    exploded
+      .join(cells, Seq("cms_row", "cms_bucket"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
 }

@@ -25,6 +25,38 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     assert(global.except(merged).count() === 0)
   }
 
+  test("CMS: estimates never undercount, for EVERY key") {
+    val cells = Sketches.cmsMerge(
+      Sketches.cmsBuild(events, "user_id", Seq("event_type")), Seq.empty)
+    val truth = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("true_cnt"))
+    val under = Sketches.cmsEstimate(cells, truth, "user_id")
+      .join(truth, "user_id")
+      .filter(col("cms_est") < col("true_cnt"))
+    assert(under.count() === 0)
+  }
+
+  test("CMS: merging per-group cell tables equals sketching the union") {
+    val merged = Sketches.cmsMerge(
+      Sketches.cmsBuild(events, "user_id", Seq("event_type")), Seq.empty)
+    val direct = Sketches.cmsMerge(
+      Sketches.cmsBuild(events, "user_id", Seq.empty), Seq.empty)
+    assert(merged.except(direct).count() === 0)
+    assert(direct.except(merged).count() === 0)
+  }
+
+  test("CMS: absent keys estimate through empty buckets, never error") {
+    val cells = Sketches.cmsMerge(
+      Sketches.cmsBuild(events, "user_id", Seq.empty), Seq.empty)
+    import spark.implicits._
+    val ghosts = Seq(-1L, -2L, Long.MaxValue).toDF("user_id")
+    val est = Sketches.cmsEstimate(cells, ghosts, "user_id").collect()
+    assert(est.length === 3)
+    // tiny key space: a ghost key's 5 buckets are almost surely not
+    // all occupied, so the row minimum bottoms out at the empty-cell 0
+    assert(est.map(_.getAs[Long]("cms_est")).forall(_ >= 0L))
+  }
+
   test("estimate is partitioning-invariant and within tolerance of exact") {
     val est7 = Sketches.rollupDistinct(
       Sketches.distinctSketchTable(events.repartition(7), "user_id",
