@@ -94,6 +94,54 @@ object SparkEntry {
       sum(when(x <= edge, 1L).otherwise(0L)) * 1000 >=
         lit(pml - tolPml) * count(lit(1)), 1).otherwise(0)
 
+  /** The q_search term-pick pattern for ranked retrieval: the
+    * corpus's df-rank-10/20/30 terms (mid-frequency — discriminative
+    * but with overlapping posting lists) via a distributed
+    * TakeOrdered(30) + a bounded 30-row driver pull. df counts DOCS
+    * containing the term (per-doc-distinct explode), matching
+    * bm25Rank's df table and the oracle's ranked CTE.
+    */
+  private def searchRankedTerms(docs: DataFrame): Seq[String] = {
+    val top = docs.select(
+        explode(array_distinct(split(lower(col("text")), " "))).as("term"))
+      .filter(col("term").rlike("^[a-z]+$"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(30).collect()
+    Seq(top(9).getString(0), top(19).getString(0), top(29).getString(0))
+  }
+
+  /** DuckDB mirror of Relevance.bm25Rank over the documents corpus
+    * with the df-rank-10/20/30 query terms: identical integer BM25
+    * (k1 = 2, b = 3/4 multiplied through by 4·avgdl, rational idf).
+    * Shared by q_search_ranked and q_rrf_fusion.
+    */
+  private def bm25LexCtes: String =
+    """WITH tok AS MATERIALIZED (
+      |  SELECT doc_id, word AS term FROM (
+      |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      |    FROM documents) t
+      |  WHERE regexp_matches(word, '^[a-z]+$')),
+      |tf AS MATERIALIZED (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+      |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |stats AS (SELECT
+      |  (SELECT COUNT(*) FROM documents) AS n_docs,
+      |  (SELECT COUNT(*) FROM tok) // (SELECT COUNT(*) FROM documents)
+      |    AS avgdl),
+      |qterms AS (SELECT term, df FROM (
+      |  SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS rn
+      |  FROM dfx) r WHERE rn IN (10, 20, 30)),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    CAST(SUM(((1000 * tf.tf * 3 * 4 * avgdl)
+      |        // (4 * avgdl * tf.tf + 2 * (avgdl + 3 * dl.dl)))
+      |      * ((1000000 * (n_docs - q.df)) // (n_docs + q.df)))
+      |      AS BIGINT) AS score_nano,
+      |    COUNT(*) AS n_hit_terms
+      |  FROM tf JOIN qterms q USING (term) JOIN dl USING (doc_id), stats
+      |  GROUP BY 1)""".stripMargin
+
   /** Shared unrolled DuckDB mirror of Bpe.induceMerges: `merges`
     * rounds of pair-count → deterministic argmax → doubled-delimiter
     * replace, generated mechanically per round the way q_pagerank's
@@ -1705,6 +1753,38 @@ object SparkEntry {
           .select(col("doc_id").as("doc_id_b"), lit(termB).as("term_b")),
           col("doc_id") === col("doc_id_b"))
         .select(col("doc_id"), col("term_a"), col("term_b"))
+    }),
+
+    // RANKED retrieval over the same inverted index: real BM25 shape
+    // (saturating tf, b=3/4 length normalization, RSJ-monotone idf)
+    // in pure integer arithmetic so both engines score identically —
+    // see Relevance.bm25Rank. Query terms pick themselves at df ranks
+    // 10/20/30 (mid-frequency — discriminative, overlapping posting
+    // lists) via the same bounded top-k pull q_search uses.
+    "q_search_ranked" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      operators.Relevance.bm25Rank(docs, "doc_id", "text",
+        searchRankedTerms(docs), k = 10)
+    }),
+
+    // hybrid retrieval's standard merge: reciprocal-rank fusion of
+    // the BM25 lexical top-20 with the cosine vector top-20 (query =
+    // embedding 1; vec_id embeds doc_id in this corpus), scored in
+    // exact integer micro units — Σ 10⁶ div (60 + rank). Ids surfaced
+    // by only one system keep their one-sided score: that coverage
+    // union is what makes RRF robust when the systems disagree.
+    "q_rrf_fusion" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val lex = operators.Relevance.bm25Rank(docs, "doc_id", "text",
+        searchRankedTerms(docs), k = 20)
+      val vec = operators.Similarity.bruteForceTopK(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryMaxId = 1, k = 20)
+        .filter(col("q_id") === 1)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      operators.Relevance.rrfFuse(lex, vec, "doc_id", "rank", k = 10)
+        .select(col("id"), col("rank_a").as("lex_rank"),
+          col("rank_b").as("vec_rank"), col("rrf_micro"))
     }),
 
     // spatial radius join without a cross product: grid cells of side
@@ -3889,6 +3969,46 @@ object SparkEntry {
         |FROM posting pa JOIN ta ON pa.term = ta.term_a
         |JOIN posting pb ON pb.doc_id = pa.doc_id
         |JOIN tb ON pb.term = tb.term_b""".stripMargin,
+
+    "q_search_ranked" -> (bm25LexCtes +
+      """,
+        |lex AS (SELECT doc_id, score_nano, n_hit_terms FROM scored
+        |        ORDER BY score_nano DESC, doc_id LIMIT 10)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY score_nano DESC, doc_id)
+        |    AS BIGINT) AS rank,
+        |  score_nano, n_hit_terms
+        |FROM lex""".stripMargin),
+
+    "q_rrf_fusion" -> (bm25LexCtes +
+      """,
+        |lex AS (SELECT doc_id AS id,
+        |    CAST(row_number() OVER (ORDER BY score_nano DESC, doc_id)
+        |      AS BIGINT) AS lex_rank
+        |  FROM (SELECT * FROM scored
+        |        ORDER BY score_nano DESC, doc_id LIMIT 20) s),
+        |d AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |nrms AS (SELECT vec_id, sqrt(SUM(v*v)) AS nrm FROM d GROUP BY vec_id),
+        |dots AS (
+        |  SELECT x.vec_id AS id, SUM(q.v*x.v) AS dp
+        |  FROM d q JOIN d x ON q.i = x.i AND q.vec_id = 1 AND x.vec_id <> 1
+        |  GROUP BY x.vec_id),
+        |sims AS (
+        |  SELECT id, dp / (nq.nrm * nx.nrm) AS sim
+        |  FROM dots JOIN nrms nq ON nq.vec_id = 1
+        |  JOIN nrms nx ON nx.vec_id = id),
+        |vec AS (SELECT id,
+        |    CAST(row_number() OVER (ORDER BY sim DESC, id) AS BIGINT)
+        |      AS vec_rank
+        |  FROM (SELECT * FROM sims ORDER BY sim DESC, id LIMIT 20) v)
+        |SELECT COALESCE(l.id, v.id) AS id, l.lex_rank AS lex_rank,
+        |  v.vec_rank AS vec_rank,
+        |  COALESCE(1000000 // (60 + l.lex_rank), 0)
+        |    + COALESCE(1000000 // (60 + v.vec_rank), 0) AS rrf_micro
+        |FROM lex l FULL OUTER JOIN vec v ON l.id = v.id
+        |ORDER BY rrf_micro DESC, id LIMIT 10""".stripMargin),
 
     // the naive BETWEEN form — identical pair set to the grid plan
     "q_spatial_join" ->

@@ -58,4 +58,76 @@ object Relevance {
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("term"), col("rank"), col("score_micro"))
   }
+
+  /** Integer-exact BM25 ranked retrieval: top-`k` documents for a
+    * term-set query, scored with the real BM25 shape — saturating tf
+    * with length normalization (k1, b = 3/4) times a rational
+    * RSJ-monotone idf — but in pure integer arithmetic so both
+    * engines land on identical scores (salientTerms' argument; a
+    * float log/division would wobble in the last ulp):
+    *
+    *   idf_micro = (10⁶·(N − df)) div (N + df)
+    *   tf_pml    = (10³·tf·(k1+1)·4·avgdl)
+    *                 div (4·avgdl·tf + k1·(avgdl + 3·dl))
+    *
+    * (the b = 3/4 normalizer multiplied through by 4·avgdl, with
+    * avgdl = total_tokens div N floored by convention).
+    *
+    * Scale shape: postings are FILTERED to the query's terms before
+    * any join — the classic inverted-index discipline; dl joins on
+    * doc over the posting-sized side only, df/stats enter broadcast,
+    * and the result is a TakeOrdered(k), never a global sort. The
+    * final rank assignment windows over the already-top-k (≤ k rows)
+    * frame — the constant partition is bounded by construction.
+    */
+  def bm25Rank(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int, k1: Int = 2): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(split(lower(col(textCol)), " ")).as("term"))
+      .filter(col("term").rlike("^[a-z]+$"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(tok.agg(count(lit(1)).as("n_tokens")))
+      .select(col("n_docs"), expr("n_tokens div n_docs").as("avgdl"))
+    val topk = tf.filter(col("term").isin(queryTerms: _*))
+      .join(dl, "doc_id")
+      .join(broadcast(df.filter(col("term").isin(queryTerms: _*))), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_micro",
+        expr("(1000000L * (n_docs - df)) div (n_docs + df)"))
+      .withColumn("tf_pml",
+        expr(s"(1000L * tf * ${k1 + 1} * 4 * avgdl)" +
+          s" div (4 * avgdl * tf + $k1 * (avgdl + 3 * dl))"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("tf_pml * idf_micro")).as("score_nano"),
+        count(lit(1)).as("n_hit_terms"))
+      .orderBy(col("score_nano").desc, col("doc_id"))
+      .limit(k)
+    topk.withColumn("rank", row_number().over(
+        Window.partitionBy(lit(0))
+          .orderBy(col("score_nano").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("rank"), col("score_nano"),
+        col("n_hit_terms"))
+  }
+
+  /** Reciprocal-rank fusion of two ranked candidate lists (e.g. a
+    * lexical BM25 list and a vector-similarity list — hybrid
+    * retrieval's standard merge): score = Σ 1/(k0 + rank) over the
+    * systems that ranked the id, in exact integer micro units
+    * (10⁶ div (k0 + rank)), so fusion never touches a float. Inputs
+    * are already-top-k frames (bounded); the full-outer join keeps
+    * ids surfaced by only one system, which is the point of RRF.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+              rankCol: String, k: Int, k0: Int = 60): DataFrame =
+    a.select(col(idCol).as("id"), col(rankCol).cast("long").as("rank_a"))
+      .join(b.select(col(idCol).as("id"),
+        col(rankCol).cast("long").as("rank_b")), Seq("id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr(s"1000000L div ($k0 + rank_a)"), lit(0L)) +
+          coalesce(expr(s"1000000L div ($k0 + rank_b)"), lit(0L)))
+      .orderBy(col("rrf_micro").desc, col("id"))
+      .limit(k)
 }

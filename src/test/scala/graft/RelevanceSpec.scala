@@ -29,4 +29,43 @@ class RelevanceSpec extends AnyFunSuite with SparkSpec {
       .filter(col("n") > 3 || col("mr") =!= col("n"))
     assert(bad.count() === 0)
   }
+
+  test("bm25: tf saturation and length normalization order as BM25 must") {
+    import spark.implicits._
+    // same tf, shorter doc wins; higher tf wins at equal length;
+    // saturation: tf 10 vs 20 in equal-length docs differ by less
+    // than tf 1 vs 2 does
+    // docs 6-8 don't contain x: with df = N the rational idf is 0
+    // (the correct BM25 degeneracy for a ubiquitous term), so the
+    // discrimination cases need x-free documents in the corpus
+    val docs = Seq(
+      1L -> ("x " * 1 + "f " * 9).trim,   // tf=1, dl=10
+      2L -> ("x " * 2 + "f " * 8).trim,   // tf=2, dl=10
+      3L -> ("x " * 2 + "f " * 18).trim,  // tf=2, dl=20 (longer, penalized)
+      4L -> ("x " * 10 + "f " * 10).trim, // tf=10, dl=20
+      5L -> ("x " * 20).trim,             // tf=20, dl=20
+      6L -> ("f " * 10).trim, 7L -> ("f " * 10).trim, 8L -> ("f " * 10).trim
+    ).toDF("doc_id", "text")
+    val got = Relevance.bm25Rank(docs, "doc_id", "text", Seq("x"), k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(2L) > got(1L)) // more tf at same length
+    assert(got(2L) > got(3L)) // same tf, longer doc penalized
+    assert(got(5L) > got(4L)) // monotone in tf...
+    val gain1 = got(2L) - got(1L)
+    val gain10 = got(5L) - got(4L)
+    assert(gain10 < gain1) // ...but saturating
+  }
+
+  test("rrf: one-sided candidates survive, two-system agreement wins") {
+    import spark.implicits._
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
+    val b = Seq((2L, 1L), (4L, 2L)).toDF("id", "rank")
+    val got = Relevance.rrfFuse(a, b, "id", "rank", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    // id 2: 1e6/62 + 1e6/61 — ranked by both, top fused score
+    assert(got(2L) === 1000000L / 62 + 1000000L / 61)
+    assert(got(1L) === 1000000L / 61) // only system a
+    assert(got(4L) === 1000000L / 62) // only system b
+    assert(got(2L) > got.values.filter(_ != got(2L)).max)
+  }
 }
