@@ -33,7 +33,12 @@ object Bench {
     // artifact, never hide as a plausible-looking -1 "timing". Both
     // reps are emitted too, so bimodality (cold/steady split, block-
     // manager interference) is visible, not collapsed into the min.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args: restrict to named queries (local iteration);
+    // the driver always runs with none.
+    val only: Set[String] = args.toSet
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
