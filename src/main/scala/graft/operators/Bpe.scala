@@ -79,8 +79,15 @@ object Bpe {
     * table, so apply cost is O(vocab), never O(corpus).
     */
   def tokenize(docs: DataFrame, textCol: String, srcCol: String,
-               merges: Int): DataFrame = {
-    val ms = induceMerges(docs, textCol, merges)
+               merges: Int): DataFrame =
+    tokenizeWith(docs, textCol, srcCol, induceMerges(docs, textCol, merges))
+
+  /** [[tokenize]] against an ALREADY-induced merge table — the
+    * serving shape: induce once (training), apply to any corpus
+    * batch (one map-only pass each).
+    */
+  def tokenizeWith(docs: DataFrame, textCol: String, srcCol: String,
+                   ms: Seq[Merge]): DataFrame = {
     val words = docs
       .select(col(srcCol).as("source"),
         explode(split(lower(col(textCol)), " ")).as("word"))
