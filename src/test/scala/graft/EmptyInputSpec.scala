@@ -35,6 +35,34 @@ class EmptyInputSpec extends AnyFunSuite with SparkSpec {
       .count() === 0)
   }
 
+  test("ranked retrieval, fusion, CMS and BPE-apply handle empty inputs") {
+    import spark.implicits._
+    assert(Relevance.bm25Rank(noDocs, "doc_id", "text", Seq("x"), 5)
+      .count() === 0)
+    val noRanks = Seq.empty[(Long, Long)].toDF("id", "rank")
+    assert(Relevance.rrfFuse(noRanks, noRanks, "id", "rank", 5)
+      .count() === 0)
+    // one-sided fusion still surfaces the populated system
+    val oneSide = Seq((7L, 1L)).toDF("id", "rank")
+    assert(Relevance.rrfFuse(oneSide, noRanks, "id", "rank", 5)
+      .count() === 1)
+    val noEvents = Tables.events(spark, sf).filter(lit(false))
+    val cells = graft.operators.Sketches
+      .cmsBuild(noEvents, "user_id", Seq.empty)
+    assert(cells.count() === 0)
+    // probing an EMPTY sketch: every bucket missing → estimate 0
+    val probes = Seq(1L, 2L).toDF("user_id")
+    val est = graft.operators.Sketches.cmsEstimate(
+      graft.operators.Sketches.cmsMerge(cells, Seq.empty), probes, "user_id")
+      .collect()
+    assert(est.length === 2 && est.forall(_.getAs[Long]("cms_est") === 0L))
+    // applying an induced merge table to an empty corpus is empty
+    val ms = graft.operators.Bpe.induceMerges(
+      Tables.documents(spark, sf).limit(50), "text", 2)
+    assert(graft.operators.Bpe.tokenizeWith(noDocs, "text", "source", ms)
+      .count() === 0)
+  }
+
   test("prefix sums, index admission, and index extension handle " +
       "empty inputs") {
     import spark.implicits._
