@@ -990,6 +990,19 @@ object SparkEntry {
         .orderBy(col("pr").desc, col("node")).limit(20)
     }),
 
+    // exact triangle counting under degree-ordered orientation — the
+    // O(m^1.5)-bounded wedge join that survives skewed hubs (see
+    // Graph.triangleCount). The PageRank graph is bipartite (zero
+    // triangles by construction), so the edges derive from event ids
+    // by pure arithmetic on a 8192-node space — SQL-mirrorable, the
+    // q_spatial_join pattern — giving a dense non-bipartite graph.
+    "q_triangles" -> ((s, dir) => {
+      val edges = Tables.events(s, dir).select(
+        (col("event_id") % 8192).as("src"),
+        ((col("event_id") * 7919 + 13) % 8192).as("dst"))
+      Graph.triangleCount(edges)
+    }),
+
     // heavy hitters from a bounded Misra-Gries summary: candidates
     // surface through a ≤capacity-counter mergeable aggregate (never a
     // vocabulary-sized shuffle), then ONLY candidates are re-counted
@@ -3072,6 +3085,40 @@ object SparkEntry {
         |  CAST((s2 - n1 * (n1 + 1)) * 1000000 // (2 * n1 * n0) AS BIGINT)
         |    AS auc_micro
         |FROM a""".stripMargin,
+
+    // same degree-ordered orientation, same arithmetic edge space;
+    // the inner join against the unique id-canonical edge set closes
+    // each wedge 0/1 times, so COUNT equals the semi-join count
+    "q_triangles" ->
+      """WITH e0 AS (
+        |  SELECT event_id % 8192 AS src,
+        |    (event_id * 7919 + 13) % 8192 AS dst
+        |  FROM events),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e0 WHERE src <> dst),
+        |deg AS (
+        |  SELECT v, COUNT(*) AS deg FROM (
+        |    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) u
+        |  GROUP BY v),
+        |ork AS (
+        |  SELECT
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+        |      THEN a ELSE b END AS lo,
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+        |      THEN b ELSE a END AS hi
+        |  FROM und JOIN deg da ON da.v = a JOIN deg db ON db.v = b),
+        |wedges AS (
+        |  SELECT e1.hi AS a, e2.hi AS b
+        |  FROM ork e1 JOIN ork e2 ON e1.lo = e2.lo AND e1.hi < e2.hi)
+        |SELECT
+        |  (SELECT COUNT(*) FROM deg) AS n_nodes,
+        |  (SELECT COUNT(*) FROM und) AS n_edges,
+        |  (SELECT COALESCE(CAST(SUM(c * (c - 1) // 2) AS BIGINT), 0)
+        |   FROM (SELECT lo, COUNT(*) AS c FROM ork GROUP BY lo) w)
+        |    AS n_wedges,
+        |  (SELECT COUNT(*) FROM wedges JOIN und USING (a, b))
+        |    AS n_triangles""".stripMargin,
 
     // three unrolled damped rounds of the same floor-division fixed
     // point; UNION (not ALL) mirrors Spark's union().distinct()

@@ -56,6 +56,9 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
       "q_collocations", // 1-row broadcast word total × bigram counts
       "q_heavy_hitters", // 1-row broadcast token total × candidate counts
       "q_pagerank", // 1-row broadcast node count × the node frame
+      "q_cms", // 1-row broadcast stream total × the estimate frame
+      "q_search_ranked", // 1-row broadcast corpus stats × scored postings
+      "q_rrf_fusion", // same lexical corpus-stats shape as q_search_ranked
       // PrefixSums.exclusiveOffsets: broadcast non-equi self-join of
       // the super-bucket totals (quadratic only in |buckets|/1024)
       "mix_budget", "pack_sequences", "q_auc")

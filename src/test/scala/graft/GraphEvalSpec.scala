@@ -34,6 +34,31 @@ class GraphEvalSpec extends AnyFunSuite with SparkSpec {
     assert(ranks2 === ranks)
   }
 
+  test("triangleCount: hand-counted graph, duplicates/reversals/loops inert") {
+    // K4 minus edge {3,4} plus a pendant: triangles {1,2,3}, {1,2,4}
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (4L, 5L)).toDF("src", "dst")
+    val r = Graph.triangleCount(edges).collect()(0)
+    assert(r.getAs[Long]("n_nodes") === 5L)
+    assert(r.getAs[Long]("n_edges") === 6L)
+    assert(r.getAs[Long]("n_triangles") === 2L)
+    // reversed duplicates and self-loops change nothing
+    val noisy = edges.union(
+      Seq((2L, 1L), (3L, 1L), (5L, 5L)).toDF("src", "dst"))
+    val r2 = Graph.triangleCount(noisy).collect()(0)
+    assert(r2.getAs[Long]("n_edges") === 6L)
+    assert(r2.getAs[Long]("n_triangles") === 2L)
+  }
+
+  test("triangleCount: wedge bound holds on a skewed star") {
+    // star = no triangles; orientation must point INTO the hub, so
+    // wedge count is 0 — the Σdeg² naive count would be C(9,2)=36
+    val star = (1L to 9L).map(i => (i, 100L)).toDF("src", "dst")
+    val r = Graph.triangleCount(star).collect()(0)
+    assert(r.getAs[Long]("n_triangles") === 0L)
+    assert(r.getAs[Long]("n_wedges") === 0L)
+  }
+
   test("aucMicro hits the closed-form corners") {
     // perfect separation: all positives score above all negatives
     val perfect = Seq((1L, 0L), (2L, 0L), (10L, 1L), (11L, 1L))
