@@ -110,6 +110,39 @@ object SparkEntry {
     Seq(top(9).getString(0), top(19).getString(0), top(29).getString(0))
   }
 
+  /** Unrolled DuckDB mirror of Graph.kCore on the arithmetic event
+    * graph: per round, degrees over the surviving edges, the >= k
+    * keep set, and the both-endpoints-kept edge filter — node counts
+    * come from the surviving EDGES (a kept node whose neighbors all
+    * peel loses its edges and leaves the count), exactly the Spark
+    * semantics.
+    */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val base =
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM (SELECT event_id % 8192 AS src,
+        |          (event_id * 7919 + 13) % 8192 AS dst
+        |        FROM events) t
+        |  WHERE src <> dst)""".stripMargin
+    val peels = (1 to rounds).map { r =>
+      s"""k$r AS MATERIALIZED (
+         |  SELECT v FROM (SELECT a AS v FROM e${r - 1}
+         |                 UNION ALL SELECT b FROM e${r - 1}) u$r
+         |  GROUP BY v HAVING COUNT(*) >= $k),
+         |e$r AS MATERIALIZED (
+         |  SELECT a, b FROM e${r - 1}
+         |  WHERE a IN (SELECT v FROM k$r)
+         |    AND b IN (SELECT v FROM k$r))""".stripMargin
+    }.mkString(",\n", ",\n", "\n")
+    val out = (1 to rounds).map { r =>
+      s"SELECT $r AS peel_round, (SELECT COUNT(DISTINCT v) FROM" +
+        s" (SELECT a AS v FROM e$r UNION ALL SELECT b FROM e$r) x$r)" +
+        s" AS n_nodes, (SELECT COUNT(*) FROM e$r) AS n_edges"
+    }.mkString("\nUNION ALL ")
+    base + peels + out + "\nORDER BY peel_round"
+  }
+
   /** DuckDB mirror of Relevance.bm25Rank over the documents corpus
     * with the df-rank-10/20/30 query terms: identical integer BM25
     * (k1 = 2, b = 3/4 multiplied through by 4·avgdl, rational idf).
@@ -1001,6 +1034,18 @@ object SparkEntry {
         (col("event_id") % 8192).as("src"),
         ((col("event_id") * 7919 + 13) % 8192).as("dst"))
       Graph.triangleCount(edges)
+    }),
+
+    // bounded-round k-core peeling on the same arithmetic graph —
+    // the degree-based quality filter run before trusting link
+    // structure; the per-round (nodes, edges) trajectory IS the
+    // output, so the oracle checks every round of the iteration
+    // (the q_pagerank unrolled-rounds pattern).
+    "q_kcore" -> ((s, dir) => {
+      val edges = Tables.events(s, dir).select(
+        (col("event_id") % 8192).as("src"),
+        ((col("event_id") * 7919 + 13) % 8192).as("dst"))
+      Graph.kCore(edges, k = 3, rounds = 4)
     }),
 
     // heavy hitters from a bounded Misra-Gries summary: candidates
@@ -3119,6 +3164,8 @@ object SparkEntry {
         |    AS n_wedges,
         |  (SELECT COUNT(*) FROM wedges JOIN und USING (a, b))
         |    AS n_triangles""".stripMargin,
+
+    "q_kcore" -> kcoreOracleSql(3, 4),
 
     // three unrolled damped rounds of the same floor-division fixed
     // point; UNION (not ALL) mirrors Spark's union().distinct()

@@ -211,4 +211,54 @@ object Graph {
     oriented.unpersist(blocking = false)
     out
   }
+
+  /** Bounded-round k-core peeling — the degree-based quality filter
+    * web-graph pipelines run before trusting link structure: each
+    * round drops every node of degree < k (and the edges touching
+    * it), a FIXED `rounds` times. A fixed budget instead of
+    * peel-to-fixpoint makes the iteration engine-exact (the pageRank
+    * argument); each round's survivor graph converges monotonically
+    * toward the true k-core, and the per-round (n_nodes, n_edges)
+    * trajectory is itself the output — so the oracle checks every
+    * round, not just a fixpoint.
+    *
+    * Returns one row per round: (peel_round, n_nodes, n_edges).
+    * Counts are pulled to the driver per round (two Longs — the
+    * bounded-scalar class) so the result is a lineage-free local
+    * relation; the surviving edge set is re-pinned per round and the
+    * previous pin freed (the pageRank loop discipline). Per-round
+    * cost: one degree aggregation + two semi-joins over the
+    * shrinking survivor edges — at any scale, rounds × O(|E|).
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var cur = edges
+      .select(least(col("src"), col("dst")).cast(LongType).as("a"),
+        greatest(col("src"), col("dst")).cast(LongType).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist()
+    cur.count()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    for (round <- 1 to rounds) {
+      val deg = cur.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("v"))
+      val next = cur
+        .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .persist()
+      val nEdges = next.count() // eager fill + the round's edge count
+      val nNodes = next.select(explode(array(col("a"), col("b"))).as("v"))
+        .distinct().count()
+      out += ((round, nNodes, nEdges))
+      cur.unpersist(blocking = false)
+      cur = next
+    }
+    cur.unpersist(blocking = false)
+    out.toSeq.toDF("peel_round", "n_nodes", "n_edges")
+  }
 }

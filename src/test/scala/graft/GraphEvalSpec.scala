@@ -59,6 +59,17 @@ class GraphEvalSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[Long]("n_wedges") === 0L)
   }
 
+  test("kCore: hand-peeled trajectory, pendant chain collapses") {
+    // triangle {1,2,3} + chain 3-4-5: k=2 round 1 peels 5 (deg 1),
+    // round 2 peels 4 (deg dropped to 1), round 3 stable at the
+    // triangle
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = Graph.kCore(edges, k = 2, rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toList
+    assert(got === List((1, 4L, 4L), (2, 3L, 3L), (3, 3L, 3L)))
+  }
+
   test("aucMicro hits the closed-form corners") {
     // perfect separation: all positives score above all negatives
     val perfect = Seq((1L, 0L), (2L, 0L), (10L, 1L), (11L, 1L))
