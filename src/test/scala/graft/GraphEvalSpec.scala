@@ -59,6 +59,25 @@ class GraphEvalSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[Long]("n_wedges") === 0L)
   }
 
+  test("triangleCount matches the brute-force triple scan on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 4) {
+      val n = 12
+      val edges = for {
+        i <- 0 until n; j <- i + 1 until n if rnd.nextInt(3) == 0
+      } yield (i.toLong, j.toLong)
+      val es = edges.toSet
+      val expected = (for {
+        i <- 0 until n; j <- i + 1 until n; k <- j + 1 until n
+        if es((i.toLong, j.toLong)) && es((j.toLong, k.toLong)) &&
+          es((i.toLong, k.toLong))
+      } yield 1).size.toLong
+      val got = Graph.triangleCount(edges.toDF("src", "dst"))
+        .collect()(0).getAs[Long]("n_triangles")
+      assert(got === expected, s"edges: $edges")
+    }
+  }
+
   test("kCore: hand-peeled trajectory, pendant chain collapses") {
     // triangle {1,2,3} + chain 3-4-5: k=2 round 1 peels 5 (deg 1),
     // round 2 peels 4 (deg dropped to 1), round 3 stable at the
