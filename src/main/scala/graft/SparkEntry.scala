@@ -1048,6 +1048,28 @@ object SparkEntry {
       Graph.kCore(edges, k = 3, rounds = 4)
     }),
 
+    // connected components, DISTRIBUTED path forced: the min-label +
+    // pointer-jumping loop runs to convergence, so the output (min id
+    // per component) is engine-exact with NO round budget in the
+    // contract — the oracle is a plain transitive closure. The edge
+    // space scales with the table (4× the event count) and keeps only
+    // every 4th event, so the graph stays subcritical (mean degree
+    // 1/4) at every SF: many small components, the regime where
+    // per-component min labels actually say something. Node ids mix
+    // through Knuth/xxhash multipliers so src ≠ event_id trivially.
+    "q_components" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      // one Long to the driver — the bounded-scalar class (pageRank's
+      // node count); folded into the edge arithmetic as a literal
+      val m = 4L * ev.count()
+      val edges = ev
+        .filter(pmod(col("event_id"), lit(4)) === 0)
+        .select(pmod(col("event_id") * 2654435761L + 1, lit(m)).as("src"),
+          pmod(col("event_id") * 2246822519L + 7, lit(m)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      Graph.connectedComponents(edges)
+    }),
+
     // heavy hitters from a bounded Misra-Gries summary: candidates
     // surface through a ≤capacity-counter mergeable aggregate (never a
     // vocabulary-sized shuffle), then ONLY candidates are re-counted
@@ -1521,6 +1543,25 @@ object SparkEntry {
       Mixer.temperatureMix(Tables.documents(s, dir), "doc_id", "source",
           targetTotal = 150L)
         .select(col("doc_id"), col("source"))),
+
+    // DSIR-style importance weighting (hashed-unigram target/raw
+    // probability ratios, integer micro units): target = the English
+    // subset, raw = the whole corpus. One scan builds both bucket
+    // counts; the 2048-row ratio table broadcasts to the scoring
+    // join. Top 20 by weight — the "select the most target-like
+    // documents" pass.
+    "q_dsir" -> ((s, dir) =>
+      Mixer.dsirWeights(Tables.documents(s, dir), "doc_id", "text",
+          isTarget = col("lang") === "en")
+        .orderBy(col("w_micro").desc, col("doc_id")).limit(20)),
+
+    // weight-proportional systematic sampling (PPS without RNG):
+    // 50 evenly spaced thresholds over the char-weight line laid
+    // along doc_id order; picks and multiplicities are pure floor
+    // arithmetic over PrefixSums offsets — never a global window
+    "q_sample_weighted" -> ((s, dir) =>
+      Mixer.systematicSample(Tables.documents(s, dir), "doc_id",
+        "n_chars", k = 50)),
 
     // span-level duplication: per doc, how many 5-gram positions occur
     // in another doc, and the longest verbatim shared run
@@ -3167,6 +3208,27 @@ object SparkEntry {
 
     "q_kcore" -> kcoreOracleSql(3, 4),
 
+    // transitive closure to fixpoint: min reachable id per node IS
+    // the converged min-label propagation result, so this oracle
+    // needs no unrolled rounds — the recursive CTE's UNION dedup
+    // keeps the frontier a set, and subcritical components keep the
+    // (node, reach) working set Σ|comp|² small at every SF
+    "q_components" ->
+      """WITH RECURSIVE
+        |t AS (SELECT 4 * COUNT(*) AS m FROM events),
+        |e0 AS (
+        |  SELECT (event_id * 2654435761 + 1) % t.m AS src,
+        |    (event_id * 2246822519 + 7) % t.m AS dst
+        |  FROM events, t WHERE event_id % 4 = 0),
+        |e1 AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |und AS (SELECT src AS a, dst AS b FROM e1
+        |        UNION SELECT dst, src FROM e1),
+        |r AS (
+        |  SELECT DISTINCT a AS node, a AS reach FROM und
+        |  UNION
+        |  SELECT r.node, u.b FROM r JOIN und u ON u.a = r.reach)
+        |SELECT node, MIN(reach) AS component FROM r GROUP BY node""".stripMargin,
+
     // three unrolled damped rounds of the same floor-division fixed
     // point; UNION (not ALL) mirrors Spark's union().distinct()
     "q_pagerank" ->
@@ -4304,6 +4366,55 @@ object SparkEntry {
         |FROM documents d JOIN c ON c.source = d.source CROSS JOIN z
         |WHERE ((d.doc_id * 48271) % 1000003) * z.z * c.n
         |      < 1000003 * 150 * c.w""".stripMargin,
+
+    // same md5 bucketing (Spark conv(hex,16,10) ≡ DuckDB CAST('0x…')),
+    // same add-one-smoothed integer ratio, same floor divisions;
+    // HUGEINT mirrors the DECIMAL(38,0) accumulate
+    "q_dsir" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang = 'en' AS t,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(w), 1, 6)) AS BIGINT) % 2048 AS bkt,
+        |    t
+        |  FROM tok),
+        |bc AS (
+        |  SELECT bkt, COUNT(*) AS cr,
+        |    SUM(CASE WHEN t THEN 1 ELSE 0 END) AS ct
+        |  FROM b GROUP BY bkt),
+        |tt AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM bc),
+        |r AS (
+        |  SELECT bkt,
+        |    CAST(ct + 1 AS HUGEINT) * (nr + 2048) * 1000000
+        |      // (CAST(cr + 1 AS HUGEINT) * (nt + 2048)) AS rm
+        |  FROM bc, tt),
+        |d AS (
+        |  SELECT b.doc_id, COUNT(*) AS n_tokens, SUM(r.rm) AS s
+        |  FROM b JOIN r USING (bkt) GROUP BY b.doc_id)
+        |SELECT doc_id, n_tokens, CAST(s // n_tokens AS BIGINT) AS w_micro
+        |FROM d ORDER BY w_micro DESC, doc_id LIMIT 20""".stripMargin,
+
+    // the oracle computes the SAME picks with the naive global
+    // running sum the Spark side deliberately avoids (PrefixSums
+    // two-level offsets) — agreement is exactly the property that
+    // matters: the distributed prefix equals the sequential one
+    "q_sample_weighted" ->
+      """WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        |           FROM documents),
+        |w AS (SELECT GREATEST(SUM(n_chars) // 50, 1) AS step FROM d),
+        |p AS (
+        |  SELECT doc_id, n_chars,
+        |    COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS off
+        |  FROM d)
+        |SELECT doc_id, n_chars, CAST(off AS BIGINT) AS off,
+        |  CAST((off + n_chars) // step - off // step AS BIGINT)
+        |    AS n_picks
+        |FROM p, w
+        |WHERE (off + n_chars) // step > off // step""".stripMargin,
 
     // positional 5-gram spans; shared = span text in >=2 distinct
     // docs; runs via gaps-and-islands (pos - row_number)

@@ -261,4 +261,26 @@ object Graph {
     cur.unpersist(blocking = false)
     out.toSeq.toDF("peel_round", "n_nodes", "n_edges")
   }
+
+  /** Connected components over an edge DataFrame (`src`, `dst`,
+    * LongType): every node labelled with the MINIMUM node id in its
+    * component — the graph-analytics face of the same min-label +
+    * pointer-jumping engine that collapses near-duplicate pair lists
+    * ([[graft.operators.Dedup.clusters]]); this entry point forces
+    * the DISTRIBUTED propagation path (`driverEdgeThreshold = 0`), so
+    * a caller gets the O(log diameter)-round, two-long-shuffle loop
+    * regardless of edge-list size — the shape a 100 TB link graph
+    * needs, where even the pair list is far beyond any driver pull.
+    *
+    * Converged output is deterministic (the min id reachable from
+    * each node), so the result is exactly oracle-able without fixing
+    * a round budget: an engine-independent transitive closure equals
+    * it no matter how many rounds either side took. Convergence is
+    * detected by the strictly-decreasing Σlabel aggregate; the loop
+    * throws rather than return inconsistent labels if `2^25` hops
+    * ever fail to cover a component's diameter.
+    */
+  def connectedComponents(edges: DataFrame): DataFrame =
+    Dedup.clusters(edges, "src", "dst", driverEdgeThreshold = 0L)
+      .select(col("doc_id").as("node"), col("cluster_id").as("component"))
 }

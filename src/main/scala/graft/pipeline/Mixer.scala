@@ -160,4 +160,83 @@ object Mixer {
       .filter(draw * col("_z") * col("_c") < lit(m * targetTotal) * col("_w"))
       .drop("_c", "_w", "_z")
   }
+
+  /** DSIR-style importance weights: score every document by how much
+    * its hashed-unigram feature distribution resembles a TARGET
+    * subset relative to the raw corpus (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling" — the
+    * standard pretraining-data selection pass). Tokens hash into
+    * `buckets` md5 buckets; each bucket's add-one-smoothed
+    * probability ratio p_target/p_raw is held in integer MICRO units
+    * with floor division, and a document's weight is the MEAN ratio
+    * over its tokens — so two engines computing the same integer
+    * arithmetic agree exactly, where the float log-likelihood form
+    * could only ever be tolerance-gated. (The log is monotone in the
+    * ratio per bucket; the mean-of-ratios surrogate keeps the same
+    * "looks like the target" ordering signal while staying
+    * hash-oracle-able.)
+    *
+    * Scale shape: ONE corpus scan builds both bucket-count columns
+    * (target counts ride along as a conditional sum — never a second
+    * pass), the ratio table is `buckets` rows and BROADCASTS to the
+    * per-document scoring join, and both aggs are map-side
+    * combinable. Ratio numerators cross 2^63 once corpus tokens reach
+    * ~1e12× smoothing, so they accumulate in DECIMAL(38,0) — exact to
+    * 1e38, far past any corpus.
+    *
+    * `isTarget` marks the in-domain rows (e.g. a curated source);
+    * output is one `(id, n_tokens, w_micro)` row per document.
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, buckets: Int = 2048): DataFrame = {
+    val tok = docs
+      .select(col(idCol), isTarget.as("_t"),
+        explode(split(col(textCol), " ")).as("_w"))
+      .select(col(idCol), col("_t"),
+        pmod(conv(substring(md5(col("_w")), 1, 6), 16, 10)
+          .cast(LongType), lit(buckets.toLong)).as("_b"))
+    val bc = tok.groupBy(col("_b")).agg(
+      count(lit(1)).as("_cr"),
+      sum(when(col("_t"), 1L).otherwise(0L)).as("_ct"))
+    val tot = bc.agg(sum(col("_cr")).as("_nr"), sum(col("_ct")).as("_nt"))
+    val ratio = broadcast(bc.crossJoin(broadcast(tot))
+      .select(col("_b"),
+        expr(s"CAST(_ct + 1 AS DECIMAL(38,0)) * (_nr + $buckets) * 1000000" +
+          s" div (CAST(_cr + 1 AS DECIMAL(38,0)) * (_nt + $buckets))")
+          .as("_r")))
+    tok.join(ratio, "_b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("_r")).as("_s"))
+      .select(col(idCol), col("n_tokens"),
+        expr("CAST(_s div n_tokens AS BIGINT)").as("w_micro"))
+  }
+
+  /** Weight-proportional SYSTEMATIC sampling: lay every document's
+    * weight end to end along the id order, drop `k` evenly spaced
+    * thresholds (`step = W div k` positions apart), and keep each
+    * document whose weight span covers a threshold — so selection
+    * probability is proportional to weight, heavy rows (span > step)
+    * are kept with certainty (`n_picks` counts their multiplicity,
+    * the usual PPS-systematic convention), and the whole draw is
+    * deterministic integer arithmetic: no RNG, same picks in any
+    * engine. The cumulative positions come from
+    * [[graft.operators.PrefixSums.exclusiveOffsets]] over the
+    * (id, weight) table — a partitioned two-level prefix, never the
+    * single-task global window a naive `SUM OVER (ORDER BY id)`
+    * would plan — so the draw distributes at any corpus size.
+    */
+  def systematicSample(docs: DataFrame, idCol: String, weightCol: String,
+                       k: Int): DataFrame = {
+    val d = docs.select(col(idCol), col(weightCol).cast(LongType).as("_w"))
+    val offs = graft.operators.PrefixSums.exclusiveOffsets(
+      d, idCol, "_w", "off")
+    val step = broadcast(d.agg(
+      greatest(expr(s"sum(_w) div $k"), lit(1L)).as("_step")))
+    d.join(offs, idCol).crossJoin(step)
+      .withColumn("n_picks",
+        expr("(off + _w) div _step - off div _step"))
+      .filter(col("n_picks") > 0)
+      .select(col(idCol), col("_w").as(weightCol), col("off"),
+        col("n_picks").cast(LongType).as("n_picks"))
+  }
 }

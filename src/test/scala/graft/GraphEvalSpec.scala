@@ -34,6 +34,19 @@ class GraphEvalSpec extends AnyFunSuite with SparkSpec {
     assert(ranks2 === ranks)
   }
 
+  test("connectedComponents: chain + pair + isolated-free, min-id labels") {
+    // chain 0-..-9 (diameter 9 exercises pointer jumping past one
+    // round), a disjoint pair, and a self-loop-only node (dropped by
+    // the caller contract: src != dst edges only reach the operator)
+    val edges = ((0L until 9L).map(i => (i, i + 1)) ++ Seq((100L, 200L)))
+      .toDF("src", "dst")
+    val got = Graph.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (0L to 9L).map(_ -> 0L).toMap ++
+      Map(100L -> 100L, 200L -> 100L)
+    assert(got === expected)
+  }
+
   test("triangleCount: hand-counted graph, duplicates/reversals/loops inert") {
     // K4 minus edge {3,4} plus a pendant: triangles {1,2,3}, {1,2,4}
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),

@@ -193,4 +193,40 @@ class MixerSpec extends AnyFunSuite with SparkSpec {
     assert(got === Map("a" -> (1L, 10L), "b" -> (1L, 25L),
       "c" -> (1L, 40L)))
   }
+
+  test("dsirWeights ranks target-vocabulary docs above off-target docs") {
+    import spark.implicits._
+    // target docs share an exclusive vocabulary; the probe doc written
+    // in that vocabulary must outscore the probe written in the raw
+    // backgound vocabulary, whatever the md5 bucket assignment
+    val docs = (
+      (1L to 5L).map(i => (i, "alpha beta gamma delta", true)) ++
+      (6L to 15L).map(i => (i, "foo bar baz qux", false)) ++
+      Seq((90L, "alpha beta alpha gamma", false),
+          (91L, "foo bar foo baz", false))
+    ).toDF("id", "text", "is_t")
+    val w = Mixer.dsirWeights(docs, "id", "text", col("is_t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(w(90L) > w(91L),
+      s"target-like probe must outscore background probe: $w")
+    // every doc is scored, token counts ride along
+    assert(w.size === 17)
+  }
+
+  test("systematicSample: hand-computed picks and multiplicities") {
+    import spark.implicits._
+    // weights 30,5,5,10 along id order: W=50, k=5 -> step=10,
+    // thresholds 10,20,30,40,50. Spans: d1 (0,30] covers 3, d2
+    // (30,35] none, d3 (35,40] covers 40, d4 (40,50] covers 50.
+    val docs = Seq((1L, 30L), (2L, 5L), (3L, 5L), (4L, 10L))
+      .toDF("id", "wt")
+    val got = Mixer.systematicSample(docs, "id", "wt", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(got === Map(1L -> 3L, 3L -> 1L, 4L -> 1L))
+    // uniform weights, k = n: every row picked exactly once
+    val uni = (1L to 8L).map(i => (i, 7L)).toDF("id", "wt")
+    val gotU = Mixer.systematicSample(uni, "id", "wt", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(gotU === (1L to 8L).map(_ -> 1L).toMap)
+  }
 }
