@@ -829,6 +829,43 @@ object SparkEntry {
             .as("cms_within_eps"))
     }),
 
+    // KMV/theta sketch set algebra — the audience-overlap question
+    // HLL cannot answer: per-event-type sketches of the distinct
+    // (user, day) population, then UNION and INTERSECTION estimates
+    // for every type pair from sketch values alone (≤k longs per
+    // cell; the raw key stream never re-scans). The md5-prefix hash
+    // makes every estimate deterministic, so this approximate
+    // operator is fully hash-oracled — the oracle recomputes the
+    // same k-min sets and the same integer estimate arithmetic.
+    "q_theta" -> ((s, dir) => {
+      val k = 256
+      val ud = Tables.events(s, dir).select(col("event_type"),
+        concat_ws(":", col("user_id"),
+          expr("unix_timestamp(ts) div 86400")).as("ukey"))
+      val sk = Sketches.kmvBuild(ud, "ukey", Seq("event_type"), k)
+      val a = sk.select(col("event_type").as("type_a"),
+        col("kmv").as("kmv_a"))
+      val b = sk.select(col("event_type").as("type_b"),
+        col("kmv").as("kmv_b"))
+      // |types|² pair frame — dictionary-sized, never row-scaled
+      a.crossJoin(b).filter(col("type_a") < col("type_b"))
+        .withColumn("theta", least(Sketches.kmvTheta(col("kmv_a"), k),
+          Sketches.kmvTheta(col("kmv_b"), k)))
+        .withColumn("n_union", size(filter(
+          array_union(col("kmv_a"), col("kmv_b")),
+          x => x < col("theta"))))
+        .withColumn("n_inter", size(filter(
+          array_intersect(col("kmv_a"), col("kmv_b")),
+          x => x < col("theta"))))
+        .select(col("type_a"), col("type_b"),
+          Sketches.kmvEstimate("kmv_a", k).as("est_a"),
+          Sketches.kmvEstimate("kmv_b", k).as("est_b"),
+          expr(s"CAST(n_union AS DECIMAL(38,0)) * " +
+            s"${Sketches.KmvDomain} div theta").as("est_union"),
+          expr(s"CAST(n_inter AS DECIMAL(38,0)) * " +
+            s"${Sketches.KmvDomain} div theta").as("est_inter"))
+    }),
+
     // one-pass data profiling: every per-column stat AND every
     // pairwise correlation of three measures from a SINGLE hash
     // aggregation — the moment sums are exact DECIMAL(38,0)→BIGINT
@@ -3031,6 +3068,66 @@ object SparkEntry {
         |  1 AS cms_ge_true, 1 AS cms_within_eps
         |FROM events GROUP BY user_id
         |ORDER BY true_cnt DESC, user_id LIMIT 20""".stripMargin,
+
+    // the oracle rebuilds the same k-min-distinct sets relationally
+    // (row_number over the distinct 60-bit md5 hashes) and applies
+    // the same |S|·D div θ integer estimates; LEFT joins keep pairs
+    // whose sketches share no value (est_inter = 0)
+    "q_theta" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(user_id AS VARCHAR) || ':' ||
+        |    CAST(CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS VARCHAR)
+        |      AS ukey
+        |  FROM events),
+        |hv AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(('0x' || substr(md5(ukey), 1, 15)) AS BIGINT) AS hv
+        |  FROM ud),
+        |rk AS (
+        |  SELECT event_type, hv,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv)
+        |      AS rn
+        |  FROM hv),
+        |sk AS (SELECT event_type, hv FROM rk WHERE rn <= 256),
+        |st AS (
+        |  SELECT event_type, COUNT(*) AS n_sk,
+        |    CASE WHEN COUNT(*) < 256 THEN 1152921504606846976
+        |         ELSE MAX(hv) END AS th
+        |  FROM sk GROUP BY event_type),
+        |pr AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    LEAST(a.th, b.th) AS theta,
+        |    a.n_sk AS na, a.th AS tha, b.n_sk AS nb, b.th AS thb
+        |  FROM st a JOIN st b ON a.event_type < b.event_type),
+        |uni AS (
+        |  SELECT pr.type_a, pr.type_b, COUNT(DISTINCT s.hv) AS n_union
+        |  FROM pr LEFT JOIN sk s
+        |    ON (s.event_type = pr.type_a OR s.event_type = pr.type_b)
+        |    AND s.hv < pr.theta
+        |  GROUP BY pr.type_a, pr.type_b),
+        |inter AS (
+        |  SELECT pr.type_a, pr.type_b, COUNT(sb.hv) AS n_inter
+        |  FROM pr
+        |  LEFT JOIN sk sa
+        |    ON sa.event_type = pr.type_a AND sa.hv < pr.theta
+        |  LEFT JOIN sk sb
+        |    ON sb.event_type = pr.type_b AND sb.hv = sa.hv
+        |  GROUP BY pr.type_a, pr.type_b)
+        |SELECT pr.type_a, pr.type_b,
+        |  CASE WHEN na < 256 THEN na
+        |       ELSE CAST(CAST(255 AS HUGEINT) * 1152921504606846976
+        |                 // tha AS BIGINT) END AS est_a,
+        |  CASE WHEN nb < 256 THEN nb
+        |       ELSE CAST(CAST(255 AS HUGEINT) * 1152921504606846976
+        |                 // thb AS BIGINT) END AS est_b,
+        |  CAST(CAST(n_union AS HUGEINT) * 1152921504606846976
+        |       // theta AS BIGINT) AS est_union,
+        |  CAST(CAST(n_inter AS HUGEINT) * 1152921504606846976
+        |       // theta AS BIGINT) AS est_inter
+        |FROM pr
+        |JOIN uni USING (type_a, type_b)
+        |JOIN inter USING (type_a, type_b)""".stripMargin,
 
     // same single-pass moments (HUGEINT per-row products mirror the
     // Spark side's DECIMAL(38,0)); the correlation expression is the

@@ -108,4 +108,67 @@ object Sketches {
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
+
+  // ---- KMV ("theta") sketches -------------------------------------
+  //
+  // The set-operation member of the sketch-table family: HLL (above)
+  // unions losslessly but cannot intersect; a KMV sketch — the k
+  // smallest distinct hash values of a set — supports union AND
+  // intersection estimates, which is what audience-overlap questions
+  // ("users who did A and B") need at 100 TB. θ = the k-th smallest
+  // value; every kept value is a uniform sample of the key space at
+  // rate θ/D, so |{x ∈ S : x < θ}|·D/θ estimates |S| for any S
+  // assembled from sketch values by set algebra.
+  //
+  // Hashes are the 60-bit md5 prefix (engine-common: Spark
+  // conv(hex,16,10) ≡ DuckDB CAST('0x…')), so the sketch — and every
+  // estimate derived from it — is DETERMINISTIC and exactly
+  // hash-oracle-able, not tolerance-gated. D = 16^15 = 2^60.
+
+  /** 2^60 — the KMV hash domain (15 hex chars of md5). */
+  val KmvDomain: Long = 1152921504606846976L
+
+  private def kmvHash(key: org.apache.spark.sql.Column) =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
+      .cast(org.apache.spark.sql.types.LongType)
+
+  /** Scan once into a per-(dims) KMV sketch table: `kmv` = ascending
+    * array of the cell's k smallest distinct key hashes. Map-side
+    * partials keep ≤k longs per group per task — raw keys never
+    * shuffle ([[graft.functions.KmvAgg]]).
+    */
+  def kmvBuild(df: DataFrame, keyCol: String, dims: Seq[String],
+               k: Int = 256): DataFrame =
+    df.select(dims.map(col) :+ kmvHash(col(keyCol)).as("_hv"): _*)
+      .groupBy(dims.map(col): _*)
+      .agg(graft.functions.KmvAgg.kMinDistinct(k)(col("_hv")).as("kmv"))
+
+  /** Merge sketches down to coarser `dims`: union the value sets,
+    * keep the k smallest — the KMV union, exact w.r.t. a direct build
+    * of the coarser cell (spec-asserted). Cells are ≤k-long arrays,
+    * so the merge shuffles kilobytes per group.
+    */
+  def kmvMerge(sketches: DataFrame, dims: Seq[String],
+               k: Int = 256): DataFrame =
+    sketches.groupBy(dims.map(col): _*)
+      .agg(slice(array_sort(array_distinct(flatten(
+        collect_list(col("kmv"))))), 1, k).as("kmv"))
+
+  /** θ of a sketch array: its k-th smallest value, or D when the cell
+    * holds fewer than k distinct keys (every value kept — the exact
+    * regime; all estimates below collapse to exact counts there).
+    */
+  def kmvTheta(kmv: org.apache.spark.sql.Column, k: Int = 256) =
+    when(size(kmv) < k, lit(KmvDomain)).otherwise(element_at(kmv, k))
+
+  /** Distinct-count estimate from one sketch: |{x < θ}| · D div θ
+    * ((k−1)·D div θ in the full regime). DECIMAL(38,0) numerator —
+    * (k−1)·2^60 crosses 2^63 from k ≥ 9.
+    */
+  def kmvEstimate(kmvCol: String, k: Int = 256) = {
+    val theta = kmvTheta(col(kmvCol), k)
+    when(size(col(kmvCol)) < k, size(col(kmvCol)).cast("long"))
+      .otherwise(expr(s"CAST(${k - 1} AS DECIMAL(38,0)) * $KmvDomain" +
+        s" div element_at($kmvCol, $k)"))
+  }
 }

@@ -73,4 +73,38 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
         col("n_exact").cast("double") * 0.10)
     assert(bad.count() === 0)
   }
+
+  test("KMV: merging fine-grained sketches equals a direct coarse build, " +
+    "independent of partitioning") {
+    val k = 32
+    val fine = Sketches.kmvBuild(events.repartition(7), "user_id",
+      Seq("event_type", "day"), k)
+    val merged = Sketches.kmvMerge(fine, Seq("event_type"), k)
+    val direct = Sketches.kmvBuild(events.repartition(3), "user_id",
+      Seq("event_type"), k)
+    // the k-min-distinct set is a function of the VALUE SET alone —
+    // merge order, grain, and partitioning cannot change it
+    assert(merged.except(direct).count() === 0)
+    assert(direct.except(merged).count() === 0)
+  }
+
+  test("KMV: exact below k, within 15% above k, and set-op estimates " +
+    "bounded by their operands") {
+    // small k forces the estimation regime on real data
+    val k = 64
+    val sk = Sketches.kmvBuild(events, "user_id", Seq("event_type"), k)
+      .withColumn("est", Sketches.kmvEstimate("kmv", k))
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_exact"))
+    val joined = sk.join(exact, "event_type").collect()
+    joined.foreach { r =>
+      val (est, ex) = (r.getAs[Long]("est"), r.getAs[Long]("n_exact"))
+      if (ex < k) assert(est === ex, s"below k must be exact: $r")
+      else assert(math.abs(est - ex) <= ex * 0.15, s"est $est vs $ex")
+    }
+    // a sketch of everything vs per-type: global distinct >= any type's
+    val global = Sketches.kmvBuild(events, "user_id", Seq.empty, k)
+      .select(Sketches.kmvEstimate("kmv", k)).head().getLong(0)
+    joined.foreach(r => assert(global >= r.getAs[Long]("est") / 2))
+  }
 }
