@@ -143,6 +143,49 @@ object SparkEntry {
     base + peels + out + "\nORDER BY peel_round"
   }
 
+  /** Unrolled DuckDB mirror of Similarity.kmeansExact: the same
+    * micro-quantization, the same per-round nearest-centroid argmin
+    * (ties to the lowest centroid id) and truncating-division
+    * centroid update, rounds times — then the same member/mean-dist/
+    * fingerprint summary off the final assignment.
+    */
+  private def kmeansOracleSql(k: Int, rounds: Int): String = {
+    val base =
+      s"""WITH v AS MATERIALIZED (
+         |  SELECT vec_id AS id, generate_subscripts(embedding, 1) AS i,
+         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+         |      AS BIGINT) AS x
+         |  FROM embeddings),
+         |ini AS (SELECT id FROM (
+         |  SELECT DISTINCT id FROM v ORDER BY id LIMIT $k) t0),
+         |c0 AS MATERIALIZED (
+         |  SELECT v.id AS c, i, x FROM v JOIN ini USING (id))""".stripMargin
+    val loops = (1 to rounds).map { r =>
+      s"""d$r AS MATERIALIZED (
+         |  SELECT v.id, c.c, SUM((v.x - c.x) * (v.x - c.x)) AS d
+         |  FROM v JOIN c${r - 1} c USING (i)
+         |  GROUP BY v.id, c.c),
+         |a$r AS MATERIALIZED (
+         |  SELECT id, c, d FROM (
+         |    SELECT id, c, d,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, c) AS rn
+         |    FROM d$r) t$r WHERE rn = 1),
+         |c$r AS MATERIALIZED (
+         |  SELECT a.c, v.i, SUM(v.x) // COUNT(*) AS x
+         |  FROM a$r a JOIN v USING (id) GROUP BY a.c, v.i)""".stripMargin
+    }.mkString(",\n", ",\n", ",\n")
+    base + loops +
+      s"""fp AS (SELECT c AS cluster, CAST(SUM(x) AS BIGINT)
+         |         AS centroid_sum
+         |       FROM c$rounds GROUP BY c)
+         |SELECT a.c AS cluster, COUNT(*) AS n_members,
+         |  CAST(SUM(CAST(a.d AS HUGEINT)) // COUNT(*) AS BIGINT)
+         |    AS mean_dist,
+         |  fp.centroid_sum
+         |FROM a$rounds a JOIN fp ON fp.cluster = a.c
+         |GROUP BY a.c, fp.centroid_sum""".stripMargin
+  }
+
   /** DuckDB mirror of Relevance.bm25Rank over the documents corpus
     * with the df-rank-10/20/30 query terms: identical integer BM25
     * (k1 = 2, b = 3/4 multiplied through by 4·avgdl, rational idf).
@@ -1392,6 +1435,18 @@ object SparkEntry {
         "vec_id", "embedding", queryMaxId = 9, k = 5, nprobe = 6)
       annRecallContract(s, dir, approx, minPermille = 400, flag = "ivf_recall_ok")
     }),
+
+    // INTEGER-EXACT k-means (3 fixed Lloyd rounds, micro-unit
+    // quantized vectors, truncating-division centroid updates, ties
+    // to the lowest centroid id): where ann_ivf's float trainer can
+    // only be recall-contract-gated, this fit is engine-exact — the
+    // oracle unrolls the same three assign/update rounds and must
+    // land on the SAME clusters, member counts, mean distances, and
+    // centroid fingerprints. Same bounded-model scale shape as
+    // ivfTrain: k×dim literals assign, one hash agg updates.
+    "q_kmeans" -> ((s, dir) =>
+      Similarity.kmeansExact(Tables.embeddings(s, dir), "vec_id",
+        "embedding", k = 8, rounds = 3)),
 
     // multi-probe LSH (flip-1-bit buckets): measured recall 50%/68%
     // (sf0.01/sf0.1) vs the 300-permille gate
@@ -3610,6 +3665,8 @@ object SparkEntry {
       """SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_exact_pairs,
         |  1 AS lsh_recall_ok
         |FROM embeddings WHERE vec_id <= 9""".stripMargin,
+
+    "q_kmeans" -> kmeansOracleSql(8, 3),
     "ann_pq" ->
       """SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_exact_pairs,
         |  1 AS pq_recall_ok

@@ -547,4 +547,86 @@ object Similarity {
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
       .withColumn("kept", (col("cluster_id") === col("doc_id")).cast(IntegerType))
   }
+
+  /** INTEGER-EXACT Lloyd's k-means — the engine-exact sibling of
+    * [[ivfTrain]]'s float trainer: embeddings quantize to micro-unit
+    * longs (round(x·10⁶) — identical in any IEEE engine), every
+    * distance is an exact integer Σ(v−c)², centroid updates are
+    * truncating integer divisions of per-dimension sums, ties break
+    * to the lowest centroid id, and the round count is FIXED — so two
+    * engines running the same arithmetic land on the same clusters
+    * and the driver's hash oracle can gate an iterative ML fit
+    * exactly (float k-means could only ever be contract-gated, as
+    * `ann_ivf` is).
+    *
+    * Scale shape (same as ivfTrain): assign = per-row argmin against
+    * k×dim centroid LITERALS baked into the plan; update = ONE hash
+    * aggregation with `dim` per-column sums (map-side partials, no
+    * explode); only the k×dim centroid model reaches the driver each
+    * round — the bounded-model pattern. Per-group distance sums
+    * accumulate in DECIMAL(38,0): Σd crosses 2^63 near 40k members ×
+    * 64 dims at full float range.
+    *
+    * Init = the k lowest-id vectors; empty clusters drop out of the
+    * model (both the update and the oracle lose them identically).
+    * Output: one row per surviving cluster — member count, mean
+    * member distance (micro²-unit, div n), and the updated centroid's
+    * component sum as an exact model fingerprint.
+    */
+  def kmeansExact(embeddings: DataFrame, idCol: String, vecCol: String,
+                  k: Int = 8, rounds: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = embeddings.select(col(idCol).cast(LongType).as("id"),
+        transform(col(vecCol), x =>
+          round(x.cast(DoubleType) * 1000000).cast(LongType)).as("vm"))
+      .persist()
+    base.count() // eager fill: rounds+1 consumers
+    var centroids: Array[(Long, Array[Long])] = base.orderBy(col("id"))
+      .limit(k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    require(centroids.nonEmpty, "kmeansExact: empty input")
+    val dim = centroids.head._2.length
+
+    // argmin as an array_min over (distance, centroid-id) structs —
+    // struct ordering is lexicographic, so ties go to the lowest id
+    def amin = array_min(array(centroids.map { case (cid, c) =>
+      struct(
+        aggregate(zip_with(col("vm"), typedlit(c.toSeq),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+          .as("d"),
+        lit(cid).as("c"))
+    }: _*))
+
+    var assigned: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val am = amin // bake THIS round's centroid literals into the plan
+      assigned = base.select(col("id"), col("vm"),
+        am.getField("d").as("d"), am.getField("c").as("cl"))
+      val dimAggs = (0 until dim).map(i =>
+        sum(element_at(col("vm"), i + 1)).as(s"s$i")) :+
+        count(lit(1)).as("n")
+      centroids = assigned.groupBy(col("cl"))
+        .agg(dimAggs.head, dimAggs.tail: _*)
+        .collect()
+        .map { r =>
+          val n = r.getLong(dim + 1)
+          // truncating division — Spark div / DuckDB // semantics
+          (r.getLong(0), Array.tabulate(dim)(i => r.getLong(i + 1) / n))
+        }
+        .sortBy(_._1)
+    }
+    val fingerprints = centroids
+      .map { case (cid, c) => (cid, c.sum) }.toSeq
+      .toDF("cluster", "centroid_sum")
+    val stats = assigned.groupBy(col("cl").as("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        expr("sum(CAST(d AS DECIMAL(38,0))) div count(1)").as("mean_dist"))
+    val out = stats.join(broadcast(fingerprints), "cluster")
+      .select(col("cluster"), col("n_members"), col("mean_dist"),
+        col("centroid_sum"))
+      .localCheckpoint(true)
+    base.unpersist(blocking = false)
+    out
+  }
 }

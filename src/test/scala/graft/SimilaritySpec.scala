@@ -185,4 +185,36 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       .unionByName(dup), "vec_id", "embedding", 0.999)
     assert(pairs.filter(col("id_b") === col("id_a") + 1000000L).count() === 5)
   }
+
+  test("kmeansExact separates two obvious blobs, hand-checked stats") {
+    import spark.implicits._
+    // blob A near (0,0): ids 0,2,3; blob B near (10,10): ids 1,4,5.
+    // init = ids 0,1 (the two lowest) — one seed per blob, so one
+    // round converges and rounds 2..3 are fixed points.
+    val pts = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(10.0f, 10.0f)),
+      (2L, Array(0.2f, 0.0f)), (3L, Array(0.0f, 0.2f)),
+      (4L, Array(10.2f, 10.0f)), (5L, Array(10.0f, 10.2f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kmeansExact(pts, "vec_id", "embedding",
+        k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // centroids: A=(66666,66666) (200000/3 truncated), B likewise
+    // +10M; member dists: seed (66666²+66666²)=8888710912... compute
+    // exactly: two members at (200000-66666)²+66666² and symmetric.
+    val a = 66666L
+    val dSeed = a * a * 2
+    val dOff = (200000L - a) * (200000L - a) + a * a
+    val mean = (dSeed + 2 * dOff) / 3
+    assert(got === Map(
+      0L -> (3L, mean, 2 * a),
+      1L -> (3L, mean, 2 * (10000000L + a))))
+    // partitioning invariance: the fit is a function of the data set
+    val got7 = Similarity.kmeansExact(pts.repartition(7), "vec_id",
+        "embedding", k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got7 === got)
+  }
 }
