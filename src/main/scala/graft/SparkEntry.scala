@@ -1136,7 +1136,11 @@ object SparkEntry {
     // every 4th event, so the graph stays subcritical (mean degree
     // 1/4) at every SF: many small components, the regime where
     // per-component min labels actually say something. Node ids mix
-    // through Knuth/xxhash multipliers so src ≠ event_id trivially.
+    // through prime multipliers; the id is pmod-bounded to m BEFORE
+    // multiplying, so the product stays under 2^63 for any id
+    // magnitude and for tables to ~2.3e12 rows (sub-1e6 primes —
+    // the sf0.5 sweep caught the unbounded form overflowing on
+    // key-shifted 4e9 ids).
     "q_components" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       // one Long to the driver — the bounded-scalar class (pageRank's
@@ -1144,8 +1148,11 @@ object SparkEntry {
       val m = 4L * ev.count()
       val edges = ev
         .filter(pmod(col("event_id"), lit(4)) === 0)
-        .select(pmod(col("event_id") * 2654435761L + 1, lit(m)).as("src"),
-          pmod(col("event_id") * 2246822519L + 7, lit(m)).as("dst"))
+        .select(
+          pmod(pmod(col("event_id"), lit(m)) * 999983L + 1, lit(m))
+            .as("src"),
+          pmod(pmod(col("event_id"), lit(m)) * 911383L + 7, lit(m))
+            .as("dst"))
         .filter(col("src") =!= col("dst"))
       Graph.connectedComponents(edges)
     }),
@@ -3369,8 +3376,8 @@ object SparkEntry {
       """WITH RECURSIVE
         |t AS (SELECT 4 * COUNT(*) AS m FROM events),
         |e0 AS (
-        |  SELECT (event_id * 2654435761 + 1) % t.m AS src,
-        |    (event_id * 2246822519 + 7) % t.m AS dst
+        |  SELECT ((event_id % t.m) * 999983 + 1) % t.m AS src,
+        |    ((event_id % t.m) * 911383 + 7) % t.m AS dst
         |  FROM events, t WHERE event_id % 4 = 0),
         |e1 AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
         |und AS (SELECT src AS a, dst AS b FROM e1

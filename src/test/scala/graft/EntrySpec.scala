@@ -59,9 +59,12 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
       "q_cms", // 1-row broadcast stream total × the estimate frame
       "q_search_ranked", // 1-row broadcast corpus stats × scored postings
       "q_rrf_fusion", // same lexical corpus-stats shape as q_search_ranked
+      "q_dsir", // 1-row broadcast bucket totals × the ratio table
+      "q_theta", // |event types|² sketch-pair frame (dictionary-sized)
       // PrefixSums.exclusiveOffsets: broadcast non-equi self-join of
       // the super-bucket totals (quadratic only in |buckets|/1024)
-      "mix_budget", "pack_sequences", "q_auc")
+      "mix_budget", "pack_sequences", "q_auc",
+      "q_sample_weighted") // PrefixSums + 1-row broadcast step
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
