@@ -1956,6 +1956,38 @@ object SparkEntry {
         .select(col("doc_id"), col("term_a"), col("term_b"))
     }),
 
+    // positional PHRASE search — the retrieval family's exact-match
+    // member (boolean q_search → ranked q_search_ranked → fused
+    // q_rrf_fusion → phrase): adjacent-position intersection of two
+    // posting lists. The phrase pick (the corpus's rank-5 bigram,
+    // deterministic tie-break) is a TakeOrdered(5) + bounded driver
+    // pull; the positional postings are TERM-FILTERED before the
+    // (doc, pos) equi-join — two narrow scans and one
+    // selectivity-bounded join, never a positional self-join of the
+    // whole corpus.
+    "q_phrase" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bi = docs.select(split(col("text"), " ").as("w"))
+        .select(explode(expr(
+          "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+            " (a, b) -> struct(a, b))")).as("p"))
+        .select(col("p.a").as("wa"), col("p.b").as("wb"))
+        .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("n"))
+      val pick = bi.orderBy(col("n").desc, col("wa"), col("wb"))
+        .limit(5).collect().last
+      val (wa, wb) = (pick.getString(0), pick.getString(1))
+      val tok = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val pa = tok.filter(col("w") === wa)
+        .select(col("doc_id"), col("pos"))
+      val pb = tok.filter(col("w") === wb)
+        .select(col("doc_id"), (col("pos") - 1).as("pos"))
+      pa.join(pb, Seq("doc_id", "pos"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"),
+          (min(col("pos")) + 1).cast(LongType).as("first_pos"))
+    }),
+
     // RANKED retrieval over the same inverted index: real BM25 shape
     // (saturating tf, b=3/4 length normalization, RSJ-monotone idf)
     // in pure integer arithmetic so both engines score identically —
@@ -4312,6 +4344,27 @@ object SparkEntry {
         |    AS BIGINT) AS rank,
         |  score_nano, n_hit_terms
         |FROM lex""".stripMargin),
+
+    // same rank-5 bigram pick (count desc, then lexicographic), same
+    // 1-based positions, same adjacent-position intersection
+    "q_phrase" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s0 AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(w) - 1)) AS pos, w
+        |  FROM d WHERE len(w) >= 2),
+        |bi AS (SELECT w[pos] AS wa, w[pos + 1] AS wb FROM s0),
+        |pick AS (
+        |  SELECT wa, wb FROM (
+        |    SELECT wa, wb, COUNT(*) AS n FROM bi GROUP BY wa, wb) t
+        |  ORDER BY n DESC, wa, wb LIMIT 1 OFFSET 4),
+        |hits AS (
+        |  SELECT s.doc_id, s.pos
+        |  FROM s0 s, pick p
+        |  WHERE s.w[s.pos] = p.wa AND s.w[s.pos + 1] = p.wb)
+        |SELECT doc_id, COUNT(*) AS n_hits,
+        |  CAST(MIN(pos) AS BIGINT) AS first_pos
+        |FROM hits GROUP BY doc_id""".stripMargin,
 
     "q_rrf_fusion" -> (bm25LexCtes +
       """,
