@@ -585,7 +585,11 @@ object Similarity {
     var centroids: Array[(Long, Array[Long])] = base.orderBy(col("id"))
       .limit(k).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-    require(centroids.nonEmpty, "kmeansExact: empty input")
+    if (centroids.isEmpty) { // empty corpus → empty fit, never a throw
+      base.unpersist(blocking = false)
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("cluster", "n_members", "mean_dist", "centroid_sum")
+    }
     val dim = centroids.head._2.length
 
     // argmin as an array_min over (distance, centroid-id) structs —
@@ -598,35 +602,36 @@ object Similarity {
         lit(cid).as("c"))
     }: _*))
 
-    var assigned: DataFrame = null
+    // one agg per round carries the per-dim sums AND the member
+    // count/Σd stats, so the final summary is already on the driver
+    // when the loop ends — the output is a k-row LOCAL relation, no
+    // stats job, no fingerprint join, no checkpoint
+    var stats: Array[(Long, Long, Long)] = null // (cluster, n, meanDist)
     for (_ <- 1 to rounds) {
       val am = amin // bake THIS round's centroid literals into the plan
-      assigned = base.select(col("id"), col("vm"),
+      val assigned = base.select(col("id"), col("vm"),
         am.getField("d").as("d"), am.getField("c").as("cl"))
-      val dimAggs = (0 until dim).map(i =>
-        sum(element_at(col("vm"), i + 1)).as(s"s$i")) :+
-        count(lit(1)).as("n")
-      centroids = assigned.groupBy(col("cl"))
-        .agg(dimAggs.head, dimAggs.tail: _*)
-        .collect()
-        .map { r =>
-          val n = r.getLong(dim + 1)
-          // truncating division — Spark div / DuckDB // semantics
-          (r.getLong(0), Array.tabulate(dim)(i => r.getLong(i + 1) / n))
-        }
-        .sortBy(_._1)
+      val aggs = (0 until dim).map(i =>
+        sum(element_at(col("vm"), i + 1)).as(s"s$i")) ++ Seq(
+        count(lit(1)).as("n"),
+        sum(col("d").cast(DecimalType(38, 0))).as("sd"))
+      val rows = assigned.groupBy(col("cl"))
+        .agg(aggs.head, aggs.tail: _*).collect()
+      centroids = rows.map { r =>
+        val n = r.getLong(dim + 1)
+        // truncating division — Spark div / DuckDB // semantics
+        (r.getLong(0), Array.tabulate(dim)(i => r.getLong(i + 1) / n))
+      }.sortBy(_._1)
+      stats = rows.map { r =>
+        val n = r.getLong(dim + 1)
+        (r.getLong(0), n, r.getDecimal(dim + 2).toBigInteger
+          .divide(java.math.BigInteger.valueOf(n)).longValueExact)
+      }
     }
-    val fingerprints = centroids
-      .map { case (cid, c) => (cid, c.sum) }.toSeq
-      .toDF("cluster", "centroid_sum")
-    val stats = assigned.groupBy(col("cl").as("cluster"))
-      .agg(count(lit(1)).as("n_members"),
-        expr("sum(CAST(d AS DECIMAL(38,0))) div count(1)").as("mean_dist"))
-    val out = stats.join(broadcast(fingerprints), "cluster")
-      .select(col("cluster"), col("n_members"), col("mean_dist"),
-        col("centroid_sum"))
-      .localCheckpoint(true)
     base.unpersist(blocking = false)
-    out
+    centroids.map { case (cid, c) =>
+      val st = stats.find(_._1 == cid).get
+      (cid, st._2, st._3, c.sum)
+    }.toSeq.toDF("cluster", "n_members", "mean_dist", "centroid_sum")
   }
 }

@@ -22,6 +22,20 @@ class EmptyInputSpec extends AnyFunSuite with SparkSpec {
       .count() === 0)
   }
 
+  test("late-round-8 operators handle empty inputs") {
+    assert(Similarity.kmeansExact(noEmb, "vec_id", "embedding",
+      k = 4, rounds = 2).count() === 0)
+    assert(graft.operators.Graph.connectedComponents(
+      noEmb.select(col("vec_id").as("src"), col("vec_id").as("dst")))
+      .count() === 0)
+    assert(graft.pipeline.Mixer.dsirWeights(noDocs, "doc_id", "text",
+      col("lang") === "en").count() === 0)
+    assert(graft.pipeline.Mixer.systematicSample(noDocs, "doc_id",
+      "n_chars", k = 5).count() === 0)
+    assert(graft.operators.Sketches.kmvBuild(noDocs, "text",
+      Seq("source")).count() === 0)
+  }
+
   test("semantic dedup of an empty embedding set is empty") {
     val model = Similarity.ivfTrain(Tables.embeddings(spark, sf),
       "vec_id", "embedding", nlist = 4, iters = 1)
