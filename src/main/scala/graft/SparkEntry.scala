@@ -1230,6 +1230,32 @@ object SparkEntry {
             when(col("t3").isNotNull, 1).otherwise(0)).as("stage"))
     }),
 
+    // first-order Markov transition matrix over per-user event
+    // streams: LEAD inside the per-user window (narrow, the q_lag
+    // collation — truncated second + event_id total order), then a
+    // |types|²-row transition count frame with integer permille
+    // probabilities — the behavioral-model estimator run before any
+    // sequence featurization. Nothing corpus-global: the window is
+    // user-partitioned, the normalizing totals broadcast.
+    "q_markov" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_sec"), col("event_id"))
+      val tr = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("ts_sec"), col("event_id"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tr.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("n_from"))
+      tr.join(broadcast(tot), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          expr("n * 1000 div n_from").as("p_pml"))
+    }),
+
     "q_lag" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       // order by the truncated second + event_id (same collation as
@@ -3535,6 +3561,27 @@ object SparkEntry {
         |LEFT JOIN s1 ON s1.user_id = u.user_id
         |LEFT JOIN s2 ON s2.user_id = u.user_id
         |LEFT JOIN s3 ON s3.user_id = u.user_id""".stripMargin,
+
+    // same per-user (ts_sec, event_id) collation, same LEAD, same
+    // integer permille normalization
+    "q_markov" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, event_id
+        |  FROM events),
+        |t AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts_sec, event_id)
+        |      AS to_type
+        |  FROM e),
+        |tr AS (SELECT from_type, to_type, COUNT(*) AS n FROM t
+        |       WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+        |        FROM tr GROUP BY 1)
+        |SELECT tr.from_type, tr.to_type, tr.n,
+        |  CAST(tr.n * 1000 // tot.n_from AS BIGINT) AS p_pml
+        |FROM tr JOIN tot USING (from_type)""".stripMargin,
 
     "q_lag" ->
       """WITH t AS (

@@ -31,6 +31,19 @@ object AggPropSpec extends Properties("AggKernels") {
       agg.finish(merged) == reference(xs, k)
     }
 
+  property("KmvAgg == distinct.sorted.take(k) under any split + " +
+      "merge tree (duplicates never occupy slots)") =
+    forAll(rows, Gen.choose(1, 7), Gen.choose(1, 5)) { (xs, k, nSplits) =>
+      val agg = graft.functions.KmvAgg(k)
+      // duplicate-heavy value stream: reuse scores (range -50..50) so
+      // collisions are common — the dedup property under test
+      val vals = xs.map(_._1)
+      val partials = vals.zipWithIndex.groupBy(_._2 % nSplits).values
+        .map(part => part.map(_._1).foldLeft(agg.zero)(agg.reduce))
+      val merged = partials.foldLeft(agg.zero)(agg.merge)
+      agg.finish(merged) == vals.distinct.sorted.take(k)
+    }
+
   private val skewedStream: Gen[List[String]] = for {
     nHeavy <- Gen.choose(0, 3)
     reps <- Gen.listOfN(nHeavy, Gen.choose(20, 60))
