@@ -1256,6 +1256,29 @@ object SparkEntry {
           expr("n * 1000 div n_from").as("p_pml"))
     }),
 
+    // Pareto frontier (2-D skyline: cheapest price × largest size,
+    // the classic dominance filter) via a distributed SWEEP — group
+    // to per-price maxima, then PrefixSums.exclusivePrefixMax gives
+    // each price the best size among all strictly-cheaper parts in
+    // the two-level partitioned shape; a point survives iff it tops
+    // its own price group AND beats every cheaper group. The naive
+    // relational form is an O(n²) NOT-EXISTS domination join; the
+    // sweep is n log n and never plans a global window or a cross
+    // product — the shape that survives a 100 TB catalog.
+    "q_pareto" -> ((s, dir) => {
+      val p = Tables.part(s, dir).select(col("p_partkey"),
+        (dec(col("p_retailprice"), 12, 2) * 100).cast(LongType)
+          .as("cents"),
+        col("p_size").cast(LongType).as("p_size"))
+      val g = p.groupBy(col("cents")).agg(max(col("p_size")).as("ymax"))
+      val m = operators.PrefixSums.exclusivePrefixMax(
+        g, "cents", "ymax", "mlt")
+      p.join(g, "cents").join(m, "cents")
+        .filter(col("p_size") === col("ymax") &&
+          (col("mlt").isNull || col("p_size") > col("mlt")))
+        .select(col("p_partkey"), col("cents"), col("p_size"))
+    }),
+
     "q_lag" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       // order by the truncated second + event_id (same collation as
@@ -3561,6 +3584,29 @@ object SparkEntry {
         |LEFT JOIN s1 ON s1.user_id = u.user_id
         |LEFT JOIN s2 ON s2.user_id = u.user_id
         |LEFT JOIN s3 ON s3.user_id = u.user_id""".stripMargin,
+
+    // the oracle's prefix max is the plain global window the Spark
+    // side deliberately avoids — agreement shows the two-level sweep
+    // equals the sequential one; survivor semantics: top of own
+    // price group, strictly above every cheaper group (ties at the
+    // same price-size corner all survive — neither dominates)
+    "q_pareto" ->
+      """WITH p AS (
+        |  SELECT p_partkey,
+        |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    CAST(p_size AS BIGINT) AS p_size
+        |  FROM part),
+        |g AS (SELECT cents, MAX(p_size) AS ymax FROM p GROUP BY cents),
+        |m AS (
+        |  SELECT cents, ymax,
+        |    MAX(ymax) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mlt
+        |  FROM g)
+        |SELECT a.p_partkey, a.cents, a.p_size
+        |FROM p a JOIN m ON m.cents = a.cents
+        |WHERE a.p_size = m.ymax
+        |  AND (m.mlt IS NULL OR a.p_size > m.mlt)""".stripMargin,
 
     // same per-user (ts_sec, event_id) collation, same LEAD, same
     // integer permille normalization

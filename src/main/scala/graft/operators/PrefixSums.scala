@@ -99,4 +99,44 @@ object PrefixSums {
     within.join(broadcast(soff), "_sb")
       .select(col("_k").as(keyCol), (col("_w") + col("_soff")).as(offCol))
   }
+
+  /** `totals(keyCol, valCol)` → `(keyCol, outCol)`: per key, the MAX
+    * of `valCol` over all STRICTLY-smaller keys, null when there are
+    * none — the sweep-line primitive behind Pareto/skyline filters
+    * and staircase queries, in the same two-level shape as
+    * [[exclusiveOffsets]]: range-derived super-buckets, a PARTITIONED
+    * within-bucket window, and a broadcast non-equi prefix over the
+    * ~|keys|/1024 bucket maxima — never a single-task global window.
+    * Keys must be integral and DISTINCT (aggregate per key first);
+    * values integral. Unlike the sum, max is idempotent, so the
+    * bucket-prefix combine is a plain `greatest` (which skips nulls —
+    * the first key overall stays null).
+    */
+  def exclusivePrefixMax(totals: DataFrame, keyCol: String,
+                         valCol: String, outCol: String): DataFrame = {
+    val k = col(keyCol)
+    val dec = DecimalType(38, 0)
+    val stats = totals.agg(min(k.cast(dec)).as("_kmin"),
+      max(k.cast(dec)).as("_kmax"), count(lit(1)).as("_nk"))
+    val nb = greatest(lit(1L), ceil(col("_nk") / 1024.0).cast(LongType))
+    val kk = col("_k")
+    val wd = greatest(lit(1).cast(dec),
+      floor((col("_kmax") - col("_kmin")) / nb).cast(dec))
+    val sb = floor((kk.cast(dec) - col("_kmin")) / wd).cast(LongType)
+    val t = totals.select(k.as("_k"), col(valCol).as("_v"))
+      .crossJoin(broadcast(stats))
+      .select(col("_k"), col("_v"), sb.as("_sb"))
+    val w1 = Window.partitionBy(col("_sb")).orderBy(col("_k").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = t.withColumn("_w", max(col("_v")).over(w1))
+    val st = t.groupBy(col("_sb")).agg(max(col("_v")).as("_sm"))
+    val soff = st.alias("x")
+      .join(broadcast(st.select(col("_sb"), col("_sm")).alias("y")),
+        col("y._sb") < col("x._sb"), "left")
+      .groupBy(col("x._sb").as("_sb"))
+      .agg(max(col("y._sm")).as("_soff"))
+    within.join(broadcast(soff), "_sb")
+      .select(col("_k").as(keyCol),
+        greatest(col("_w"), col("_soff")).as(outCol))
+  }
 }

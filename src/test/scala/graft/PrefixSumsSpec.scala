@@ -28,6 +28,24 @@ class PrefixSumsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("exclusivePrefixMax matches the naive reference, null on the " +
+      "first key, across super-bucket boundaries") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xca5e)
+    val rows = Seq.tabulate(500)(_ =>
+      (rnd.nextLong() % 10000L, rnd.nextLong() % 1000L))
+      .distinctBy(_._1)
+    val df = rows.toDF("k", "v")
+    val expected = rows.map { case (k, _) =>
+      val prior = rows.collect { case (k2, v2) if k2 < k => v2 }
+      k -> (if (prior.isEmpty) None else Some(prior.max))
+    }.toMap
+    val got = PrefixSums.exclusivePrefixMax(df, "k", "v", "m")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got === expected)
+  }
+
   test("exclusiveOffsets handles fractional keys") {
     import spark.implicits._
     val rows = Seq((0.5, 10L), (1.5, 20L), (2048.25, 30L), (-3000.75, 40L))
