@@ -64,7 +64,8 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
       // PrefixSums.exclusiveOffsets: broadcast non-equi self-join of
       // the super-bucket totals (quadratic only in |buckets|/1024)
       "mix_budget", "pack_sequences", "q_auc",
-      "q_sample_weighted") // PrefixSums + 1-row broadcast step
+      "q_sample_weighted", // PrefixSums + 1-row broadcast step
+      "q_pareto") // PrefixSums prefix-max bucket combine
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
