@@ -909,6 +909,29 @@ object SparkEntry {
             s"${Sketches.KmvDomain} div theta").as("est_inter"))
     }),
 
+    // the KMV MERGE path through the gate (q_sketch_table's rollup
+    // story for the theta family): per-(type, day) sketches built in
+    // one scan, merged to per-type cells from sketch VALUES alone —
+    // kilobytes per group, the raw keys never re-scan — then the
+    // distinct estimate off the merged sketch. KMV union is exact
+    // w.r.t. a direct coarse build (spec-asserted), so the oracle
+    // can rebuild per-type k-min sets directly and the merge path
+    // must land on the same integers.
+    "q_kmv_rollup" -> ((s, dir) => {
+      val k = 256
+      val ud = Tables.events(s, dir).select(col("event_type"),
+        expr("unix_timestamp(ts) div 86400").as("day"),
+        concat_ws(":", col("user_id"),
+          expr("unix_timestamp(ts) div 86400")).as("ukey"))
+      val daily = Sketches.kmvBuild(ud, "ukey",
+        Seq("event_type", "day"), k)
+      Sketches.kmvMerge(daily, Seq("event_type"), k)
+        .select(col("event_type"),
+          size(col("kmv")).cast(LongType).as("n_sketch"),
+          Sketches.kmvTheta(col("kmv"), k).as("theta"),
+          Sketches.kmvEstimate("kmv", k).as("est_distinct"))
+    }),
+
     // one-pass data profiling: every per-column stat AND every
     // pairwise correlation of three measures from a SINGLE hash
     // aggregation — the moment sums are exact DECIMAL(38,0)→BIGINT
@@ -3271,6 +3294,37 @@ object SparkEntry {
         |FROM pr
         |JOIN uni USING (type_a, type_b)
         |JOIN inter USING (type_a, type_b)""".stripMargin,
+
+    // the oracle skips the merge and rebuilds each type's k-min set
+    // directly — KMV union exactness is precisely what's under test
+    "q_kmv_rollup" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(user_id AS VARCHAR) || ':' ||
+        |    CAST(CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS VARCHAR)
+        |      AS ukey
+        |  FROM events),
+        |hv AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(('0x' || substr(md5(ukey), 1, 15)) AS BIGINT) AS hv
+        |  FROM ud),
+        |rk AS (
+        |  SELECT event_type, hv,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv)
+        |      AS rn
+        |  FROM hv),
+        |sk AS (SELECT event_type, hv FROM rk WHERE rn <= 256),
+        |st AS (
+        |  SELECT event_type, COUNT(*) AS n_sk,
+        |    CASE WHEN COUNT(*) < 256 THEN 1152921504606846976
+        |         ELSE MAX(hv) END AS th
+        |  FROM sk GROUP BY event_type)
+        |SELECT event_type, CAST(n_sk AS BIGINT) AS n_sketch,
+        |  CAST(th AS BIGINT) AS theta,
+        |  CASE WHEN n_sk < 256 THEN CAST(n_sk AS BIGINT)
+        |       ELSE CAST(CAST(255 AS HUGEINT) * 1152921504606846976
+        |                 // th AS BIGINT) END AS est_distinct
+        |FROM st""".stripMargin,
 
     // same single-pass moments (HUGEINT per-row products mirror the
     // Spark side's DECIMAL(38,0)); the correlation expression is the
