@@ -80,6 +80,25 @@ class PrefixSumsSpec extends AnyFunSuite with SparkSpec {
     assert(gotS === sparse.sortBy(-_._1).map(_._1).zip(suffix).toMap)
   }
 
+  test("exclusivePrefixMax stays correct at the sparse-key extreme " +
+      "and on negative values") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xfade)
+    // keys ~1e6 apart (one bucket per key under a fixed width) and
+    // strictly-negative values (greatest-with-null still correct)
+    val sparse = Seq.tabulate(2000)(i =>
+      (i.toLong * 1000000L - 777000000L, -rnd.nextInt(1000).toLong - 1L))
+    val got = PrefixSums.exclusivePrefixMax(sparse.toDF("k", "v"),
+        "k", "v", "m")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val sorted = sparse.sortBy(_._1)
+    val expected = sorted.zipWithIndex.map { case ((k, _), i) =>
+      k -> (if (i == 0) None else Some(sorted.take(i).map(_._2).max))
+    }.toMap
+    assert(got === expected)
+  }
+
   test("exclusiveOffsets plans no single-partition global window") {
     import spark.implicits._
     val df = Seq.tabulate(100)(i => (i.toLong * 37L, 1L)).toDF("k", "t")
