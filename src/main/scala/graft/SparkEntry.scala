@@ -1180,6 +1180,28 @@ object SparkEntry {
       Graph.connectedComponents(edges)
     }),
 
+    // INCREMENTAL component admission (the dedup_minhash_inc shape
+    // for graphs): the event_id%4==0 edges form the converged base
+    // labeling, the %4==2 edges arrive as the daily batch —
+    // extendComponents merges via the batch-bounded LABEL graph and
+    // never re-reads base edges. The oracle is simply the full
+    // transitive closure of the UNION — incremental must equal
+    // rebuild, which is exactly the property worth gating.
+    "q_components_inc" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val m = 4L * ev.count()
+      def edgesFor(r: Int) = ev
+        .filter(pmod(col("event_id"), lit(4)) === r)
+        .select(
+          pmod(pmod(col("event_id"), lit(m)) * 999983L + 1, lit(m))
+            .as("src"),
+          pmod(pmod(col("event_id"), lit(m)) * 911383L + 7, lit(m))
+            .as("dst"))
+        .filter(col("src") =!= col("dst"))
+      Graph.extendComponents(
+        Graph.connectedComponents(edgesFor(0)), edgesFor(2))
+    }),
+
     // heavy hitters from a bounded Misra-Gries summary: candidates
     // surface through a ≤capacity-counter mergeable aggregate (never a
     // vocabulary-sized shuffle), then ONLY candidates are re-counted
@@ -3514,6 +3536,24 @@ object SparkEntry {
         |  SELECT ((event_id % t.m) * 999983 + 1) % t.m AS src,
         |    ((event_id % t.m) * 911383 + 7) % t.m AS dst
         |  FROM events, t WHERE event_id % 4 = 0),
+        |e1 AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |und AS (SELECT src AS a, dst AS b FROM e1
+        |        UNION SELECT dst, src FROM e1),
+        |r AS (
+        |  SELECT DISTINCT a AS node, a AS reach FROM und
+        |  UNION
+        |  SELECT r.node, u.b FROM r JOIN und u ON u.a = r.reach)
+        |SELECT node, MIN(reach) AS component FROM r GROUP BY node""".stripMargin,
+
+    // incremental == rebuild: the oracle closes over the UNION of
+    // base (%4=0) and batch (%4=2) edge sets in one pass
+    "q_components_inc" ->
+      """WITH RECURSIVE
+        |t AS (SELECT 4 * COUNT(*) AS m FROM events),
+        |e0 AS (
+        |  SELECT ((event_id % t.m) * 999983 + 1) % t.m AS src,
+        |    ((event_id % t.m) * 911383 + 7) % t.m AS dst
+        |  FROM events, t WHERE event_id % 4 IN (0, 2)),
         |e1 AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
         |und AS (SELECT src AS a, dst AS b FROM e1
         |        UNION SELECT dst, src FROM e1),

@@ -283,4 +283,58 @@ object Graph {
   def connectedComponents(edges: DataFrame): DataFrame =
     Dedup.clusters(edges, "src", "dst", driverEdgeThreshold = 0L)
       .select(col("doc_id").as("node"), col("cluster_id").as("component"))
+
+  /** INCREMENTALLY fold a batch of new edges into a converged
+    * [[connectedComponents]] labeling — the daily-admission shape
+    * (dedup_minhash_inc's analog for graphs): cost tracks the BATCH,
+    * the old graph's edges are never re-read.
+    *
+    * Correctness: with converged min-id labels, merging components
+    * is itself a component problem on the LABEL graph — each new
+    * edge (u,v) contributes the pair (label(u), label(v)), with a
+    * previously-unseen endpoint standing in for itself. Min-label CC
+    * over those pairs (bounded by the batch size, reusing
+    * [[graft.operators.Dedup.clusters]] with its own driver fast
+    * path / distributed escalation) yields a remap old-label →
+    * merged-min; the result is the old labeling remapped plus the
+    * batch's new nodes — and EQUALS a full rebuild of G ∪ batch
+    * (spec-asserted on seeded random graphs), because the min id of
+    * a merged class is the min over its member components' min ids.
+    *
+    * Scale shape: two broadcast-sized joins against the remap table
+    * (≤ 2·|batch| labels) over the label table, one anti-join to
+    * find new nodes; no iteration over old-graph data at all.
+    */
+  def extendComponents(labels: DataFrame, newEdges: DataFrame): DataFrame = {
+    val e = newEdges
+      .select(col("src").cast(LongType), col("dst").cast(LongType))
+      .filter(col("src") =!= col("dst"))
+      .persist()
+    e.count() // eager: endpoint labeling + new-node sweep both read it
+    val l = labels.select(col("node"), col("component"))
+    val pairs = e
+      .join(l.select(col("node").as("src"), col("component").as("ca")),
+        Seq("src"), "left")
+      .join(l.select(col("node").as("dst"), col("component").as("cb")),
+        Seq("dst"), "left")
+      .select(coalesce(col("ca"), col("src")).as("la"),
+        coalesce(col("cb"), col("dst")).as("lb"))
+      // same-component pairs merge nothing; dedup shrinks the label
+      // graph to <= |batch| distinct pairs before clustering
+      .filter(col("la") =!= col("lb")).distinct()
+    val remap = Dedup.clusters(pairs, "la", "lb")
+      .select(col("doc_id").as("old_label"), col("cluster_id").as("merged"))
+    val newNodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(l, Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("component"))
+    val out = l.unionByName(newNodes)
+      .join(remap.withColumnRenamed("old_label", "component"),
+        Seq("component"), "left")
+      .select(col("node"),
+        coalesce(col("merged"), col("component")).as("component"))
+      .localCheckpoint(true)
+    e.unpersist(blocking = false)
+    out
+  }
 }

@@ -47,6 +47,27 @@ class GraphEvalSpec extends AnyFunSuite with SparkSpec {
     assert(got === expected)
   }
 
+  test("extendComponents == full rebuild on seeded random graphs, " +
+    "including brand-new nodes and cross-component merges") {
+    for (seed <- Seq(3, 11, 99)) {
+      val rnd = new scala.util.Random(seed)
+      // base on nodes 0..59; batch reaches into 60..89 so it links
+      // existing components AND introduces unseen nodes
+      val base = Seq.fill(50)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter(t => t._1 != t._2)
+      val batch = Seq.fill(25)((rnd.nextInt(90).toLong, rnd.nextInt(90).toLong))
+        .filter(t => t._1 != t._2)
+      val incremental = Graph.extendComponents(
+          Graph.connectedComponents(base.toDF("src", "dst")),
+          batch.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val rebuilt = Graph.connectedComponents(
+          (base ++ batch).toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(incremental === rebuilt, s"seed $seed")
+    }
+  }
+
   test("triangleCount: hand-counted graph, duplicates/reversals/loops inert") {
     // K4 minus edge {3,4} plus a pendant: triangles {1,2,3}, {1,2,4}
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
