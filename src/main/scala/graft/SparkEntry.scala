@@ -1301,6 +1301,52 @@ object SparkEntry {
           expr("n * 1000 div n_from").as("p_pml"))
     }),
 
+    // corpus-wide percent-rank normalization WITHOUT a global
+    // window: rank(x) = Σ counts of strictly-smaller values, i.e.
+    // PrefixSums.exclusiveOffsets over the per-value count table
+    // (the q_auc machinery as a user-facing feature transform) —
+    // a plain percent_rank() would plan the whole corpus into ONE
+    // window task. Emitted as exact integer permille of n-1
+    // (percent_rank's denominator), ties sharing a rank.
+    "q_percent_rank" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(
+        (dec(col("value"), 10, 2) * 100).cast(LongType).as("cents"))
+      val counts = e.groupBy(col("cents")).agg(count(lit(1)).as("n"))
+      val offs = operators.PrefixSums.exclusiveOffsets(
+        counts, "cents", "n", "n_lt")
+      val tot = e.agg(count(lit(1)).as("n_total"))
+      counts.join(offs, "cents").crossJoin(broadcast(tot))
+        .select(col("cents"), col("n"),
+          expr("n_lt * 1000 div greatest(n_total - 1, 1)").as("pr_pml"))
+    }),
+
+    // bigram language-model fluency score, integer-exact: per doc,
+    // the MEAN conditional probability P(w2|w1) over its adjacent
+    // word pairs in micro units (corpus-estimated counts, floor
+    // division) — the n-gram-LM quality signal (high = made of
+    // common continuations, low = improbable word sequences) beside
+    // text_oov's novelty and q_collocations' corpus-level lift. One
+    // corpus scan builds both count tables; the bigram table joins
+    // on (w1, w2), the unigram table broadcasts.
+    "q_lm_score" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), explode(expr(
+          "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+            " (a, b) -> struct(a, b))")).as("p"))
+        .select(col("doc_id"), col("p.a").as("w1"), col("p.b").as("w2"))
+      val bg = pairs.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n12"))
+      val ug = pairs.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+      pairs
+        .join(bg, Seq("w1", "w2"))
+        .join(broadcast(ug), Seq("w1"))
+        .withColumn("p_micro", expr("n12 * 1000000 div n1"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(p_micro) div count(1)").as("lm_micro"))
+    }),
+
     // Pareto frontier (2-D skyline: cheapest price × largest size,
     // the classic dominance filter) via a distributed SWEEP — group
     // to per-price maxima, then PrefixSums.exclusivePrefixMax gives
@@ -3678,6 +3724,44 @@ object SparkEntry {
         |LEFT JOIN s1 ON s1.user_id = u.user_id
         |LEFT JOIN s2 ON s2.user_id = u.user_id
         |LEFT JOIN s3 ON s3.user_id = u.user_id""".stripMargin,
+
+    // the oracle's rank is the plain global window sum the Spark
+    // side deliberately avoids
+    "q_percent_rank" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT)
+        |    AS cents
+        |  FROM events),
+        |c AS (SELECT cents, COUNT(*) AS n FROM e GROUP BY cents),
+        |t AS (SELECT COUNT(*) AS n_total FROM e),
+        |o AS (
+        |  SELECT cents, n,
+        |    COALESCE(SUM(n) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_lt
+        |  FROM c)
+        |SELECT cents, n,
+        |  CAST(n_lt * 1000 // GREATEST(n_total - 1, 1) AS BIGINT)
+        |    AS pr_pml
+        |FROM o, t""".stripMargin,
+
+    // same corpus-estimated bigram/unigram counts, same micro-unit
+    // floor-division conditional probabilities, same per-doc mean
+    "q_lm_score" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s0 AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(w) - 1)) AS pos, w
+        |  FROM d WHERE len(w) >= 2),
+        |p AS (SELECT doc_id, w[pos] AS w1, w[pos + 1] AS w2 FROM s0),
+        |bg AS (SELECT w1, w2, COUNT(*) AS n12 FROM p GROUP BY 1, 2),
+        |ug AS (SELECT w1, COUNT(*) AS n1 FROM p GROUP BY 1),
+        |sc AS (
+        |  SELECT p.doc_id, bg.n12 * 1000000 // ug.n1 AS p_micro
+        |  FROM p JOIN bg USING (w1, w2) JOIN ug USING (w1))
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(p_micro) // COUNT(*) AS BIGINT) AS lm_micro
+        |FROM sc GROUP BY doc_id""".stripMargin,
 
     // the oracle's prefix max is the plain global window the Spark
     // side deliberately avoids — agreement shows the two-level sweep

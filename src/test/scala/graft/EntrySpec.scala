@@ -65,7 +65,8 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
       // the super-bucket totals (quadratic only in |buckets|/1024)
       "mix_budget", "pack_sequences", "q_auc",
       "q_sample_weighted", // PrefixSums + 1-row broadcast step
-      "q_pareto") // PrefixSums prefix-max bucket combine
+      "q_pareto", // PrefixSums prefix-max bucket combine
+      "q_percent_rank") // PrefixSums + 1-row broadcast total
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
