@@ -2037,6 +2037,14 @@ object SparkEntry {
     "mm_image" -> ((s, dir) =>
       Multimodal.imageFeatures(Tables.documents(s, dir), "doc_id").toDF()),
 
+    // decode → nearest-neighbor RESIZE → re-encode → re-decode, the
+    // thumbnailing stage of a multimodal pipeline, gated end to end:
+    // the sampling map (3x, 2y) is integer arithmetic, so the oracle
+    // recomputes the thumbnail sums from the pixel formula directly
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.resizedImageFeatures(Tables.documents(s, dir), "doc_id")
+        .toDF()),
+
     // frame-sampled video through a real container round trip: the
     // reader walks the GVID frame index and decodes only every 2nd
     // BMP frame — decode cost ∝ frames kept (see multimodal.Video)
@@ -4324,6 +4332,22 @@ object SparkEntry {
         |  CAST(SUM((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_r,
         |  CAST(SUM((doc_id * 17 + x * 11 + y * 5) % 256) AS BIGINT) AS sum_g,
         |  CAST(SUM((doc_id * 23 + x * 3 + y * 19) % 256) AS BIGINT) AS sum_b
+        |FROM g GROUP BY doc_id""".stripMargin,
+
+    // the thumbnail grid samples source pixels at (3x, 2y) — the
+    // same truncating-division map resizeBytes applies
+    "mm_resize" ->
+      """WITH x AS (SELECT unnest(generate_series(0, 7)) AS x),
+        |y AS (SELECT unnest(generate_series(0, 7)) AS y),
+        |g AS (SELECT d.doc_id, x.x * 3 AS sx, y.y * 2 AS sy
+        |      FROM documents d CROSS JOIN x CROSS JOIN y)
+        |SELECT doc_id, 8 AS width, 8 AS height,
+        |  CAST(SUM((doc_id * 31 + sx * 7 + sy * 13) % 256) AS BIGINT)
+        |    AS sum_r,
+        |  CAST(SUM((doc_id * 17 + sx * 11 + sy * 5) % 256) AS BIGINT)
+        |    AS sum_g,
+        |  CAST(SUM((doc_id * 23 + sx * 3 + sy * 19) % 256) AS BIGINT)
+        |    AS sum_b
         |FROM g GROUP BY doc_id""".stripMargin,
 
     "text_normalize" ->

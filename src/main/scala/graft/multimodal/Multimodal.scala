@@ -282,6 +282,48 @@ object Multimodal {
       }
   }
 
+  /** The RESIZE stage through the gate: synthesize the same
+    * closed-form BMP as [[imageFeatures]], downsample through
+    * [[resizeBytes]] (real BMP decode → nearest-neighbor sample at
+    * (x·srcW div w, y·srcH div h) → re-encode), re-parse the
+    * thumbnail, and sum channels. The sampling map is pure integer
+    * arithmetic, so the oracle recomputes the same sums from the
+    * pixel formula at the sampled grid — a codec or resampler defect
+    * flips the sums. Map-only, no shuffle.
+    */
+  def resizedImageFeatures(docs: DataFrame, idCol: String,
+                           srcW: Int = 24, srcH: Int = 16,
+                           w: Int = 8, h: Int = 8): Dataset[ImageFeatures] = {
+    implicit val enc: Encoder[ImageFeatures] = Encoders.product[ImageFeatures]
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    docs.select(col(idCol).cast(org.apache.spark.sql.types.LongType))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val bytes = Bmp.write(srcW, srcH, (x, y) => (
+            ((id * 31 + x * 7 + y * 13) % 256).toInt,
+            ((id * 17 + x * 11 + y * 5) % 256).toInt,
+            ((id * 23 + x * 3 + y * 19) % 256).toInt))
+          Bmp.parse(resizeBytes(bytes, w, h)) match {
+            case Some(img) =>
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = 0
+              while (y < img.height) {
+                var x = 0
+                while (x < img.width) {
+                  val (r, g, b) = img.pixel(x, y)
+                  sr += r; sg += g; sb += b
+                  x += 1
+                }
+                y += 1
+              }
+              ImageFeatures(id, img.width, img.height, sr, sg, sb)
+            case None => ImageFeatures(id, 0, 0, 0L, 0L, 0L)
+          }
+        }
+      }
+  }
+
   case class VideoFeatures(doc_id: Long, n_frames: Long, n_sampled: Long,
                            sum_r: Long, sum_g: Long, sum_b: Long)
 
