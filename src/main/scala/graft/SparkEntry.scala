@@ -1301,6 +1301,32 @@ object SparkEntry {
           expr("n * 1000 div n_from").as("p_pml"))
     }),
 
+    // sliding-window document chunking (the RAG/long-context prep
+    // stage packSequences' concat-chunk does NOT cover): 128-token
+    // chunks at stride 96 (32-token overlap), last chunk ragged,
+    // chunk text fingerprinted with the engine-common md5 prefix so
+    // the oracle verifies the actual chunk CONTENT, not just the
+    // arithmetic. Map-only explode — no shuffle, chunk count is pure
+    // integer arithmetic on the token count.
+    "q_chunk" -> ((s, dir) => {
+      val sz = 128; val stride = 96
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("w"),
+          explode(expr(s"sequence(0, greatest((size(w) - $sz + " +
+            s"${stride - 1}) div $stride, 0))")).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          (col("chunk_id") * stride).as("start_tok"),
+          expr(s"least($sz, size(w) - chunk_id * $stride)")
+            .as("n_tokens"),
+          expr(s"concat_ws(' ', slice(w, chunk_id * $stride + 1, " +
+            s"least($sz, size(w) - chunk_id * $stride)))").as("t"))
+        .select(col("doc_id"), col("chunk_id").cast(LongType),
+          col("start_tok").cast(LongType), col("n_tokens").cast(LongType),
+          conv(substring(md5(col("t")), 1, 15), 16, 10).cast(LongType)
+            .as("chunk_hash"))
+    }),
+
     // corpus-wide percent-rank normalization WITHOUT a global
     // window: rank(x) = Σ counts of strictly-smaller values, i.e.
     // PrefixSums.exclusiveOffsets over the per-value count table
@@ -3732,6 +3758,31 @@ object SparkEntry {
         |LEFT JOIN s1 ON s1.user_id = u.user_id
         |LEFT JOIN s2 ON s2.user_id = u.user_id
         |LEFT JOIN s3 ON s3.user_id = u.user_id""".stripMargin,
+
+    // same chunk grid (1-based slice bounds), same md5-prefix
+    // content fingerprint
+    "q_chunk" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, w, n,
+        |    unnest(generate_series(0,
+        |      GREATEST((n - 128 + 95) // 96, 0))) AS chunk_id
+        |  FROM d),
+        |c AS (
+        |  SELECT doc_id, chunk_id,
+        |    chunk_id * 96 AS start_tok,
+        |    LEAST(128, n - chunk_id * 96) AS n_tokens,
+        |    array_to_string(w[chunk_id * 96 + 1 :
+        |      chunk_id * 96 + LEAST(128, n - chunk_id * 96)], ' ') AS t
+        |  FROM k)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(start_tok AS BIGINT) AS start_tok,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS chunk_hash
+        |FROM c""".stripMargin,
 
     // the oracle's rank is the plain global window sum the Spark
     // side deliberately avoids
