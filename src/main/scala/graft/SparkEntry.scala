@@ -1198,8 +1198,13 @@ object SparkEntry {
           pmod(pmod(col("event_id"), lit(m)) * 911383L + 7, lit(m))
             .as("dst"))
         .filter(col("src") =!= col("dst"))
-      Graph.extendComponents(
-        Graph.connectedComponents(edgesFor(0)), edgesFor(2))
+      // base labeling via the HYBRID clusters entry (driver
+      // union-find at gate SFs, distributed escalation past 64k
+      // edges) — forcing the distributed loop is q_components' job;
+      // here the property under test is the incremental admission
+      val base = Dedup.clusters(edgesFor(0), "src", "dst")
+        .select(col("doc_id").as("node"), col("cluster_id").as("component"))
+      Graph.extendComponents(base, edgesFor(2))
     }),
 
     // heavy hitters from a bounded Misra-Gries summary: candidates

@@ -65,6 +65,20 @@ class GraphEvalSpec extends AnyFunSuite with SparkSpec {
           (base ++ batch).toDF("src", "dst"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(incremental === rebuilt, s"seed $seed")
+      // chained daily admissions: extending the extended labeling
+      // with a second batch still equals one rebuild of everything
+      val batch2 = Seq.fill(20)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+        .filter(t => t._1 != t._2)
+      val chained = Graph.extendComponents(
+          Graph.extendComponents(
+            Graph.connectedComponents(base.toDF("src", "dst")),
+            batch.toDF("src", "dst")),
+          batch2.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val rebuilt2 = Graph.connectedComponents(
+          (base ++ batch ++ batch2).toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(chained === rebuilt2, s"chained, seed $seed")
     }
   }
 
