@@ -1280,6 +1280,35 @@ object SparkEntry {
             when(col("t3").isNotNull, 1).otherwise(0)).as("stage"))
     }),
 
+    // per-group least-squares TREND, integer-exact: slope =
+    // (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) evaluated entirely in
+    // DECIMAL(38,0) moment sums with one floor division at the end
+    // (micro units) — the drift estimator behind "is this metric
+    // rising", hash-oracled where float OLS never could be. x is
+    // CENTERED on the per-group min epoch second (one cheap
+    // min-agg broadcast) so the moment envelope holds to ~1e9 rows
+    // per group over year-long spans; beyond that pre-aggregate x to
+    // coarser grains. Main pass is ONE hash aggregation.
+    "q_linreg" -> ((s, dir) => {
+      val d38 = DecimalType(38, 0)
+      val e = Tables.events(s, dir).select(col("event_type"),
+        expr("unix_timestamp(ts)").as("xr"),
+        (dec(col("value"), 10, 2) * 100).cast(LongType).as("y"))
+      val x0 = e.groupBy(col("event_type")).agg(min(col("xr")).as("x0"))
+      val m = e.join(broadcast(x0), "event_type")
+        .select(col("event_type"),
+          (col("xr") - col("x0")).cast(d38).as("x"), col("y").cast(d38).as("yv"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast(d38).as("n"),
+          sum(col("x")).as("sx"), sum(col("yv")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("yv")).as("sxy"))
+      m.select(col("event_type"), col("n").cast(LongType).as("n"),
+        expr("CAST(1000000 AS DECIMAL(38,0)) * (n * sxy - sx * sy)" +
+          " div (n * sxx - sx * sx)").as("slope_micro"),
+        expr("(1000 * sy) div n").as("y_mean_milli"))
+    }),
+
     // first-order Markov transition matrix over per-user event
     // streams: LEAD inside the per-user window (narrow, the q_lag
     // collation — truncated second + event_id total order), then a
@@ -3849,6 +3878,29 @@ object SparkEntry {
         |FROM p a JOIN m ON m.cents = a.cents
         |WHERE a.p_size = m.ymax
         |  AND (m.mlt IS NULL OR a.p_size > m.mlt)""".stripMargin,
+
+    // same centered moments (HUGEINT mirrors DECIMAL(38,0)), same
+    // single floor division at the end
+    "q_linreg" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS xr,
+        |    CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS y
+        |  FROM events),
+        |x0 AS (SELECT event_type, MIN(xr) AS x0 FROM e GROUP BY 1),
+        |m AS (
+        |  SELECT e.event_type,
+        |    CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(CAST(e.xr - x0.x0 AS HUGEINT)) AS sx,
+        |    SUM(CAST(e.y AS HUGEINT)) AS sy,
+        |    SUM(CAST(e.xr - x0.x0 AS HUGEINT) * (e.xr - x0.x0)) AS sxx,
+        |    SUM(CAST(e.xr - x0.x0 AS HUGEINT) * e.y) AS sxy
+        |  FROM e JOIN x0 USING (event_type) GROUP BY e.event_type)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(CAST(1000000 AS HUGEINT) * (n * sxy - sx * sy)
+        |       // (n * sxx - sx * sx) AS BIGINT) AS slope_micro,
+        |  CAST((1000 * sy) // n AS BIGINT) AS y_mean_milli
+        |FROM m""".stripMargin,
 
     // same per-user (ts_sec, event_id) collation, same LEAD, same
     // integer permille normalization
