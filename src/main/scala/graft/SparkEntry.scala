@@ -1335,6 +1335,28 @@ object SparkEntry {
           expr("n * 1000 div n_from").as("p_pml"))
     }),
 
+    // fixed-size per-stratum sampling — the third standard sampling
+    // mode beside mix_temperature's Bernoulli draw and
+    // q_sample_weighted's PPS thresholds: exactly k docs per source,
+    // chosen by the engine-common md5 hash order (deterministic,
+    // reproducible, partition-independent), kept by the bounded
+    // mergeable TopKAgg — ≤k rows per group per map task cross the
+    // wire, never the per-group row_number window that sorts every
+    // row of every stratum.
+    "q_sample_fixed" -> ((s, dir) => {
+      val k = 5
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+            16, 10).cast(LongType).as("hv"))
+        .groupBy(col("source"))
+        .agg(graft.functions.TopKAgg.topK(k)(-col("hv"), col("doc_id"))
+          .as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("i", "p")))
+        .select(col("source"), (col("i") + 1).cast(LongType).as("rk"),
+          col("p._2").as("doc_id"), (-col("p._1")).as("hv"))
+    }),
+
     // sliding-window document chunking (the RAG/long-context prep
     // stage packSequences' concat-chunk does NOT cover): 128-token
     // chunks at stride 96 (32-token overlap), last chunk ragged,
@@ -3792,6 +3814,23 @@ object SparkEntry {
         |LEFT JOIN s1 ON s1.user_id = u.user_id
         |LEFT JOIN s2 ON s2.user_id = u.user_id
         |LEFT JOIN s3 ON s3.user_id = u.user_id""".stripMargin,
+
+    // same md5-hash order, same (hv, doc_id) tie-break — the oracle
+    // uses the per-stratum window the Spark side's bounded aggregate
+    // deliberately avoids
+    "q_sample_fixed" ->
+      """WITH h AS (
+        |  SELECT source, doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS hv
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, hv,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id)
+        |      AS rk
+        |  FROM h)
+        |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, hv
+        |FROM r WHERE rk <= 5""".stripMargin,
 
     // same chunk grid (1-based slice bounds), same md5-prefix
     // content fingerprint
