@@ -1280,6 +1280,28 @@ object SparkEntry {
             when(col("t3").isNotNull, 1).otherwise(0)).as("stage"))
     }),
 
+    // hourly volume anomaly flags from EXACT integer moments: flag
+    // hour h iff (c_h·H − S)² > 9·(H·S2 − S²) — the 3-sigma test
+    // cross-multiplied so no division or float ever happens, making
+    // an anomaly DETECTOR hash-oracle-able (the batch face of the
+    // streaming Welford z-score, A20). One count agg + a 1-row
+    // moment broadcast; squares live in DECIMAL(38,0) (c·H crosses
+    // 2^63 squared immediately).
+    "q_anomaly" -> ((s, dir) => {
+      val d38 = DecimalType(38, 0)
+      val h = Tables.events(s, dir)
+        .groupBy(expr("unix_timestamp(ts) div 3600").as("hour"))
+        .agg(count(lit(1)).as("n_events"))
+      val st = h.agg(count(lit(1)).cast(d38).as("H"),
+        sum(col("n_events")).cast(d38).as("S"),
+        sum(col("n_events").cast(d38) * col("n_events")).as("S2"))
+      h.crossJoin(broadcast(st))
+        .select(col("hour"), col("n_events"),
+          when(expr("(n_events * H - S) * (n_events * H - S)" +
+            " > 9 * (H * S2 - S * S)"), 1L).otherwise(0L)
+            .as("is_anomaly"))
+    }),
+
     // per-group least-squares TREND, integer-exact: slope =
     // (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) evaluated entirely in
     // DECIMAL(38,0) moment sums with one floor division at the end
@@ -3917,6 +3939,24 @@ object SparkEntry {
         |FROM p a JOIN m ON m.cents = a.cents
         |WHERE a.p_size = m.ymax
         |  AND (m.mlt IS NULL OR a.p_size > m.mlt)""".stripMargin,
+
+    // same cross-multiplied 3-sigma test in HUGEINT — no division,
+    // no float, anywhere
+    "q_anomaly" ->
+      """WITH h AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |st AS (
+        |  SELECT CAST(COUNT(*) AS HUGEINT) AS H,
+        |    CAST(SUM(n_events) AS HUGEINT) AS S,
+        |    SUM(CAST(n_events AS HUGEINT) * n_events) AS S2
+        |  FROM h)
+        |SELECT hour, n_events,
+        |  CAST(CASE WHEN (n_events * H - S) * (n_events * H - S)
+        |              > 9 * (H * S2 - S * S)
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM h, st""".stripMargin,
 
     // same centered moments (HUGEINT mirrors DECIMAL(38,0)), same
     // single floor division at the end

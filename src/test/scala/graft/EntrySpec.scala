@@ -66,7 +66,8 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
       "mix_budget", "pack_sequences", "q_auc",
       "q_sample_weighted", // PrefixSums + 1-row broadcast step
       "q_pareto", // PrefixSums prefix-max bucket combine
-      "q_percent_rank") // PrefixSums + 1-row broadcast total
+      "q_percent_rank", // PrefixSums + 1-row broadcast total
+      "q_anomaly") // 1-row broadcast moments × the hourly counts
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
