@@ -1442,9 +1442,14 @@ object SparkEntry {
       val bg = pairs.groupBy(col("w1"), col("w2"))
         .agg(count(lit(1)).as("n12"))
       val ug = pairs.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+      // no broadcast hint on ug: the unigram table is
+      // vocabulary-sized and grows with the corpus (Heaps' law) —
+      // unlike the genuinely bounded broadcasts elsewhere. AQE picks
+      // broadcast while it fits and falls back to a shuffle join past
+      // the threshold, which is the right call at 100 TB.
       pairs
         .join(bg, Seq("w1", "w2"))
-        .join(broadcast(ug), Seq("w1"))
+        .join(ug, Seq("w1"))
         .withColumn("p_micro", expr("n12 * 1000000 div n1"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
@@ -1912,6 +1917,14 @@ object SparkEntry {
       Dedup.duplicateSpans(Tables.documents(s, dir), "doc_id", "text",
         spanN = 5)),
 
+    // substring-EXCISION dedup (Lee et al. 2022 ExactSubstr): every
+    // duplicated 5-gram keeps its first (min doc_id, pos) occurrence
+    // and is excised token-wise everywhere else; the gate verifies the
+    // REWRITTEN TEXT itself, not just counts
+    "dedup_substrings" -> ((s, dir) =>
+      Dedup.exciseSubstrings(Tables.documents(s, dir), "doc_id", "text",
+        spanN = 5)),
+
     // per-source document cap: keep the top 5 docs per source by
     // (n_chars desc, doc_id) — the crawl-style per-domain quota
     "q_domain_cap" -> ((s, dir) => {
@@ -2225,19 +2238,30 @@ object SparkEntry {
             " (a, b) -> struct(a, b))")).as("p"))
         .select(col("p.a").as("wa"), col("p.b").as("wb"))
         .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("n"))
-      val pick = bi.orderBy(col("n").desc, col("wa"), col("wb"))
-        .limit(5).collect().last
-      val (wa, wb) = (pick.getString(0), pick.getString(1))
-      val tok = docs.select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      val pa = tok.filter(col("w") === wa)
-        .select(col("doc_id"), col("pos"))
-      val pb = tok.filter(col("w") === wb)
-        .select(col("doc_id"), (col("pos") - 1).as("pos"))
-      pa.join(pb, Seq("doc_id", "pos"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_hits"),
-          (min(col("pos")) + 1).cast(LongType).as("first_pos"))
+      val picks = bi.orderBy(col("n").desc, col("wa"), col("wb"))
+        .limit(5).collect()
+      if (picks.length < 5) {
+        // fewer than 5 distinct bigrams: the oracle's LIMIT 1 OFFSET 4
+        // returns no row, so agree by returning the empty frame with
+        // the query's schema (rather than silently picking a
+        // lower-rank bigram, or throwing on an empty corpus)
+        docs.select(col("doc_id")).limit(0)
+          .withColumn("n_hits", lit(0L))
+          .withColumn("first_pos", lit(0L))
+      } else {
+        val pick = picks.last
+        val (wa, wb) = (pick.getString(0), pick.getString(1))
+        val tok = docs.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        val pa = tok.filter(col("w") === wa)
+          .select(col("doc_id"), col("pos"))
+        val pb = tok.filter(col("w") === wb)
+          .select(col("doc_id"), (col("pos") - 1).as("pos"))
+        pa.join(pb, Seq("doc_id", "pos"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_hits"),
+            (min(col("pos")) + 1).cast(LongType).as("first_pos"))
+      }
     }),
 
     // RANKED retrieval over the same inverted index: real BM25 shape
@@ -3687,13 +3711,16 @@ object SparkEntry {
     // needs no unrolled rounds — the recursive CTE's UNION dedup
     // keeps the frontier a set, and subcritical components keep the
     // (node, reach) working set Σ|comp|² small at every SF
+    // pmod mirrored as ((x % m) + m) % m: Spark pmod is always
+    // non-negative where DuckDB % follows the dividend's sign, so
+    // parity holds for signed/key-shifted ids too (advice r8)
     "q_components" ->
       """WITH RECURSIVE
         |t AS (SELECT 4 * COUNT(*) AS m FROM events),
         |e0 AS (
-        |  SELECT ((event_id % t.m) * 999983 + 1) % t.m AS src,
-        |    ((event_id % t.m) * 911383 + 7) % t.m AS dst
-        |  FROM events, t WHERE event_id % 4 = 0),
+        |  SELECT ((((event_id % t.m) + t.m) % t.m) * 999983 + 1) % t.m AS src,
+        |    ((((event_id % t.m) + t.m) % t.m) * 911383 + 7) % t.m AS dst
+        |  FROM events, t WHERE ((event_id % 4) + 4) % 4 = 0),
         |e1 AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
         |und AS (SELECT src AS a, dst AS b FROM e1
         |        UNION SELECT dst, src FROM e1),
@@ -3709,9 +3736,9 @@ object SparkEntry {
       """WITH RECURSIVE
         |t AS (SELECT 4 * COUNT(*) AS m FROM events),
         |e0 AS (
-        |  SELECT ((event_id % t.m) * 999983 + 1) % t.m AS src,
-        |    ((event_id % t.m) * 911383 + 7) % t.m AS dst
-        |  FROM events, t WHERE event_id % 4 IN (0, 2)),
+        |  SELECT ((((event_id % t.m) + t.m) % t.m) * 999983 + 1) % t.m AS src,
+        |    ((((event_id % t.m) + t.m) % t.m) * 911383 + 7) % t.m AS dst
+        |  FROM events, t WHERE ((event_id % 4) + 4) % 4 IN (0, 2)),
         |e1 AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
         |und AS (SELECT src AS a, dst AS b FROM e1
         |        UNION SELECT dst, src FROM e1),
@@ -5145,6 +5172,49 @@ object SparkEntry {
         |    AS n_spans,
         |  COALESCE(a.n_dup_spans, 0) AS n_dup_spans,
         |  COALESCE(a.max_dup_run, 0) AS max_dup_run
+        |FROM documents t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // the excision mirror: canonical occurrence = ROW_NUMBER 1 in
+    // (doc_id, pos) order per span text (≡ Spark's min-struct over
+    // hashes, modulo 64-bit collisions); covered positions unnest
+    // marked spans ×5; the rebuilt text must match STRING-EXACTLY
+    "dedup_substrings" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s0 AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, len(w) - 4)) AS pos, w
+        |  FROM d WHERE len(w) >= 5),
+        |s AS (
+        |  SELECT doc_id, pos,
+        |    array_to_string(w[pos:pos+4], ' ') AS sh
+        |  FROM s0),
+        |m AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      ROW_NUMBER() OVER (PARTITION BY sh ORDER BY doc_id, pos)
+        |        AS rn
+        |    FROM s) WHERE rn > 1),
+        |cov0 AS (
+        |  SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS pos
+        |  FROM m),
+        |cov AS (SELECT DISTINCT doc_id, pos FROM cov0),
+        |t0 AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(w))) AS pos, w
+        |  FROM d),
+        |tok AS (SELECT doc_id, pos, w[pos] AS wt FROM t0),
+        |kept AS (
+        |  SELECT tok.doc_id, tok.pos, tok.wt FROM tok
+        |  ANTI JOIN cov USING (doc_id, pos)),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(wt, ' ' ORDER BY pos) AS text_out
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(len(string_split(t.text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(string_split(t.text, ' ')) - COALESCE(a.n_kept, 0)
+        |    AS BIGINT) AS n_removed,
+        |  COALESCE(a.text_out, '') AS text_out
         |FROM documents t LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "q_domain_cap" ->

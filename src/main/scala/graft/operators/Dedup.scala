@@ -631,6 +631,77 @@ object Dedup {
         coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"))
   }
 
+  /** Cross-document verbatim substring EXCISION — the rewrite pass on
+    * top of [[duplicateSpans]]'s detection (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * ExactSubstr idea, re-expressed relationally): every word
+    * `spanN`-gram occurring more than once corpus-wide keeps its FIRST
+    * occurrence (min `(doc_id, pos)` — deterministic) and every other
+    * occurrence is excised token-wise from the rewritten text. Tokens
+    * covered by ANY non-canonical duplicated span are removed;
+    * overlapping and adjacent duplicated runs merge naturally because
+    * excision is by covered token position, not by span. A document
+    * equal to an earlier one rewrites to the empty string; the
+    * earliest copy always survives verbatim.
+    *
+    * Scale shape: candidate discovery shuffles positional 8-byte span
+    * hashes exactly like [[duplicateSpans]] (corpus text stays in the
+    * scan); the canonical-occurrence table is one aggregation (`min`
+    * over a `(doc_id, pos)` struct — no window over the span
+    * multiset); covered positions explode marked spans ×spanN into
+    * `(doc_id, pos)` ints; and the rebuild shuffles only SURVIVING
+    * tokens once, grouped per document (per-doc sort of a
+    * document-bounded array — never a corpus-scale order-by). The one
+    * persisted intermediate is the span table (two consumers,
+    * eager-filled — cache-lifetime note as in [[ngramJaccard]]).
+    *
+    * Output per input doc: `(doc_id, n_tokens, n_removed, text_out)` —
+    * the rewritten text itself is emitted, so the correctness gate
+    * verifies CONTENT, not just counts.
+    */
+  def exciseSubstrings(docs: DataFrame, idCol: String, textCol: String,
+                       spanN: Int = 5): DataFrame = {
+    val w = split(col(textCol), " ")
+    val spans = docs
+      .select(col(idCol).as("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= spanN)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), size(col("w")) - (spanN - 1)),
+          i => xxhash64(concat_ws(" ", slice(col("w"), i, lit(spanN))))))
+        .as(Seq("p0", "sh")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("sh"))
+      .persist()
+    spans.count() // eager fill — canonical build + mark join race otherwise
+    val firsts = spans.groupBy(col("sh"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("keep"))
+      .filter(col("cnt") > 1)
+      .select(col("sh"), col("keep.doc_id").as("keep_doc"),
+        col("keep.pos").as("keep_pos"))
+    val covered = spans.join(firsts, Seq("sh"))
+      .filter(!(col("doc_id") === col("keep_doc") &&
+        col("pos") === col("keep_pos")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (spanN - 1))).as("pos"))
+      .distinct()
+    val tok = docs
+      .select(col(idCol).as("doc_id"), posexplode(w).as(Seq("p0", "wt")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("wt"))
+    val rebuilt = tok.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("wt")))),
+          x => x.getField("wt")), " ").as("text_out"))
+    docs.select(col(idCol).as("doc_id"),
+        size(w).cast(LongType).as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("text_out"), lit("")).as("text_out"))
+  }
+
   /** Benchmark decontamination: for each corpus document, the share of
     * its distinct word n-grams that occur anywhere in an evaluation /
     * benchmark document set ("containment"). This is the standard

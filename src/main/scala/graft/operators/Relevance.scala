@@ -76,9 +76,11 @@ object Relevance {
     * Scale shape: postings are FILTERED to the query's terms before
     * any join — the classic inverted-index discipline; dl joins on
     * doc over the posting-sized side only, df/stats enter broadcast,
-    * and the result is a TakeOrdered(k), never a global sort. The
-    * final rank assignment windows over the already-top-k (≤ k rows)
-    * frame — the constant partition is bounded by construction.
+    * and the result is a TakeOrdered(k), never a global sort. Ranks
+    * attach on the driver to the ≤k collected rows (the bounded-model
+    * pattern) — no window at all, so the engine keeps its
+    * no-unpartitioned-window property; the result is a lineage-free
+    * k-row local relation, which downstream fusions join for free.
     */
   def bm25Rank(docs: DataFrame, idCol: String, textCol: String,
                queryTerms: Seq[String], k: Int, k1: Int = 2): DataFrame = {
@@ -105,9 +107,18 @@ object Relevance {
         count(lit(1)).as("n_hit_terms"))
       .orderBy(col("score_nano").desc, col("doc_id"))
       .limit(k)
-    topk.withColumn("rank", row_number().over(
-        Window.partitionBy(lit(0))
-          .orderBy(col("score_nano").desc, col("doc_id"))).cast("long"))
+    // TakeOrderedAndProject returns the ≤k rows already in (score
+    // desc, doc_id) order; zip the rank on the driver instead of
+    // planning a WindowExec with no partition key (round-8 finding:
+    // Catalyst folds partitionBy(lit(0)) to an unpartitioned window).
+    val rows = topk.collect()
+    val schema = org.apache.spark.sql.types.StructType(
+      topk.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "rank", org.apache.spark.sql.types.LongType, nullable = false))
+    val ranked = rows.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1).toLong) }
+    docs.sparkSession
+      .createDataFrame(java.util.Arrays.asList(ranked: _*), schema)
       .select(col("doc_id"), col("rank"), col("score_nano"),
         col("n_hit_terms"))
   }

@@ -1,19 +1,78 @@
 package graft.tools
 
 import graft.SparkEntry
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.window.WindowExec
 
 /** Plan audit over every SparkEntry query: counts shuffles /
-  * broadcast vs sort-merge joins / whole-stage-codegen coverage and
-  * verifies parquet pushdown, so plan regressions are visible per
-  * round. Run: `sbt "runMain graft.tools.PlanAudit [queryName]"`.
+  * broadcast vs sort-merge joins / scans and verifies parquet
+  * pushdown, so plan regressions are visible per round. Run:
+  * `sbt "runMain graft.tools.PlanAudit [queryName]"`.
   * With a query name argument, prints that query's formatted plan.
+  *
+  * The same counters feed `PlanRegressionSpec`, which freezes them
+  * per query in `src/test/resources/plan_baseline.tsv` and fails on
+  * drift — refresh the baseline deliberately with
+  * `sbt "runMain graft.tools.PlanBaseline"` when a plan change is
+  * intentional.
   */
 object PlanAudit {
+
+  final case class PlanMetrics(shuffles: Int, bhj: Int, smj: Int,
+                               scans: Int, pushdown: Boolean,
+                               unpartitionedWindows: Int) {
+    def tsv: String = s"$shuffles\t$bhj\t$smj\t$scans\t" +
+      s"${if (pushdown) "yes" else "-"}"
+  }
+
+  def collectPlan(p: SparkPlan): Seq[SparkPlan] = {
+    val extra = p match {
+      case a: AdaptiveSparkPlanExec => collectPlan(a.executedPlan)
+      case _ => Nil
+    }
+    (p +: p.children.flatMap(collectPlan)) ++ extra
+  }
+
+  /** [[metrics]] of the SECOND construction: the first call pays any
+    * memoized model/index build (IVF centroids, minhash index dirs),
+    * so the warm plan is deterministic regardless of what ran earlier
+    * in the session — the state both the baseline tool and the
+    * regression spec must measure to agree.
+    */
+  def warmMetrics(fn: (SparkSession, String) => DataFrame,
+                  spark: SparkSession, dir: String): PlanMetrics = {
+    fn(spark, dir)
+    // construction-time persist() registers plan fragments in the
+    // CacheManager, which would swap scans for InMemoryRelations in
+    // the NEXT construction (and in whatever query measures after
+    // us) — clear to a canonical no-cache state before measuring
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    metrics(fn(spark, dir))
+  }
+
+  /** Counts over the (initial, pre-execution) physical plan. */
+  def metrics(df: DataFrame): PlanMetrics = {
+    val nodes = collectPlan(df.queryExecution.executedPlan)
+    val simple = df.queryExecution.simpleString
+    PlanMetrics(
+      shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec]),
+      bhj = nodes.count(_.isInstanceOf[BroadcastHashJoinExec]),
+      smj = nodes.count(_.isInstanceOf[SortMergeJoinExec]),
+      scans = nodes.count(_.nodeName.contains("Scan")),
+      pushdown = simple.contains("PushedFilters: [") &&
+        !simple.contains("PushedFilters: []"),
+      unpartitionedWindows = nodes.count {
+        case w: WindowExec => w.partitionSpec.isEmpty
+        case _ => false
+      })
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[8]")
@@ -28,32 +87,46 @@ object PlanAudit {
       spark.stop(); return
     }
 
-    def collectPlan(p: SparkPlan): Seq[SparkPlan] = {
-      val extra = p match {
-        case a: AdaptiveSparkPlanExec => collectPlan(a.executedPlan)
-        case _ => Nil
-      }
-      (p +: p.children.flatMap(collectPlan)) ++ extra
-    }
-
     println(f"${"query"}%-16s ${"shuffles"}%9s ${"bcastJoin"}%10s ${"smj"}%5s ${"scans"}%6s  pushdown")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val df = fn(spark, dir)
-        val plan = df.queryExecution.executedPlan
-        val nodes = collectPlan(plan)
-        val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
-        val bhj = nodes.count(_.isInstanceOf[BroadcastHashJoinExec])
-        val smj = nodes.count(_.isInstanceOf[SortMergeJoinExec])
-        val scans = nodes.count(_.nodeName.contains("Scan"))
-        val simple = df.queryExecution.simpleString
-        val pushed = if (simple.contains("PushedFilters: [")
-          && !simple.contains("PushedFilters: []")) "yes" else "-"
-        println(f"$name%-16s $shuffles%9d $bhj%10d $smj%5d $scans%6d  $pushed")
+        val m = metrics(fn(spark, dir))
+        val pushed = if (m.pushdown) "yes" else "-"
+        println(f"$name%-16s ${m.shuffles}%9d ${m.bhj}%10d ${m.smj}%5d ${m.scans}%6d  $pushed")
       } catch {
         case e: Exception => println(f"$name%-16s ERROR ${e.getMessage.take(60)}")
       }
     }
+    spark.stop()
+  }
+}
+
+/** Regenerates the frozen per-query plan baseline the regression
+  * spec checks against. Run at the SPEC's scale factor (sf0.001) so
+  * the spec compares like for like:
+  * `sbt "runMain graft.tools.PlanBaseline"`.
+  */
+object PlanBaseline {
+  val path = "src/test/resources/plan_baseline.tsv"
+
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val lines = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        s"$name\t${PlanAudit.warmMetrics(fn, spark, dir).tsv}"
+    }
+    val p = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p,
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    println(s"wrote ${lines.size} baselines to $path")
     spark.stop()
   }
 }

@@ -465,6 +465,74 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     rm(new java.io.File(tmp))
   }
 
+  test("exciseSubstrings: planted duplication — full copy empties, " +
+      "shared block excised from the later doc only, self-repeat cut") {
+    import spark.implicits._
+    val toy = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // = doc 1
+      (3L, "p q r s t u v w one two three four five six seven eight"),
+      (4L, "one two three four five six seven eight x y z"),
+      (5L, "a b c d e a b c d e"), // within-doc repeat
+      (6L, "nothing here repeats anything else at all ok"),
+      (7L, "tiny doc") // shorter than the span
+    ).toDF("doc_id", "text")
+    val got = Dedup.exciseSubstrings(toy, "doc_id", "text", spanN = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // first copy survives verbatim; the full duplicate empties
+    assert(got(1L) === ((8L, 0L,
+      "alpha beta gamma delta epsilon zeta eta theta")))
+    assert(got(2L) === ((8L, 8L, "")))
+    // the shared 8-word block: doc 3 (earlier) keeps it, doc 4 loses
+    // exactly the covered positions 1..8
+    assert(got(3L) === ((16L, 0L,
+      "p q r s t u v w one two three four five six seven eight")))
+    assert(got(4L) === ((11L, 8L, "x y z")))
+    // within-doc: the second "a b c d e" run is excised, first kept
+    assert(got(5L) === ((10L, 5L, "a b c d e")))
+    // untouched docs round-trip exactly
+    assert(got(6L) === ((8L, 0L,
+      "nothing here repeats anything else at all ok")))
+    assert(got(7L) === ((2L, 0L, "tiny doc")))
+  }
+
+  test("exciseSubstrings matches a naive reference on seeded random docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xe9)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val n = 3
+    val corpus = (0L until 40L).map { id =>
+      id -> Seq.fill(3 + rnd.nextInt(14))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    // naive: every n-gram occurrence except the (doc, pos)-least of
+    // each duplicated gram marks its n covered positions
+    val occ = corpus.flatMap { case (id, text) =>
+      val w = text.split(" ", -1)
+      (0 to w.length - n).map(p => (w.slice(p, p + n).mkString(" "),
+        id, p + 1))
+    }
+    val marked = occ.groupBy(_._1).values.flatMap { os =>
+      if (os.size < 2) Nil
+      else os.sortBy(o => (o._2, o._3)).tail
+    }
+    val covered = marked.flatMap { case (_, id, p) =>
+      (p until p + n).map(id -> _) }.toSet
+    val expect = corpus.map { case (id, text) =>
+      val w = text.split(" ", -1)
+      val kept = w.zipWithIndex.collect {
+        case (t, i) if !covered(id -> (i + 1)) => t }
+      (id, w.length.toLong, (w.length - kept.length).toLong,
+        kept.mkString(" "))
+    }.toSet
+    val got = Dedup.exciseSubstrings(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", spanN = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(got === expect)
+  }
+
   test("decontaminate broadcasts the benchmark side (no corpus self-join)") {
     val docs10 = docs
     val plan = Dedup.decontaminate(
