@@ -917,6 +917,43 @@ object SparkEntry {
     // w.r.t. a direct coarse build (spec-asserted), so the oracle
     // can rebuild per-type k-min sets directly and the merge path
     // must land on the same integers.
+    // mergeable QUANTILE sketch tables — the fourth member of the
+    // sketch-table family (B45 HLL distinct, B70 CMS frequency, B74
+    // KMV set algebra): per-(type, day) bottom-k uniform-sample cells
+    // whose order statistics answer per-cell quantiles. The row hash
+    // is the engine-common 60-bit md5 prefix of event_id, so the
+    // sample — and the p50 read from it — is deterministic and
+    // exactly hash-oracled (the KMV argument applied to quantiles).
+    "q_quantile_table" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"),
+        expr("unix_timestamp(ts) div 86400").as("day"), col("event_id"),
+        (dec(col("value"), 10, 2) * 100).cast(LongType).as("cents"))
+      Sketches.sampleSketchBuild(e, "event_id", "cents",
+          Seq("event_type", "day"), k = 256)
+        .select(col("event_type"), col("day"),
+          size(col("qsk")).cast(LongType).as("n_sample"),
+          Sketches.sampleSketchQuantile("qsk", 500).as("p50_cents"))
+    }),
+
+    // the MERGE path: per-day cells union to per-type sketches (k
+    // smallest of the union of bottom-ks = bottom-k of the union —
+    // merge exactness is the property under test, the q_kmv_rollup
+    // shape), then p25/p50/p90/p99 read off the merged sample
+    "q_quantile_rollup" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"),
+        expr("unix_timestamp(ts) div 86400").as("day"), col("event_id"),
+        (dec(col("value"), 10, 2) * 100).cast(LongType).as("cents"))
+      val daily = Sketches.sampleSketchBuild(e, "event_id", "cents",
+        Seq("event_type", "day"), k = 256)
+      Sketches.sampleSketchMerge(daily, Seq("event_type"), k = 256)
+        .select(col("event_type"),
+          size(col("qsk")).cast(LongType).as("n_sample"),
+          Sketches.sampleSketchQuantile("qsk", 250).as("p25_cents"),
+          Sketches.sampleSketchQuantile("qsk", 500).as("p50_cents"),
+          Sketches.sampleSketchQuantile("qsk", 900).as("p90_cents"),
+          Sketches.sampleSketchQuantile("qsk", 990).as("p99_cents"))
+    }),
+
     "q_kmv_rollup" -> ((s, dir) => {
       val k = 256
       val ud = Tables.events(s, dir).select(col("event_type"),
@@ -1180,6 +1217,31 @@ object SparkEntry {
       Graph.connectedComponents(edges)
     }),
 
+    // bounded-round multi-source SSSP over the %4==1 edge slice of
+    // the same mixed-id graph (weights 1 + (src+dst)%97, seeds =
+    // nodes ≡ 0 mod 50): 4 fixed relaxation rounds, so the oracle
+    // unrolls the same 4 min-relaxations — an iterative shortest-path
+    // computation made hash-exact (the kCore/pagerank budget rule)
+    "q_sssp" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val m = 4L * ev.count()
+      val e = ev
+        .filter(pmod(col("event_id"), lit(4)) === 1)
+        .select(
+          pmod(pmod(col("event_id"), lit(m)) * 999983L + 1, lit(m))
+            .as("x"),
+          pmod(pmod(col("event_id"), lit(m)) * 911383L + 7, lit(m))
+            .as("y"))
+        .filter(col("x") =!= col("y"))
+        .distinct()
+      val und = e.select(col("x").as("src"), col("y").as("dst"))
+        .unionByName(e.select(col("y").as("src"), col("x").as("dst")))
+        .withColumn("w", pmod(col("src") + col("dst"), lit(97)) + 1)
+      val seeds = und.select(col("src").as("node")).distinct()
+        .filter(pmod(col("node"), lit(50)) === 0)
+      Graph.sssp(und, seeds, rounds = 4)
+    }),
+
     // INCREMENTAL component admission (the dedup_minhash_inc shape
     // for graphs): the event_id%4==0 edges form the converged base
     // labeling, the %4==2 edges arrive as the daily batch —
@@ -1251,6 +1313,31 @@ object SparkEntry {
         .groupBy(col("hot_id"))
         .agg(count(lit(1)).as("n_events"),
           sum((col("v") * 100).cast(LongType)).as("sum_cents"))
+    }),
+
+    // interval×interval OVERLAP join (the two-sided generalization of
+    // q_range_join): 4-hour vs 8-hour event windows meet in a binned
+    // equi-join — both sides explode into 4-hour bins, each
+    // overlapping pair survives only in its overlap-start bin, so no
+    // dedup shuffle — where the naive BETWEEN form nested-loops.
+    // Per-A-interval aggregation keeps the output linear in |A|.
+    "q_interval_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), unix_timestamp(col("ts")).as("t"))
+      val a = e.filter(pmod(col("event_id"), lit(20)) === 0)
+        .select(col("event_id").as("a_id"), col("t").as("a_lo"),
+          (col("t") + 14400L).as("a_hi"))
+      val b = e.filter(pmod(col("event_id"), lit(20)) === 7)
+        .select(col("event_id").as("b_id"), col("t").as("b_lo"),
+          (col("t") + 28800L).as("b_hi"))
+      RangeJoin.intervalOverlap(a, b, "a_lo", "a_hi", "b_lo", "b_hi",
+          binWidth = 14400L)
+        .groupBy(col("a_id"))
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum(least(col("a_hi"), col("b_hi")) -
+            greatest(col("a_lo"), col("b_lo"))).as("total_overlap_sec"),
+          max(least(col("a_hi"), col("b_hi")) -
+            greatest(col("a_lo"), col("b_lo"))).as("max_overlap_sec"))
     }),
 
     // ordered-event funnel (view → click → purchase per user): ONE
@@ -1642,6 +1729,38 @@ object SparkEntry {
       Dedup.admitBatch(Dedup.loadBandIndex(s, idxPath),
         all.filter(col("doc_id") >= 1000000L), "doc_id", "text",
         minJaccard = 0.5)
+    }),
+
+    // the DAILY ROLLING index path gated end to end (round-8 verdict
+    // item 3): the corpus index is EXTENDED with the first half of
+    // the planted batch (extendIndex — batch-cost, corpus text never
+    // re-read), the extended index round-trips through parquet
+    // (saveBandIndex → loadBandIndex), and the second half admits
+    // against the STORED extended index. The oracle is the exact
+    // jaccard mirror restricted to pairs whose left side is the
+    // second batch — pairs against corpus AND against the extended
+    // batch1 docs must both surface, which is exactly what proves the
+    // extension is live in the index.
+    "dedup_minhash_ext" -> ((s, dir) => {
+      val all = withPlantedNearDups(Tables.documents(s, dir))
+      val extPath = minhashExtDirs.getOrElseUpdate(dir, {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_minhash_ext").toString
+        val base = Dedup.buildBandIndex(
+          all.filter(col("doc_id") < 1000000L), "doc_id", "text",
+          shingleN = 3, k = 64, bands = 32)
+        val ext = Dedup.extendIndex(base,
+          all.filter(col("doc_id") >= 1000000L &&
+            pmod(col("doc_id") - 1000000L, lit(20)) === 0),
+          "doc_id", "text")
+        Dedup.saveBandIndex(ext, p)
+        base.shingles.unpersist(blocking = false)
+        p
+      })
+      Dedup.admitBatch(Dedup.loadBandIndex(s, extPath),
+        all.filter(col("doc_id") >= 1000000L &&
+          pmod(col("doc_id") - 1000000L, lit(20)) === 10),
+        "doc_id", "text", minJaccard = 0.5)
     }),
 
     // simhash pair values are engine-internal 64-bit hashes, so the
@@ -2897,6 +3016,14 @@ object SparkEntry {
   private[graft] val minhashIndexDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Build+EXTEND-once memoization of the saved extended band index
+    * (dedup_minhash_ext): corpus index ∪ first planted batch, saved
+    * once per dataset dir — repeated gate runs measure the admission
+    * of the second batch, the daily rolling cost.
+    */
+  private[graft] val minhashExtDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Same train-once memoization for the product quantizer. */
   private val pqModels =
     scala.collection.concurrent.TrieMap.empty[String, Similarity.PqModel]
@@ -3501,6 +3628,69 @@ object SparkEntry {
 
     // the oracle skips the merge and rebuilds each type's k-min set
     // directly — KMV union exactness is precisely what's under test
+    // bottom-k sample rebuild: ROW_NUMBER over (hv, v) ≡ the bounded
+    // aggregator's lexicographic k-min; the quantile index is the
+    // same integer nearest-rank formula
+    "q_quantile_table" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS hv,
+        |    CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS v
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type, day, hv, v FROM (
+        |    SELECT e.*, ROW_NUMBER() OVER (
+        |      PARTITION BY event_type, day ORDER BY hv, v) AS rn
+        |    FROM e) WHERE rn <= 256),
+        |r AS (
+        |  SELECT event_type, day, v,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, day ORDER BY v)
+        |      AS vr,
+        |    COUNT(*) OVER (PARTITION BY event_type, day) AS n
+        |  FROM b)
+        |SELECT event_type, day, CAST(n AS BIGINT) AS n_sample,
+        |  MAX(CASE WHEN vr = 1 + (500 * (n - 1)) // 1000 THEN v END)
+        |    AS p50_cents
+        |FROM r GROUP BY event_type, day, n""".stripMargin,
+
+    // merge ≡ re-rank of the unioned per-day bottom-ks; quantiles off
+    // the merged 256-sample
+    "q_quantile_rollup" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS hv,
+        |    CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS v
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type, day, hv, v FROM (
+        |    SELECT e.*, ROW_NUMBER() OVER (
+        |      PARTITION BY event_type, day ORDER BY hv, v) AS rn
+        |    FROM e) WHERE rn <= 256),
+        |m AS (
+        |  SELECT event_type, hv, v FROM (
+        |    SELECT b.*, ROW_NUMBER() OVER (
+        |      PARTITION BY event_type ORDER BY hv, v) AS rn2
+        |    FROM b) WHERE rn2 <= 256),
+        |r AS (
+        |  SELECT event_type, v,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS vr,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM m)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_sample,
+        |  MAX(CASE WHEN vr = 1 + (250 * (n - 1)) // 1000 THEN v END)
+        |    AS p25_cents,
+        |  MAX(CASE WHEN vr = 1 + (500 * (n - 1)) // 1000 THEN v END)
+        |    AS p50_cents,
+        |  MAX(CASE WHEN vr = 1 + (900 * (n - 1)) // 1000 THEN v END)
+        |    AS p90_cents,
+        |  MAX(CASE WHEN vr = 1 + (990 * (n - 1)) // 1000 THEN v END)
+        |    AS p99_cents
+        |FROM r GROUP BY event_type, n""".stripMargin,
+
     "q_kmv_rollup" ->
       """WITH ud AS (
         |  SELECT DISTINCT event_type,
@@ -3730,6 +3920,38 @@ object SparkEntry {
         |  SELECT r.node, u.b FROM r JOIN und u ON u.a = r.reach)
         |SELECT node, MIN(reach) AS component FROM r GROUP BY node""".stripMargin,
 
+    // 4 unrolled min-relaxation rounds over the same pmod-mirrored
+    // edge arithmetic; seeds are distance-0 rows in d0
+    "q_sssp" ->
+      """WITH t AS (SELECT 4 * COUNT(*) AS m FROM events),
+        |e0 AS (
+        |  SELECT ((((event_id % t.m) + t.m) % t.m) * 999983 + 1) % t.m AS x,
+        |    ((((event_id % t.m) + t.m) % t.m) * 911383 + 7) % t.m AS y
+        |  FROM events, t WHERE ((event_id % 4) + 4) % 4 = 1),
+        |e1 AS (SELECT DISTINCT x, y FROM e0 WHERE x <> y),
+        |und AS (SELECT x AS a, y AS b FROM e1
+        |        UNION SELECT y, x FROM e1),
+        |uw AS (SELECT a, b, 1 + (a + b) % 97 AS w FROM und),
+        |d0 AS (SELECT DISTINCT a AS node, CAST(0 AS BIGINT) AS dist
+        |       FROM und WHERE a % 50 = 0),
+        |d1 AS (SELECT node, MIN(dist) AS dist FROM (
+        |  SELECT node, dist FROM d0 UNION ALL
+        |  SELECT u.b, d.dist + u.w FROM d0 d JOIN uw u ON u.a = d.node)
+        |  GROUP BY node),
+        |d2 AS (SELECT node, MIN(dist) AS dist FROM (
+        |  SELECT node, dist FROM d1 UNION ALL
+        |  SELECT u.b, d.dist + u.w FROM d1 d JOIN uw u ON u.a = d.node)
+        |  GROUP BY node),
+        |d3 AS (SELECT node, MIN(dist) AS dist FROM (
+        |  SELECT node, dist FROM d2 UNION ALL
+        |  SELECT u.b, d.dist + u.w FROM d2 d JOIN uw u ON u.a = d.node)
+        |  GROUP BY node),
+        |d4 AS (SELECT node, MIN(dist) AS dist FROM (
+        |  SELECT node, dist FROM d3 UNION ALL
+        |  SELECT u.b, d.dist + u.w FROM d3 d JOIN uw u ON u.a = d.node)
+        |  GROUP BY node)
+        |SELECT node, CAST(dist AS BIGINT) AS dist FROM d4""".stripMargin,
+
     // incremental == rebuild: the oracle closes over the UNION of
     // base (%4=0) and batch (%4=2) edge sets in one pass
     "q_components_inc" ->
@@ -3830,6 +4052,24 @@ object SparkEntry {
         |  CAST(SUM(CAST(x.v * 100 AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM hot h JOIN e x ON x.sec BETWEEN h.hsec - 60 AND h.hsec + 60
         |GROUP BY h.hot_id""".stripMargin,
+
+    // the naive inclusive-overlap BETWEEN join — same pair set as the
+    // binned exactly-once plan, different physical shape
+    "q_interval_join" ->
+      """WITH e AS (
+        |  SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+        |  FROM events),
+        |a AS (SELECT event_id AS a_id, t AS a_lo, t + 14400 AS a_hi
+        |      FROM e WHERE event_id % 20 = 0),
+        |b AS (SELECT event_id AS b_id, t AS b_lo, t + 28800 AS b_hi
+        |      FROM e WHERE event_id % 20 = 7)
+        |SELECT a_id, COUNT(*) AS n_overlaps,
+        |  CAST(SUM(least(a_hi, b_hi) - greatest(a_lo, b_lo)) AS BIGINT)
+        |    AS total_overlap_sec,
+        |  CAST(MAX(least(a_hi, b_hi) - greatest(a_lo, b_lo)) AS BIGINT)
+        |    AS max_overlap_sec
+        |FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi
+        |GROUP BY a_id""".stripMargin,
 
     // sequential-min funnel walk as dependent CTEs; -1 fills mirror
     // the Spark side exactly
@@ -4144,6 +4384,45 @@ object SparkEntry {
         |  FROM sh x JOIN sh y ON x.sh = y.sh
         |    AND x.doc_id >= 1000000 AND x.doc_id <> y.doc_id
         |    AND (y.doc_id < 1000000 OR x.doc_id < y.doc_id)
+        |  GROUP BY x.doc_id, y.doc_id)
+        |SELECT id_a, id_b,
+        |  round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 3) AS jaccard
+        |FROM inter
+        |JOIN sz sa ON sa.doc_id = id_a
+        |JOIN sz sb ON sb.doc_id = id_b
+        |WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 3) >= 0.5""".stripMargin,
+
+    // same shingle CTEs; the left side is the SECOND planted batch
+    // ((d-1e6)%20=10), the right side everything else (corpus, the
+    // extended batch1, and later batch2 ids) — batch2-batch2 pairs
+    // oriented a < b exactly like admitBatch's is_new rule
+    "dedup_minhash_ext" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(list_slice(string_split(text, ' '), 1,
+        |      greatest(len(string_split(text, ' ')) - 2, 1)), ' ') AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM docs),
+        |sh0 AS (
+        |  SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS sh
+        |  FROM w a
+        |  JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+        |  FROM sh x JOIN sh y ON x.sh = y.sh
+        |    AND x.doc_id >= 1000000 AND (x.doc_id - 1000000) % 20 = 10
+        |    AND x.doc_id <> y.doc_id
+        |    AND (NOT (y.doc_id >= 1000000
+        |              AND (y.doc_id - 1000000) % 20 = 10)
+        |         OR x.doc_id < y.doc_id)
         |  GROUP BY x.doc_id, y.doc_id)
         |SELECT id_a, id_b,
         |  round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 3) AS jaccard

@@ -262,6 +262,60 @@ object Graph {
     out.toSeq.toDF("peel_round", "n_nodes", "n_edges")
   }
 
+  /** Bounded-round multi-source SSSP (weighted BFS): after `rounds`
+    * relaxation rounds, every node's minimum path weight to its
+    * nearest seed over paths of ≤ `rounds` edges — the remaining
+    * standard graph member beside PageRank/CC/k-core/triangles
+    * (nearest-facility distances, crawl-frontier depth, influence
+    * radius). A FIXED round budget makes the iteration engine-exact
+    * (the kCore/pageRank argument): the oracle unrolls the same
+    * `rounds` min-relaxations and must land on identical integer
+    * distances — no convergence judgment in the contract.
+    *
+    * `edges` needs (`src`, `dst`, `w`) with non-negative integral
+    * weights (directed; pass both directions for undirected graphs);
+    * `sources` one `node` column. Returns (node, dist) for nodes
+    * within `rounds` hops of any seed; seeds are at distance 0.
+    *
+    * Scale shape: the edge table is pinned repartitioned on `src`
+    * (every round's relaxation join reuses the cached layout — the
+    * pageRank discipline, loop-scoped AQE conf included); each round
+    * is ONE shuffle-hash join plus one min-aggregation over the
+    * frontier-sized distance table, localCheckpoint-ed so lineage
+    * stays flat (distance rows are two longs — never payload). Cost:
+    * rounds × O(|E| + |reached|).
+    */
+  def sssp(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val spark = edges.sparkSession
+    val ccKey = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    val ccPrev = spark.conf.getOption(ccKey)
+    spark.conf.set(ccKey, "true")
+    try {
+      val e = edges.select(col("src").cast(LongType),
+          col("dst").cast(LongType), col("w").cast(LongType))
+        .repartition(col("src")).persist()
+      e.count() // eager fill — every round's relaxation reads it
+      var dist = sources
+        .select(col("node").cast(LongType), lit(0L).as("dist"))
+        .distinct().localCheckpoint(true)
+      for (_ <- 1 to rounds) {
+        val relaxed = e.join(dist.hint("shuffle_hash"),
+            e("src") === dist("node"))
+          .select(col("dst").as("node"),
+            (col("dist") + col("w")).as("dist"))
+        dist = dist.unionByName(relaxed)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+          .localCheckpoint(true)
+      }
+      e.unpersist(blocking = false)
+      dist
+    } finally ccPrev match {
+      case Some(v) => spark.conf.set(ccKey, v)
+      case None => spark.conf.unset(ccKey)
+    }
+  }
+
   /** Connected components over an edge DataFrame (`src`, `dst`,
     * LongType): every node labelled with the MINIMUM node id in its
     * component — the graph-analytics face of the same min-label +

@@ -47,4 +47,41 @@ object RangeJoin {
       .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
       .drop("_bin")
   }
+
+  /** Interval×interval OVERLAP join — the two-sided generalization of
+    * [[pointInInterval]]: every `left` row `[loA, hiA]` joined to
+    * every `right` row `[loB, hiB]` they overlap (inclusive bounds:
+    * `loA ≤ hiB AND loB ≤ hiA`). Spark OSS plans the naive form as a
+    * nested loop; here BOTH sides explode into the bins they span and
+    * meet in an equi-join on the bin key.
+    *
+    * Exactly-once without a dedup shuffle: an overlapping pair shares
+    * every bin the overlap region spans, so the join would emit it
+    * once per shared bin — instead the pair is kept ONLY in the bin
+    * of `greatest(loA, loB)` (the overlap's start, guaranteed to be a
+    * shared bin). That one filter replaces the candidate-pair
+    * `distinct()` a dedup formulation would shuffle.
+    *
+    * Bounds must be integral and non-negative (bins come from exact
+    * integer `div`); column names must not collide across the inputs.
+    * `binWidth` tuning as in [[pointInInterval]] — candidates scale
+    * with Σ span/binWidth per side times per-bin density.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      loA: String, hiA: String,
+                      loB: String, hiB: String,
+                      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val l = left.withColumn("_bin",
+      explode(sequence(expr(s"$loA div ${binWidth}L").cast(LongType),
+        expr(s"$hiA div ${binWidth}L").cast(LongType))))
+    val r = right.withColumn("_bin",
+      explode(sequence(expr(s"$loB div ${binWidth}L").cast(LongType),
+        expr(s"$hiB div ${binWidth}L").cast(LongType))))
+    l.join(r, Seq("_bin"))
+      .filter(col(loA) <= col(hiB) && col(loB) <= col(hiA))
+      .filter(col("_bin") ===
+        expr(s"greatest($loA, $loB) div ${binWidth}L"))
+      .drop("_bin")
+  }
 }

@@ -171,4 +171,54 @@ object Sketches {
       .otherwise(expr(s"CAST(${k - 1} AS DECIMAL(38,0)) * $KmvDomain" +
         s" div element_at($kmvCol, $k)"))
   }
+
+  // ---- Bottom-k sample sketches: mergeable QUANTILES ---------------
+  //
+  // The quantile member of the sketch-table family (HLL = distinct,
+  // CMS = frequency, KMV = set algebra): per-cell bottom-k samples.
+  // Keeping the k (hash, value) pairs with the smallest row-unique
+  // hash is a uniform random sample of the cell's rows, and a uniform
+  // sample is a mergeable quantile summary (Cormode et al., "Mergeable
+  // Summaries", PODS'12: ε-approximation error O(1/√k)) — the k
+  // smallest of a union of bottom-k cells IS the bottom-k of the
+  // union, so per-day cells roll up to any coarser grain exactly,
+  // without rescanning raw rows. Exact per-group `percentile` buffers
+  // every group value (the B14 OOM argument at 100 TB); these cells
+  // are ≤k pairs each, SUM-merge-cheap, and — because the hash is the
+  // deterministic engine-common md5 prefix — every order statistic
+  // read from them is exactly hash-oracled, not tolerance-gated.
+
+  /** Scan once into a per-(dims) bottom-k sample sketch table:
+    * `qsk` = ascending array of the cell's k smallest (row-hash,
+    * value) pairs. Map-side partials keep ≤k pairs per group per task
+    * ([[graft.functions.SampleKAgg]]); raw rows never shuffle.
+    */
+  def sampleSketchBuild(df: DataFrame, rowKeyCol: String,
+                        valueCol: String, dims: Seq[String],
+                        k: Int = 256): DataFrame =
+    df.select(dims.map(col) :+ kmvHash(col(rowKeyCol)).as("_hv")
+        :+ col(valueCol).cast("long").as("_v"): _*)
+      .groupBy(dims.map(col): _*)
+      .agg(graft.functions.SampleKAgg.bottomK(k)(col("_hv"), col("_v"))
+        .as("qsk"))
+
+  /** Merge sketch cells down to coarser `dims`: union the pair sets,
+    * keep the k lexicographically smallest — exact w.r.t. a direct
+    * build of the coarser cell over disjoint fine cells
+    * (spec-asserted). Cells are ≤k-pair arrays: kilobytes per group.
+    */
+  def sampleSketchMerge(sketches: DataFrame, dims: Seq[String],
+                        k: Int = 256): DataFrame =
+    sketches.groupBy(dims.map(col): _*)
+      .agg(slice(array_sort(flatten(collect_list(col("qsk")))), 1, k)
+        .as("qsk"))
+
+  /** Order-statistic read: the `permille`-quantile of a cell's sample
+    * by the nearest-rank convention `index = 1 + (p·(n−1)) div 1000`
+    * over the sample's ascending values — pure integer arithmetic, so
+    * both engines land on the same element.
+    */
+  def sampleSketchQuantile(qskCol: String, permille: Int) =
+    expr(s"element_at(array_sort(transform($qskCol, x -> x._2)), " +
+      s"CAST(1 + ($permille * (size($qskCol) - 1)) div 1000 AS INT))")
 }

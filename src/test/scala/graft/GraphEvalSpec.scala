@@ -137,6 +137,30 @@ class GraphEvalSpec extends AnyFunSuite with SparkSpec {
     assert(got === List((1, 4L, 4L), (2, 3L, 3L), (3, 3L, 3L)))
   }
 
+  test("sssp: hand-computed weighted distances, relaxation beats the " +
+      "greedy hop path, beyond-budget nodes stay unreached") {
+    import spark.implicits._
+    // 1 →(10) 2 →(1) 3 →(1) 4 →(1) 5 →(1) 6 ; shortcut 1 →(1) 4
+    // seeds {1}: dist(4) = 1 via the shortcut, dist(3) = 11 via 2;
+    // node 6 is 3 hops past the shortcut — within rounds=4 at dist 3
+    val edges = Seq((1L, 2L, 10L), (2L, 3L, 1L), (3L, 4L, 1L),
+      (4L, 5L, 1L), (5L, 6L, 1L), (1L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.sssp(edges, seeds, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 10L, 3L -> 11L, 4L -> 1L,
+      5L -> 2L, 6L -> 3L))
+    // rounds=1 truncates: only direct neighbors reached
+    val r1 = Graph.sssp(edges, seeds, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 === Map(1L -> 0L, 2L -> 10L, 4L -> 1L))
+    // multi-source: nearest seed wins
+    val ms = Graph.sssp(edges, Seq(1L, 5L).toDF("node"), rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ms(6L) === 1L && ms(4L) === 1L && ms(5L) === 0L)
+  }
+
   test("aucMicro hits the closed-form corners") {
     // perfect separation: all positives score above all negatives
     val perfect = Seq((1L, 0L), (2L, 0L), (10L, 1L), (11L, 1L))

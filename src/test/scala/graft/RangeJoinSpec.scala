@@ -39,6 +39,43 @@ class RangeJoinSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("interval overlap join: exactly-once pairs, inclusive bounds, " +
+      "matches the naive overlap join on seeded random intervals") {
+    for (seed <- Seq(5, 17)) {
+      val rnd = new scala.util.Random(seed)
+      val as = (1 to 120).map { i =>
+        val lo = rnd.nextInt(1000).toLong
+        (i.toLong, lo, lo + rnd.nextInt(300).toLong)
+      }.toDF("a_id", "a_lo", "a_hi")
+      val bs = (1 to 90).map { i =>
+        val lo = rnd.nextInt(1000).toLong
+        (i.toLong + 1000, lo, lo + rnd.nextInt(150).toLong)
+      }.toDF("b_id", "b_lo", "b_hi")
+      for (bw <- Seq(13L, 128L, 2000L)) {
+        val binned = RangeJoin.intervalOverlap(as, bs,
+          "a_lo", "a_hi", "b_lo", "b_hi", bw).select("a_id", "b_id")
+        val naive = as.join(bs,
+          col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+          .select("a_id", "b_id")
+        // exceptAll both ways ALSO proves exactly-once: a pair
+        // emitted twice by the binned side would survive the first
+        // exceptAll against the naive join's single copy
+        assert(binned.exceptAll(naive).isEmpty &&
+          naive.exceptAll(binned).isEmpty, s"seed $seed binWidth $bw")
+      }
+    }
+  }
+
+  test("interval overlap join: bin-key equi-join plan, no nested loop") {
+    val as = Seq((1L, 0L, 100L)).toDF("a_id", "a_lo", "a_hi")
+    val bs = Seq((2L, 50L, 150L)).toDF("b_id", "b_lo", "b_hi")
+    val plan = RangeJoin.intervalOverlap(as, bs,
+      "a_lo", "a_hi", "b_lo", "b_hi", 60L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("binned range join matches the naive BETWEEN join on events") {
     val e = Tables.events(spark, sf).select(col("event_id"),
       unix_timestamp(col("ts")).as("sec"))

@@ -88,6 +88,61 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     assert(direct.except(merged).count() === 0)
   }
 
+  test("sample sketch: merging fine cells equals a direct coarse build " +
+      "and is partitioning-invariant") {
+    val k = 64
+    val ev = Tables.events(spark, sf).select(col("event_type"),
+      col("event_id"), col("user_id"),
+      expr("unix_timestamp(ts) div 86400").as("day"))
+    val fine = Sketches.sampleSketchBuild(ev, "event_id", "user_id",
+      Seq("event_type", "day"), k)
+    val merged = Sketches.sampleSketchMerge(fine, Seq("event_type"), k)
+    val direct = Sketches.sampleSketchBuild(ev.repartition(3), "event_id",
+      "user_id", Seq("event_type"), k)
+    // bottom-k of a union of bottom-ks = bottom-k of the union; the
+    // pair set is a function of the data alone
+    assert(merged.except(direct).count() === 0)
+    assert(direct.except(merged).count() === 0)
+  }
+
+  test("sample sketch: below-k cells hold every row exactly, and the " +
+      "nearest-rank read matches a hand-computed quantile") {
+    import spark.implicits._
+    // 9 rows, ids 1..9, values 10·id → sample = all rows (k > n);
+    // p50 index = 1 + (500·8)//1000 = 5 → value 50; p990 → 8 → ...
+    val toy = (1L to 9L).map(i => (i, 10L * i)).toDF("id", "v")
+    val sk = Sketches.sampleSketchBuild(toy, "id", "v", Seq.empty, k = 64)
+      .select(size(col("qsk")).as("n"),
+        Sketches.sampleSketchQuantile("qsk", 0).as("p0"),
+        Sketches.sampleSketchQuantile("qsk", 500).as("p50"),
+        Sketches.sampleSketchQuantile("qsk", 1000).as("p100"))
+      .head()
+    assert(sk.getInt(0) === 9)
+    assert(sk.getLong(1) === 10L) // min
+    assert(sk.getLong(2) === 50L) // median of 10..90
+    assert(sk.getLong(3) === 90L) // max
+  }
+
+  test("sample sketch: above-k quantile estimates track exact " +
+      "percentiles within the O(1/sqrt(k)) rank band") {
+    val k = 256
+    val ev = Tables.events(spark, sf).select(col("event_id"),
+      expr("CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT)")
+        .as("cents"))
+    val est = Sketches.sampleSketchBuild(ev, "event_id", "cents",
+        Seq.empty, k)
+      .select(Sketches.sampleSketchQuantile("qsk", 500).as("p50"))
+      .head().getLong(0)
+    // rank contract (the approx-percentile gate pattern): the
+    // estimated median's true rank must sit within ±4/sqrt(k) of 0.5
+    val n = ev.count()
+    val below = ev.filter(col("cents") < est).count()
+    val atMost = ev.filter(col("cents") <= est).count()
+    val tol = (4.0 / math.sqrt(k) * n).toLong
+    assert(below <= n / 2 + tol && atMost >= n / 2 - tol,
+      s"p50=$est below=$below atMost=$atMost n=$n tol=$tol")
+  }
+
   test("KMV: exact below k, within 15% above k, and set-op estimates " +
     "bounded by their operands") {
     // small k forces the estimation regime on real data
