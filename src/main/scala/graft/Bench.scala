@@ -36,6 +36,36 @@ object Bench {
     // optional args: restrict to named queries (local iteration);
     // the driver always runs with none.
     val only: Set[String] = args.toSet
+    // per-query CPU-seconds beside wall time (round-8 verdict: the
+    // r7→r8 wall diff was unreadable without it — single-row-group
+    // testdata inflated wall uniformly while CPU stayed flat): a
+    // listener sums executor CPU ns across task ends; the listener
+    // bus is drained before each snapshot so deltas attribute to the
+    // right query
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null)
+            cpuNs.addAndGet(m.executorCpuTime + m.executorDeserializeCpuTime): Unit
+        }
+      })
+    val drainBus: () => Unit = {
+      // LiveListenerBus.waitUntilEmpty() is private[spark]; reflection
+      // with a sleep fallback keeps the accounting honest either way
+      try {
+        val m = spark.sparkContext.getClass.getMethod("listenerBus")
+        val bus = m.invoke(spark.sparkContext)
+        val w = bus.getClass.getMethods
+          .find(x => x.getName == "waitUntilEmpty" && x.getParameterCount == 0)
+        () => w match {
+          case Some(f) => f.invoke(bus): Unit
+          case None => Thread.sleep(200)
+        }
+      } catch { case _: Throwable => () => Thread.sleep(200) }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
@@ -44,15 +74,19 @@ object Bench {
         .foreach(_.unpersist(blocking = true))
       System.gc() // lets the ContextCleaner drop dead checkpoint blocks
       var err: Option[String] = None
-      val times = (1 to 2).map { _ =>
+      val timesCpu = (1 to 2).map { _ =>
+        drainBus()
+        val c0 = cpuNs.get()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
             err = Some(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}")
         }
-        (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        drainBus()
+        (wall, (cpuNs.get() - c0) / 1e9)
       }
-      (name, times, err)
+      (name, timesCpu.map(_._1), err, timesCpu.map(_._2))
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -61,14 +95,18 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
     val ok = results.filter(_._3.isEmpty)
-    val qs = ok.map { case (k, t, _) => jstr(k) + ":" + t.min }
+    val qs = ok.map { case (k, t, _, _) => jstr(k) + ":" + t.min }
       .mkString("{", ",", "}")
-    val reps = results.map { case (k, t, _) =>
+    val reps = results.map { case (k, t, _, _) =>
       jstr(k) + ":[" + t.mkString(",") + "]" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
+    val cpu = results.map { case (k, _, _, c) =>
+      jstr(k) + ":[" + c.map(x => f"$x%.3f").mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e), _) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = ok.map(_._2.min).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"errors":$errs,"sf":"$sfDir"}""")
+    val totalCpu = ok.map(_._4.min).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$totalCpu,"queries":$qs,"reps":$reps,"cpu":$cpu,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2194,6 +2194,26 @@ object SparkEntry {
         TextFunctions.wordCount(norm).as("norm_tokens"))
     }),
 
+    // Unicode normalization gated two ways: NFC is VALUE-exact against
+    // DuckDB's nfc_normalize (both sides decorate each doc with the
+    // same combining/precomposed/compat suffix, then length + md5
+    // fingerprint the canonical form), while NFKC — which no SQL
+    // engine exposes — gates as an expected-literal flag (the
+    // constant-true contract pattern): the decorated suffix must
+    // compatibility-fold to exactly "Å Å HI III fi Å". Kernels are
+    // codegen'd StaticInvoke expressions, map-only.
+    "text_unicode_norm" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val decorated = concat(col("text"), lit(" "), lit(UniDeco))
+      val nfc = GraftFunctions.nfc(decorated)
+      Tables.documents(s, dir).select(col("doc_id"),
+        length(nfc).cast(LongType).as("nfc_len"),
+        conv(substring(md5(nfc), 1, 15), 16, 10).cast(LongType)
+          .as("nfc_fp"),
+        (GraftFunctions.nfkc(lit(UniDeco)) === lit(UniDecoNfkc))
+          .cast(LongType).as("nfkc_ok"))
+    }),
+
     // fixed-width value histogram in integer cents (bin = 10-unit
     // buckets): exact BIGINT arithmetic end to end
     "q_histogram" -> ((s, dir) => {
@@ -3062,6 +3082,15 @@ object SparkEntry {
         when(sum(coalesce(col("hit"), lit(0))) * 1000 >=
           count(lit(1)) * minPermille, 1).otherwise(0).as(flag))
   }
+
+  /** Decoration suffix for the unicode-normalization gate: composed
+    * Å, A + combining ring, fullwidth HI, roman numeral Ⅲ, the ﬁ
+    * ligature, and the Angstrom sign — NFC composes/canonicalizes
+    * (A+ring → Å, Angstrom → Å) while NFKC additionally folds the
+    * compatibility forms to plain ASCII.
+    */
+  private val UniDeco = "Å Å ＨＩ Ⅲ ﬁ Å"
+  private val UniDecoNfkc = "Å Å HI III fi Å"
 
   private def withPlantedNearDups(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
@@ -4850,6 +4879,19 @@ object SparkEntry {
         |  len(string_split(trim(regexp_replace(regexp_replace(
         |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))
         |    AS norm_tokens
+        |FROM documents""".stripMargin,
+
+    // NFC value parity: DuckDB's nfc_normalize (utf8proc) must land on
+    // the same canonical form as the JVM kernel over the same
+    // decorated text (both are UAX#15); NFKC has no SQL counterpart —
+    // its flag re-states the Spark-side expected-literal contract
+    "text_unicode_norm" ->
+      s"""SELECT doc_id,
+        |  CAST(length(nfc_normalize(text || ' ' || '$UniDeco'))
+        |    AS BIGINT) AS nfc_len,
+        |  CAST(('0x' || substr(md5(nfc_normalize(text || ' ' ||
+        |    '$UniDeco')), 1, 15)) AS BIGINT) AS nfc_fp,
+        |  CAST(1 AS BIGINT) AS nfkc_ok
         |FROM documents""".stripMargin,
 
     "q_histogram" ->

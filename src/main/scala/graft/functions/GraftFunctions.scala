@@ -25,6 +25,8 @@ object GraftFunctions {
   val DotName = "graft_dot"
   val BloomAggName = "graft_bloom_agg"
   val BloomContainsName = "graft_bloom_contains"
+  val NfcName = "graft_nfc"
+  val NfkcName = "graft_nfkc"
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -46,6 +48,12 @@ object GraftFunctions {
       new BloomFilterAggregate(exprs(0), exprs(1), exprs(2)), "built-in")
     registry.createOrReplaceTempFunction(BloomContainsName, exprs =>
       BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(NfcName, exprs =>
+      StaticInvoke(Kernels.getClass, StringType, "nfc",
+        exprs, Seq(StringType), returnNullable = false), "built-in")
+    registry.createOrReplaceTempFunction(NfkcName, exprs =>
+      StaticInvoke(Kernels.getClass, StringType, "nfkc",
+        exprs, Seq(StringType), returnNullable = false), "built-in")
   }
 
   /** Codegen'd dot product of two array<double> columns. */
@@ -53,6 +61,12 @@ object GraftFunctions {
 
   /** 64-bit SimHash of an array<string> column. */
   def simhash(tokens: Column): Column = call_function(SimHashName, tokens)
+
+  /** Unicode NFC normalization of a string column (codegen'd). */
+  def nfc(text: Column): Column = call_function(NfcName, text)
+
+  /** Unicode NFKC (compatibility) normalization of a string column. */
+  def nfkc(text: Column): Column = call_function(NfkcName, text)
 
   /** Rolling-hash fingerprint of an array<string> column. */
   def fingerprint(tokens: Column): Column = call_function(FingerprintName, tokens)

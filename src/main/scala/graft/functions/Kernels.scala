@@ -74,6 +74,24 @@ object Kernels {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Unicode NFC normalization (UAX#15 canonical compose — the JVM's
+    * java.text.Normalizer, same algorithm utf8proc/ICU implement, so
+    * DuckDB's `nfc_normalize` is a value-exact oracle for it).
+    */
+  def nfc(s: UTF8String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFC))
+
+  /** Unicode NFKC normalization (compatibility compose: ligatures,
+    * fullwidth forms, roman numerals, unit signs fold to their plain
+    * equivalents — the pre-tokenizer pass for multilingual corpora).
+    * No SQL engine exposes NFKC, so gates on it are property
+    * contracts (expected-literal flags) plus JVM specs.
+    */
+  def nfkc(s: UTF8String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFKC))
+
   /** Dot product of two double arrays — the pair-join hot path. A
     * `zip_with`+`aggregate` HOF formulation allocates an intermediate
     * array per pair; this is a tight primitive loop over ArrayData.

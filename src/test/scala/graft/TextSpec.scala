@@ -113,4 +113,33 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Exchange"),
       s"repetitionStats must stay map-only, got:\n$plan")
   }
+
+  test("unicode kernels: NFC composes, NFKC compatibility-folds, both " +
+      "idempotent and ASCII-identity") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    // decomposed A+ring (0x41 0x30A), Angstrom sign 0x212B, fullwidth
+    // HI, roman III, fi ligature
+    val decomposed = "Å"
+    val angstrom = "Å"
+    val compat = "ＨＩ Ⅲ ﬁ"
+    val row = Seq((decomposed, angstrom, compat)).toDF("d", "a", "c")
+      .select(GraftFunctions.nfc(col("d")).as("nfc_d"),
+        GraftFunctions.nfc(col("a")).as("nfc_a"),
+        GraftFunctions.nfc(col("c")).as("nfc_c"),
+        GraftFunctions.nfkc(col("c")).as("nfkc_c"),
+        GraftFunctions.nfkc(GraftFunctions.nfkc(col("c"))).as("nfkc2_c"),
+        GraftFunctions.nfc(lit("plain ascii 123")).as("id"))
+      .head()
+    assert(row.getString(0) === "Å") // A+ring composes to Å
+    assert(row.getString(1) === "Å") // Angstrom canonicalizes to Å
+    assert(row.getString(2) === compat)   // NFC leaves compat forms
+    assert(row.getString(3) === "HI III fi") // NFKC folds them
+    assert(row.getString(4) === row.getString(3)) // idempotent
+    assert(row.getString(5) === "plain ascii 123") // ASCII fixpoint
+    // SQL surface: registered under stable names
+    assert(spark.sql("SELECT graft_nfkc('Ⅲ') AS r").head.getString(0)
+      === "III")
+  }
 }
