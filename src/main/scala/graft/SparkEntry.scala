@@ -675,6 +675,22 @@ object SparkEntry {
     "q_fuzzy_match" -> ((s, dir) =>
       FuzzyMatch.dictionaryPairs(Tables.part(s, dir), "p_name", 3)),
 
+    // COMPLETE distance-1 fuzzy matching via the deletion-neighborhood
+    // index (FastSS/SymSpell): planted last-char-truncated variants of
+    // every 10th part name guarantee true pairs, and — unlike
+    // q_fuzzy_match's first-token blocking — every distance-1 pair is
+    // found, first-character typos included (spec-proven vs the naive
+    // O(n²) join; the oracle mirrors the same key join)
+    "q_fuzzy_sym" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+      val base = p.select(col("p_name").as("name"))
+      val typos = p.filter(pmod(col("p_partkey"), lit(10)) === 0)
+        .select(expr("substring(p_name, 1, length(p_name) - 1)")
+          .as("name"))
+      FuzzyMatch.deletionNeighborhoodPairs(base.unionByName(typos),
+        "name")
+    }),
+
     // collocation mining (the n-gram-LM/tokenizer-vocabulary signal):
     // top bigrams by count with integer lift — P(ab)/(P(a)P(b))
     // simplified to (1e6·n_ab·n_w) div (n_a·n_b), all exact integers.
@@ -1145,6 +1161,24 @@ object SparkEntry {
         col("n_chars").cast(LongType),
         when(col("lang") === "en", 1L).otherwise(0L))),
 
+    // reliability-diagram calibration over a deterministic Lehmer
+    // pseudo-score (permille): per-decile size, positives, mean score
+    // and observed positive rate — integer-exact, the eval-side
+    // companion of q_auc's ranking metric
+    "q_calibration" -> ((s, dir) =>
+      Eval.calibrationBins(Tables.documents(s, dir),
+        pmod(col("doc_id") * 48271 + col("n_chars"), lit(1000)),
+        when(col("lang") === "en", 1L).otherwise(0L), bins = 10)),
+
+    // threshold sweep of the confusion matrix at 250/500/750 permille:
+    // TP/FP/FN/TN + precision/recall/F1 in integer permille from ONE
+    // scan (conditional agg over the exploded threshold list)
+    "q_eval_thresholds" -> ((s, dir) =>
+      Eval.thresholdMetrics(Tables.documents(s, dir),
+        pmod(col("doc_id") * 48271 + col("n_chars"), lit(1000)),
+        when(col("lang") === "en", 1L).otherwise(0L),
+        thresholds = Seq(250, 500, 750))),
+
     // bounded-iteration integer PageRank: micro-unit fixed point +
     // floor division + a fixed 3-round budget make an ITERATIVE graph
     // computation engine-exact (float PageRank can only be
@@ -1215,6 +1249,28 @@ object SparkEntry {
             .as("dst"))
         .filter(col("src") =!= col("dst"))
       Graph.connectedComponents(edges)
+    }),
+
+    // bounded-round LPA communities over the %4==3 edge slice: 3
+    // synchronous mode-vote rounds with (count desc, label asc)
+    // tie-breaks — deterministic, so the oracle unrolls the same
+    // rounds; argmax is one max-of-struct hash agg, never a per-node
+    // window over neighbor labels
+    "q_communities" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val m = 4L * ev.count()
+      val e = ev
+        .filter(pmod(col("event_id"), lit(4)) === 3)
+        .select(
+          pmod(pmod(col("event_id"), lit(m)) * 999983L + 1, lit(m))
+            .as("x"),
+          pmod(pmod(col("event_id"), lit(m)) * 911383L + 7, lit(m))
+            .as("y"))
+        .filter(col("x") =!= col("y"))
+        .distinct()
+      val und = e.select(col("x").as("src"), col("y").as("dst"))
+        .unionByName(e.select(col("y").as("src"), col("x").as("dst")))
+      Graph.labelPropagation(und, rounds = 3)
     }),
 
     // bounded-round multi-source SSSP over the %4==1 edge slice of
@@ -2979,6 +3035,29 @@ object SparkEntry {
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
     }),
 
+    // LEAKAGE-SAFE split assignment: the Lehmer draw runs on the
+    // near-dup CLUSTER id, not the doc id, so every near-duplicate
+    // family lands in ONE split — the contamination-proof version of
+    // split_assign (a test doc's near-dups in train is silent eval
+    // leakage; spec-asserted: no jaccard pair crosses splits).
+    // Singletons are their own cluster (coalesce to doc_id).
+    "split_by_cluster" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val clusters = Dedup.clusters(
+        Dedup.ngramJaccard(docs, "doc_id", "text",
+          shingleN = 3, minJaccard = 0.1, maxShingleDf = 50),
+        "id_a", "id_b")
+      val withCl = docs.select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      val draw = pmod(col("cluster_id") * 48271, lit(1000003L))
+      withCl.select(col("doc_id"), col("cluster_id"),
+        when(draw * 10 < 1000003L * 8, "train")
+          .when(draw * 10 < 1000003L * 9, "val")
+          .otherwise("test").as("split"))
+    }),
+
     // sentence-granular exact dedup over the planted-copy corpus:
     // every sentence of a planted copy re-occurs, so n_kept = 0 for
     // copies while originals keep everything not already seen
@@ -3410,6 +3489,30 @@ object SparkEntry {
         |FROM names a JOIN names b
         |  ON a.blk = b.blk AND a.name < b.name
         |WHERE levenshtein(a.name, b.name) <= 3""".stripMargin,
+
+    // the same deletion-key candidate join, then the exact verify —
+    // both engines generate identical N(s) = {s} ∪ del1(s) keys
+    "q_fuzzy_sym" ->
+      """WITH names0 AS (
+        |  SELECT p_name AS name FROM part
+        |  UNION ALL
+        |  SELECT substr(p_name, 1, length(p_name) - 1) FROM part
+        |  WHERE p_partkey % 10 = 0),
+        |names AS (SELECT DISTINCT name FROM names0),
+        |k0 AS (
+        |  SELECT name, unnest(generate_series(0, length(name))) AS i
+        |  FROM names),
+        |keys AS (
+        |  SELECT DISTINCT name,
+        |    CASE WHEN i = 0 THEN name
+        |         ELSE substr(name, 1, i - 1) || substr(name, i + 1)
+        |    END AS k
+        |  FROM k0),
+        |cand AS (
+        |  SELECT DISTINCT a.name AS name_a, b.name AS name_b
+        |  FROM keys a JOIN keys b ON a.k = b.k AND a.name < b.name)
+        |SELECT name_a, name_b, levenshtein(name_a, name_b) AS dist
+        |FROM cand WHERE levenshtein(name_a, name_b) <= 1""".stripMargin,
 
     "q_asof" ->
       """WITH p AS (
@@ -3870,6 +3973,45 @@ object SparkEntry {
 
     // identical integer rank algebra; CASTs pin DuckDB's HUGEINT sums
     // back to BIGINT for the hash
+    // same Lehmer pseudo-score; bins and ratios by floor division
+    "q_calibration" ->
+      """WITH sc AS (
+        |  SELECT (doc_id * 48271 + n_chars) % 1000 AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents)
+        |SELECT CAST(least(s // 100, 9) AS BIGINT) AS bin,
+        |  COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+        |  CAST(SUM(s) // COUNT(*) AS BIGINT) AS mean_score_pml,
+        |  CAST(SUM(y) * 1000 // COUNT(*) AS BIGINT) AS pos_rate_pml
+        |FROM sc GROUP BY 1""".stripMargin,
+
+    // one pass over scores × the unnested threshold list; permille
+    // ratios floor-divide with NULL on empty denominators
+    "q_eval_thresholds" ->
+      """WITH sc AS (
+        |  SELECT (doc_id * 48271 + n_chars) % 1000 AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |t AS (SELECT unnest([250, 500, 750]) AS threshold),
+        |g AS (
+        |  SELECT threshold,
+        |    CAST(SUM(CASE WHEN s >= threshold THEN y ELSE 0 END)
+        |      AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN s >= threshold THEN 1 - y ELSE 0 END)
+        |      AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN s < threshold THEN y ELSE 0 END)
+        |      AS BIGINT) AS fn,
+        |    CAST(SUM(CASE WHEN s < threshold THEN 1 - y ELSE 0 END)
+        |      AS BIGINT) AS tn
+        |  FROM sc, t GROUP BY threshold)
+        |SELECT CAST(threshold AS BIGINT) AS threshold, tp, fp, fn, tn,
+        |  CAST(tp * 1000 // nullif(tp + fp, 0) AS BIGINT)
+        |    AS precision_pml,
+        |  CAST(tp * 1000 // nullif(tp + fn, 0) AS BIGINT) AS recall_pml,
+        |  CAST(2 * tp * 1000 // nullif(2 * tp + fp + fn, 0) AS BIGINT)
+        |    AS f1_pml
+        |FROM g""".stripMargin,
+
     "q_auc" ->
       """WITH d AS (
         |  SELECT n_chars AS score,
@@ -3948,6 +4090,39 @@ object SparkEntry {
         |  UNION
         |  SELECT r.node, u.b FROM r JOIN und u ON u.a = r.reach)
         |SELECT node, MIN(reach) AS component FROM r GROUP BY node""".stripMargin,
+
+    // 3 unrolled synchronous mode-vote rounds; the per-node argmax
+    // mirrors Spark's max(struct(c, -lbl)) as rn=1 over
+    // (COUNT DESC, lbl)
+    "q_communities" ->
+      """WITH t AS (SELECT 4 * COUNT(*) AS m FROM events),
+        |e0 AS (
+        |  SELECT ((((event_id % t.m) + t.m) % t.m) * 999983 + 1) % t.m AS x,
+        |    ((((event_id % t.m) + t.m) % t.m) * 911383 + 7) % t.m AS y
+        |  FROM events, t WHERE ((event_id % 4) + 4) % 4 = 3),
+        |e1 AS (SELECT DISTINCT x, y FROM e0 WHERE x <> y),
+        |und AS (SELECT x AS a, y AS b FROM e1
+        |        UNION SELECT y, x FROM e1),
+        |l0 AS (SELECT DISTINCT b AS node, b AS lbl FROM und),
+        |l1 AS (SELECT node, lbl FROM (
+        |  SELECT u.b AS node, p.lbl AS lbl,
+        |    ROW_NUMBER() OVER (PARTITION BY u.b
+        |      ORDER BY COUNT(*) DESC, p.lbl) AS rn
+        |  FROM und u JOIN l0 p ON p.node = u.a
+        |  GROUP BY u.b, p.lbl) WHERE rn = 1),
+        |l2 AS (SELECT node, lbl FROM (
+        |  SELECT u.b AS node, p.lbl AS lbl,
+        |    ROW_NUMBER() OVER (PARTITION BY u.b
+        |      ORDER BY COUNT(*) DESC, p.lbl) AS rn
+        |  FROM und u JOIN l1 p ON p.node = u.a
+        |  GROUP BY u.b, p.lbl) WHERE rn = 1),
+        |l3 AS (SELECT node, lbl FROM (
+        |  SELECT u.b AS node, p.lbl AS lbl,
+        |    ROW_NUMBER() OVER (PARTITION BY u.b
+        |      ORDER BY COUNT(*) DESC, p.lbl) AS rn
+        |  FROM und u JOIN l2 p ON p.node = u.a
+        |  GROUP BY u.b, p.lbl) WHERE rn = 1)
+        |SELECT node, CAST(lbl AS BIGINT) AS lbl FROM l3""".stripMargin,
 
     // 4 unrolled min-relaxation rounds over the same pmod-mirrored
     // edge arithmetic; seeds are distance-0 rows in d0
@@ -4667,6 +4842,54 @@ object SparkEntry {
         |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst)
         |SELECT id AS doc_id, MIN(r) AS cluster_id
         |FROM reach GROUP BY id""".stripMargin,
+
+    // dedup_clusters' closure CTEs + the split_assign Lehmer draw on
+    // the cluster id; singletons coalesce to their own doc id
+    "split_by_cluster" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS sh
+        |  FROM w a
+        |  JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |shj AS (
+        |  SELECT s.doc_id, s.sh FROM sh s
+        |  JOIN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 50) k
+        |    ON k.sh = s.sh),
+        |inter AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+        |  FROM shj x JOIN shj y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sz sa ON sa.doc_id = id_a
+        |  JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 3) >= 0.1),
+        |e AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst),
+        |cl AS (SELECT id AS doc_id, MIN(r) AS cluster_id
+        |       FROM reach GROUP BY id),
+        |assigned AS (
+        |  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id)
+        |    AS cluster_id
+        |  FROM documents d LEFT JOIN cl USING (doc_id))
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN (cluster_id * 48271) % 1000003 * 10 < 1000003 * 8
+        |         THEN 'train'
+        |       WHEN (cluster_id * 48271) % 1000003 * 10 < 1000003 * 9
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM assigned""".stripMargin,
 
     "dedup_cosine" ->
       """WITH d AS (

@@ -27,6 +27,55 @@ import org.apache.spark.sql.types._
   */
 object Eval {
 
+  /** Reliability-diagram calibration bins: a permille score [0,1000]
+    * bucketed into `bins` equal-width cells, each reporting size,
+    * positives, mean score, and the observed positive rate — all in
+    * exact integer permille (floor division), so a calibration curve
+    * hash-oracles. One hash aggregation; bins-row output.
+    */
+  def calibrationBins(df: DataFrame, scorePml: Column, label: Column,
+                      bins: Int = 10): DataFrame = {
+    val w = 1000 / bins
+    df.select(scorePml.cast(LongType).as("s"),
+        label.cast(LongType).as("y"))
+      .groupBy(expr(s"least(s div $w, ${bins - 1})").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        expr("sum(s) div count(1)").as("mean_score_pml"),
+        expr("sum(y) * 1000 div count(1)").as("pos_rate_pml"))
+  }
+
+  /** Threshold sweep of the confusion matrix: for each threshold t
+    * (predict positive iff score ≥ t), TP/FP/FN/TN plus integer
+    * permille precision/recall/F1 — `f1 = 2·tp·1000 div (2·tp+fp+fn)`
+    * keeps the harmonic mean in one floor division. ONE scan builds
+    * all thresholds (conditional aggregation over a broadcast-exploded
+    * threshold list); zero-denominator cells emit NULL via nullif, the
+    * convention both engines share.
+    */
+  def thresholdMetrics(df: DataFrame, scorePml: Column, label: Column,
+                       thresholds: Seq[Int]): DataFrame = {
+    val scored = df.select(scorePml.cast(LongType).as("s"),
+      label.cast(LongType).as("y"))
+    val th = explode(array(thresholds.map(t => lit(t.toLong)): _*))
+    scored.select(col("s"), col("y"), th.as("threshold"))
+      .groupBy(col("threshold"))
+      .agg(
+        sum(when(col("s") >= col("threshold"), col("y"))
+          .otherwise(0L)).as("tp"),
+        sum(when(col("s") >= col("threshold"), lit(1L) - col("y"))
+          .otherwise(0L)).as("fp"),
+        sum(when(col("s") < col("threshold"), col("y"))
+          .otherwise(0L)).as("fn"),
+        sum(when(col("s") < col("threshold"), lit(1L) - col("y"))
+          .otherwise(0L)).as("tn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        col("tn"),
+        expr("tp * 1000 div nullif(tp + fp, 0)").as("precision_pml"),
+        expr("tp * 1000 div nullif(tp + fn, 0)").as("recall_pml"),
+        expr("2 * tp * 1000 div nullif(2 * tp + fp + fn, 0)")
+          .as("f1_pml"))
+  }
+
   /** 1-row frame (n1, n0, auc_micro): AUC·10⁶ of `score` predicting
     * `label` (0/1), floor-rounded. Requires both classes present.
     */

@@ -36,4 +36,40 @@ object FuzzyMatch {
       .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
         col("dist"))
   }
+
+  /** COMPLETE edit-distance-1 pairs over the distinct value dictionary
+    * via the deletion-neighborhood index (the FastSS / SymSpell
+    * trick): `ed(a,b) ≤ 1` implies `N(a) ∩ N(b) ≠ ∅` where
+    * `N(s) = {s} ∪ {s with one char deleted}` — a deletion from one
+    * side covers insert/delete edits, matching single-deletion forms
+    * covers substitutions. Candidates come from ONE equi-join on the
+    * deletion key, then the exact levenshtein verify keeps true pairs,
+    * so unlike [[dictionaryPairs]]' first-token blocking this finds
+    * EVERY distance-1 pair — including first-character typos —
+    * without an O(n²) dictionary self-join (spec-asserted against the
+    * naive join).
+    *
+    * Scale shape: the key table is Σ(len+1) rows over the dictionary
+    * (dictionary-sized × mean length, never fact-sized); the join
+    * shuffles on well-spread string keys; duplicate candidate routes
+    * (a pair can share several deletion keys) dedup at candidate
+    * volume. Returns `(name_a, name_b, dist)`, `name_a < name_b`,
+    * `dist ≤ 1`.
+    */
+  def deletionNeighborhoodPairs(df: DataFrame,
+                                strCol: String): DataFrame = {
+    val keyed = df.select(col(strCol).as("name")).distinct()
+      .select(col("name"), explode(expr(
+        "transform(sequence(0, length(name)), i -> CASE WHEN i = 0 " +
+          "THEN name ELSE concat(substring(name, 1, i - 1), " +
+          "substring(name, i + 1, length(name))) END)")).as("k"))
+      .distinct() // deleting either of two equal adjacent chars
+                  // yields the same key — one route is enough
+    keyed.alias("a").join(keyed.alias("b"),
+        col("a.k") === col("b.k") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .dropDuplicates("name_a", "name_b")
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 1)
+  }
 }

@@ -316,6 +316,63 @@ object Graph {
     }
   }
 
+  /** Bounded-round label-propagation community detection (LPA,
+    * Raghavan et al. 2007) — the modularity-free community member of
+    * the graph family: every node starts labelled with itself and
+    * each SYNCHRONOUS round adopts the most frequent label among its
+    * neighbors, ties to the smallest label — a deterministic total
+    * order, so a FIXED round budget makes the iteration engine-exact
+    * (the kCore/pageRank/sssp rule) and the oracle unrolls the same
+    * rounds. Communities are denser than connected components: a
+    * bridge edge joins components but rarely flips a majority.
+    *
+    * `edges` must carry both directions of each undirected edge;
+    * duplicates are removed (message counts are mode votes — the
+    * multiset must be canonical). Returns (node, lbl) after `rounds`.
+    *
+    * Scale shape: per round ONE shuffle-hash join of the pinned edge
+    * table against the label frame, one (node, lbl) count, and one
+    * max-of-struct argmax — `max(struct(cnt, -lbl))` picks
+    * highest-count-then-lowest-label in a single hash aggregation, NO
+    * per-node window over neighbor labels. Rounds × O(|E|).
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val spark = edges.sparkSession
+    val ccKey = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    val ccPrev = spark.conf.getOption(ccKey)
+    spark.conf.set(ccKey, "true")
+    try {
+      val e = edges.select(col("src").cast(LongType),
+          col("dst").cast(LongType))
+        .filter(col("src") =!= col("dst"))
+        .repartition(col("src"))
+        .dropDuplicates("src", "dst")
+        .persist()
+      e.count() // eager fill — every round's vote join reads it
+      // with both directions present every node occurs as dst
+      var labels = e.select(col("dst").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl"))
+        .localCheckpoint(true)
+      for (_ <- 1 to rounds) {
+        labels = e.join(labels.hint("shuffle_hash"),
+            e("src") === labels("node"))
+          .select(col("dst").as("node"), col("lbl"))
+          .groupBy(col("node"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("node"))
+          .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+          .select(col("node"), (-col("m.nl")).as("lbl"))
+          .localCheckpoint(true)
+      }
+      e.unpersist(blocking = false)
+      labels
+    } finally ccPrev match {
+      case Some(v) => spark.conf.set(ccKey, v)
+      case None => spark.conf.unset(ccKey)
+    }
+  }
+
   /** Connected components over an edge DataFrame (`src`, `dst`,
     * LongType): every node labelled with the MINIMUM node id in its
     * component — the graph-analytics face of the same min-label +

@@ -533,6 +533,29 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(got === expect)
   }
 
+  test("split_by_cluster: no near-dup pair ever crosses splits, every " +
+      "doc is assigned exactly once") {
+    val assigned = SparkEntry.queries("split_by_cluster")(spark, sf)
+      .persist()
+    val docs = Tables.documents(spark, sf)
+    assert(assigned.count() === docs.count())
+    assert(assigned.select("doc_id").distinct().count() === docs.count())
+    // leakage check: join the jaccard pair list against the split of
+    // each side — zero pairs may straddle splits
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
+      shingleN = 3, minJaccard = 0.1, maxShingleDf = 50)
+    val crossed = pairs
+      .join(assigned.select(col("doc_id").as("id_a"),
+        col("split").as("split_a")), "id_a")
+      .join(assigned.select(col("doc_id").as("id_b"),
+        col("split").as("split_b")), "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .count()
+    assert(crossed === 0L)
+    assert(pairs.count() > 0) // the property is non-vacuous here
+    assigned.unpersist(blocking = false)
+  }
+
   test("decontaminate broadcasts the benchmark side (no corpus self-join)") {
     val docs10 = docs
     val plan = Dedup.decontaminate(

@@ -161,6 +161,48 @@ class GraphEvalSpec extends AnyFunSuite with SparkSpec {
     assert(ms(6L) === 1L && ms(4L) === 1L && ms(5L) === 0L)
   }
 
+  test("labelPropagation: two cliques joined by a bridge keep their " +
+      "own min-id communities; a clique converges to its min id") {
+    import spark.implicits._
+    def undirected(ps: Seq[(Long, Long)]) =
+      (ps ++ ps.map(p => (p._2, p._1))).toDF("src", "dst")
+    // cliques {1,2,3} and {10,11,12} joined by bridge 3-10
+    val g = undirected(Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)))
+    val got = Graph.labelPropagation(g, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-run synchronous rounds: r1 votes are neighbor self-labels
+    // (3's id crosses the bridge into 10), r2/r3 settle each clique on
+    // one label — left on its min id 1, right on the leaked bridge
+    // label 3. The two communities stay DISTINCT: the single bridge
+    // never merges them, which is what separates LPA from CC.
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L), s"got $got")
+  }
+
+  test("calibrationBins and thresholdMetrics match closed-form " +
+      "hand-computed values, F1 harmonic mean exact") {
+    import spark.implicits._
+    val toy = Seq((950L, 1L), (850L, 1L), (450L, 0L), (50L, 0L))
+      .toDF("s", "y")
+    val cal = Eval.calibrationBins(toy, col("s"), col("y"), bins = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(cal(9L) === ((1L, 1L, 950L, 1000L)))
+    assert(cal(8L) === ((1L, 1L, 850L, 1000L)))
+    assert(cal(4L) === ((1L, 0L, 450L, 0L)))
+    assert(cal(0L) === ((1L, 0L, 50L, 0L)))
+    val th = Eval.thresholdMetrics(toy, col("s"), col("y"),
+        Seq(500, 900))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    // t=500: perfect split → P=R=F1=1000
+    assert(th(500L) === ((2L, 0L, 0L, 2L, 1000L, 1000L, 1000L)))
+    // t=900: one positive missed → R=500, F1 = 2000/3 = 666
+    assert(th(900L) === ((1L, 0L, 1L, 2L, 1000L, 500L, 666L)))
+  }
+
   test("aucMicro hits the closed-form corners") {
     // perfect separation: all positives score above all negatives
     val perfect = Seq((1L, 0L), (2L, 0L), (10L, 1L), (11L, 1L))
