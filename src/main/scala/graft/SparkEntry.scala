@@ -700,6 +700,58 @@ object SparkEntry {
     // sized and broadcast twice. BIGINT envelope: n_ab·n_w ≤ 9.2e12 —
     // past that, accumulate the product in DECIMAL(38,0) like
     // q_moments.
+    // co-purchase graph ("customers who bought A also bought B"): the
+    // bipartite customer×part projection with the maxBasket skew
+    // guard gate-visible — pairs count CUSTOMERS, support ≥ 2,
+    // deterministic top-100
+    "q_copurchase" -> ((s, dir) => {
+      val baskets = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      operators.CoOccur.pairCounts(baskets, "cust", "part",
+          maxBasket = 40)
+        .filter(col("n_co") >= 2)
+        .orderBy(col("n_co").desc, col("item_a"), col("item_b"))
+        .limit(100)
+    }),
+
+    // skip-gram PMI co-occurrence (window ±2, unordered pairs): the
+    // word-association matrix behind PPMI embeddings —
+    // lift = P(ab)/(P(a)P(b)) = n_ab·N² / (T·n_a·n_b) in exact
+    // integer micro units, DECIMAL(38,0) numerators (the
+    // q_collocations envelope rule); pair generation is a MAP-ONLY
+    // zip of each doc's token array against its 1- and 2-shifted
+    // tails, so only pair counts ever shuffle
+    "q_skipgram_pmi" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      def pairsAt(d: Int) = zip_with(
+        slice(words, lit(1), greatest(size(words) - d, lit(0))),
+        slice(words, lit(1 + d), greatest(size(words) - d, lit(0))),
+        (a, b) => struct(least(a, b).as("w_a"), greatest(a, b).as("w_b")))
+      val docs = Tables.documents(s, dir)
+      val co = docs
+        .select(explode(concat(pairsAt(1), pairsAt(2))).as("p"))
+        .select(col("p.w_a").as("w_a"), col("p.w_b").as("w_b"))
+        .groupBy("w_a", "w_b").agg(count(lit(1)).as("n_ab"))
+      val uni = docs.select(explode(words).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+      // vocabulary-sized tables: no broadcast hint (Heaps-law growth —
+      // the q_lm_score rule); the two 1-row totals do broadcast
+      val tot = uni.agg(sum(col("n")).cast(LongType).as("n_tok"))
+        .crossJoin(co.agg(sum(col("n_ab")).cast(LongType).as("t_pairs")))
+      co.join(uni.select(col("w").as("w_a"), col("n").as("n_a")), "w_a")
+        .join(uni.select(col("w").as("w_b"), col("n").as("n_b")), "w_b")
+        .crossJoin(broadcast(tot))
+        .filter(col("n_ab") >= 3)
+        .select(col("w_a"), col("w_b"), col("n_ab"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_ab * n_tok" +
+            " * n_tok) div (CAST(t_pairs AS DECIMAL(38,0)) * n_a * n_b)" +
+            " AS BIGINT)").as("pmi_lift_micro"))
+        .orderBy(col("pmi_lift_micro").desc, col("w_a"), col("w_b"))
+        .limit(50)
+    }),
+
     "q_collocations" -> ((s, dir) => {
       val words = split(col("text"), " ")
       val pairs = zip_with(
@@ -3454,6 +3506,48 @@ object SparkEntry {
         |FROM ranked WHERE rank <= 3""".stripMargin,
 
     // positional bigrams via the proven w/pos CTE; same integer lift
+    // the basket projection with the same maxBasket guard; pairs
+    // count customers once (DISTINCT membership first)
+    "q_copurchase" ->
+      """WITH b AS (
+        |  SELECT DISTINCT o_custkey AS g, l_partkey AS it
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |small AS (SELECT g FROM b GROUP BY g HAVING COUNT(*) <= 40),
+        |bb AS (SELECT b.g, b.it FROM b SEMI JOIN small USING (g)),
+        |co AS (
+        |  SELECT x.it AS item_a, y.it AS item_b, COUNT(*) AS n_co
+        |  FROM bb x JOIN bb y ON x.g = y.g AND x.it < y.it
+        |  GROUP BY 1, 2)
+        |SELECT item_a, item_b, n_co FROM co WHERE n_co >= 2
+        |ORDER BY n_co DESC, item_a, item_b LIMIT 100""".stripMargin,
+
+    // positional window join |Δpos| ∈ {1,2} with least/greatest
+    // canonicalization; HUGEINT mirrors the DECIMAL(38,0) numerators
+    "q_skipgram_pmi" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |pr AS (
+        |  SELECT least(a.word, b.word) AS w_a,
+        |    greatest(a.word, b.word) AS w_b
+        |  FROM w a JOIN w b ON b.doc_id = a.doc_id
+        |    AND b.pos - a.pos IN (1, 2)),
+        |co AS (SELECT w_a, w_b, COUNT(*) AS n_ab FROM pr GROUP BY 1, 2),
+        |uni AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tok FROM uni),
+        |tp AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS t_pairs FROM co)
+        |SELECT w_a, w_b, n_ab,
+        |  CAST((CAST(1000000 AS HUGEINT) * n_ab * n_tok * n_tok)
+        |    // (CAST(t_pairs AS HUGEINT) * ua.n * ub.n) AS BIGINT)
+        |    AS pmi_lift_micro
+        |FROM co
+        |JOIN uni ua ON ua.word = w_a
+        |JOIN uni ub ON ub.word = w_b
+        |CROSS JOIN tot CROSS JOIN tp
+        |WHERE n_ab >= 3
+        |ORDER BY pmi_lift_micro DESC, w_a, w_b LIMIT 50""".stripMargin,
+
     "q_collocations" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,

@@ -54,6 +54,7 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
       "q_interpolate", // type × hour scaffold (q_gen_series shape)
       "q_chi2", // marginal grid: langs × broadcast sources × 1-row total
       "q_collocations", // 1-row broadcast word total × bigram counts
+      "q_skipgram_pmi", // 1-row broadcast (n_tok, t_pairs) × pair counts
       "q_heavy_hitters", // 1-row broadcast token total × candidate counts
       "q_pagerank", // 1-row broadcast node count × the node frame
       "q_cms", // 1-row broadcast stream total × the estimate frame
