@@ -940,6 +940,36 @@ object SparkEntry {
             .as("cms_within_eps"))
     }),
 
+    // equi-join SIZE estimation from CMS sketches (the AMS inner
+    // product): how many (view, purchase) row pairs join on user_id,
+    // answered from two kilobyte cell tables before running the join.
+    // Estimate values are engine-internal (xxhash64 buckets), so the
+    // gate is the q_cms contract: the SQL-expressible TRUE join size
+    // plus never-undercount and within-ε·|A|·|B| flags
+    "q_cms_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val a = ev.filter(col("event_type") === "view")
+      val b = ev.filter(col("event_type") === "purchase")
+      val est = Sketches.cmsInnerProduct(
+        Sketches.cmsBuild(a, "user_id", Seq.empty),
+        Sketches.cmsBuild(b, "user_id", Seq.empty))
+      val truth = a.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("na"))
+        .join(b.groupBy(col("user_id")).agg(count(lit(1)).as("nb")),
+          "user_id")
+        .agg(coalesce(sum(expr("na * nb")), lit(0L)).cast(LongType)
+          .as("true_join_size"))
+        .crossJoin(a.agg(count(lit(1)).as("ta")))
+        .crossJoin(b.agg(count(lit(1)).as("tb")))
+      truth.crossJoin(broadcast(est))
+        .select(col("true_join_size"),
+          when(col("join_size_est") >= col("true_join_size"), 1)
+            .otherwise(0).as("ip_ge_true"),
+          when(col("join_size_est") <= col("true_join_size") +
+            expr("(4 * ta * tb) div 2048") + lit(8L), 1).otherwise(0)
+            .as("ip_within_eps"))
+    }),
+
     // KMV/theta sketch set algebra — the audience-overlap question
     // HLL cannot answer: per-event-type sketches of the distinct
     // (user, day) population, then UNION and INTERSECTION estimates
@@ -1495,6 +1525,32 @@ object SparkEntry {
           when(expr("(n_events * H - S) * (n_events * H - S)" +
             " > 9 * (H * S2 - S * S)"), 1L).otherwise(0L)
             .as("is_anomaly"))
+    }),
+
+    // calendar seasonal profile with per-cell outlier counts: every
+    // (type, weekday, hour-of-day) cell's volume + mean cents, plus
+    // how many of its values fail the cross-multiplied 3-sigma test
+    // against the CELL's own moments — q_anomaly's integer z-score
+    // generalized from one global frame to the seasonal grid (dow/hod
+    // from pure epoch arithmetic: no engine calendar functions, no
+    // dayofweek-origin mismatch). The cell-moment table is
+    // grid-bounded (types×7×24) and broadcasts to the one-scan test.
+    "q_seasonal" -> ((s, dir) => {
+      val d38 = DecimalType(38, 0)
+      val e = Tables.events(s, dir).select(col("event_type"),
+        pmod(expr("unix_timestamp(ts) div 86400") + 4, lit(7)).as("dow"),
+        pmod(expr("unix_timestamp(ts) div 3600"), lit(24)).as("hod"),
+        (dec(col("value"), 10, 2) * 100).cast(LongType).as("c"))
+      val cells = e.groupBy(col("event_type"), col("dow"), col("hod"))
+        .agg(count(lit(1)).cast(d38).as("n"),
+          sum(col("c")).cast(d38).as("s"),
+          sum(col("c").cast(d38) * col("c")).as("s2"))
+      e.join(broadcast(cells), Seq("event_type", "dow", "hod"))
+        .groupBy(col("event_type"), col("dow"), col("hod"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("CAST(min(s) div min(n) AS BIGINT)").as("mean_cents"),
+          sum(when(expr("(c * n - s) * (c * n - s) > 9 * (n * s2 - s * s)"),
+            1L).otherwise(0L)).as("n_outliers"))
     }),
 
     // per-group least-squares TREND, integer-exact: slope =
@@ -3792,6 +3848,20 @@ object SparkEntry {
         |FROM events GROUP BY user_id
         |ORDER BY true_cnt DESC, user_id LIMIT 20""".stripMargin,
 
+    // true join size in SQL + the estimator's guarantee flags (the
+    // q_cms contract shape applied to the AMS inner product)
+    "q_cms_join" ->
+      """WITH ga AS (
+        |  SELECT user_id, COUNT(*) AS na FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |gb AS (
+        |  SELECT user_id, COUNT(*) AS nb FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT CAST(COALESCE(SUM(na * nb), 0) AS BIGINT)
+        |    AS true_join_size,
+        |  1 AS ip_ge_true, 1 AS ip_within_eps
+        |FROM ga JOIN gb USING (user_id)""".stripMargin,
+
     // the oracle rebuilds the same k-min-distinct sets relationally
     // (row_number over the distinct 60-bit md5 hashes) and applies
     // the same |S|·D div θ integer estimates; LEFT joins keep pairs
@@ -4522,6 +4592,30 @@ object SparkEntry {
         |              > 9 * (H * S2 - S * S)
         |       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
         |FROM h, st""".stripMargin,
+
+    // same cross-multiplied test against per-(type, dow, hod) cell
+    // moments; dow/hod by pure epoch arithmetic on both sides
+    "q_seasonal" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    ((CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7 + 7)
+        |      % 7 AS dow,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS hod,
+        |    CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |cells AS (
+        |  SELECT event_type, dow, hod,
+        |    CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(c) AS HUGEINT) AS s,
+        |    SUM(CAST(c AS HUGEINT) * c) AS s2
+        |  FROM e GROUP BY 1, 2, 3)
+        |SELECT e.event_type, e.dow, e.hod, COUNT(*) AS n_events,
+        |  CAST(MIN(s) // MIN(n) AS BIGINT) AS mean_cents,
+        |  CAST(SUM(CASE WHEN (c * n - s) * (c * n - s)
+        |                     > 9 * (n * s2 - s * s)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM e JOIN cells USING (event_type, dow, hod)
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     // same centered moments (HUGEINT mirrors DECIMAL(38,0)), same
     // single floor division at the end

@@ -109,6 +109,28 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
 
+  /** Equi-join SIZE estimation from two CMS cell tables (the
+    * AMS/Count-Min inner-product estimator, Alon-Matias-Szegedy '96 /
+    * Cormode-Muthukrishnan '05): for sketches of streams A and B over
+    * the same (depth, width, hash) parameters, `min over rows of
+    * Σ_bucket A[r,b]·B[r,b]` never undercounts the true join size
+    * Σ_k fA(k)·fB(k) and overshoots by ≤ ε·|A|·|B| w.h.p. — the
+    * cardinality-estimation primitive a cost-based optimizer needs
+    * BEFORE running the join, answered from kilobyte sketch tables
+    * instead of the data. One (row, bucket) equi-join of cell tables;
+    * products accumulate in DECIMAL(38,0).
+    */
+  def cmsInnerProduct(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("cms_row"), col("cms_bucket"), col("cnt").as("ca"))
+      .join(b.select(col("cms_row"), col("cms_bucket"),
+        col("cnt").as("cb")), Seq("cms_row", "cms_bucket"))
+      .groupBy(col("cms_row"))
+      .agg(sum(expr("CAST(ca AS DECIMAL(38,0)) * cb")).as("ip"))
+      // disjoint sketches share no (row, bucket) cell: the empty min
+      // IS the estimate 0 (some bucket of every row is empty)
+      .agg(coalesce(min(col("ip")), lit(0)).cast("long")
+        .as("join_size_est"))
+
   // ---- KMV ("theta") sketches -------------------------------------
   //
   // The set-operation member of the sketch-table family: HLL (above)

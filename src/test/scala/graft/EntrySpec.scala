@@ -58,6 +58,7 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
       "q_heavy_hitters", // 1-row broadcast token total × candidate counts
       "q_pagerank", // 1-row broadcast node count × the node frame
       "q_cms", // 1-row broadcast stream total × the estimate frame
+      "q_cms_join", // 1-row broadcast estimate × the 1-row truth frame
       "q_search_ranked", // 1-row broadcast corpus stats × scored postings
       "q_rrf_fusion", // same lexical corpus-stats shape as q_search_ranked
       "q_dsir", // 1-row broadcast bucket totals × the ratio table

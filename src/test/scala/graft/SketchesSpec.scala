@@ -88,6 +88,25 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     assert(direct.except(merged).count() === 0)
   }
 
+  test("CMS inner product: hand-computed join size, never undercounts") {
+    import spark.implicits._
+    // A = {x:2, y:1}, B = {x:1, y:2, z:1} → true join size 2·1+1·2 = 4
+    val a = Seq("x", "x", "y").toDF("k")
+    val b = Seq("x", "y", "y", "z").toDF("k")
+    val est = Sketches.cmsInnerProduct(
+        Sketches.cmsBuild(a, "k", Seq.empty),
+        Sketches.cmsBuild(b, "k", Seq.empty))
+      .head().getLong(0)
+    // ≥ is the guarantee; = holds unless all 5 depth rows collide
+    assert(est === 4L)
+    // disjoint streams estimate 0 (empty cell intersection)
+    val z = Sketches.cmsInnerProduct(
+        Sketches.cmsBuild(Seq("p").toDF("k"), "k", Seq.empty),
+        Sketches.cmsBuild(Seq("q").toDF("k"), "k", Seq.empty))
+      .head().getLong(0)
+    assert(z === 0L)
+  }
+
   test("sample sketch: merging fine cells equals a direct coarse build " +
       "and is partitioning-invariant") {
     val k = 64
