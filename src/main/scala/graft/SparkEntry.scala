@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{GraftFunctions, TextFunctions}
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Eval, Fraud, FuzzyMatch, Graph, HeavyHitters, RangeJoin, Relevance, Similarity, Sketches, Windows, ZOrder}
+import graft.operators.{Dedup, Eval, Fraud, FuzzyMatch, Graph, HeavyHitters, PrefixSums, RangeJoin, Relevance, Similarity, Sketches, Windows, ZOrder}
 import graft.pipeline.{Mixer, Snapshots}
 import graft.sources.MetaStats
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -700,6 +700,69 @@ object SparkEntry {
     // sized and broadcast twice. BIGINT envelope: n_ab·n_w ≤ 9.2e12 —
     // past that, accumulate the product in DECIMAL(38,0) like
     // q_moments.
+    // deterministic NEGATIVE SAMPLING for contrastive training (the
+    // word2vec/recsys data-prep primitive): for every (customer,
+    // purchased-part) positive, k=2 pseudo-random negatives drawn by
+    // md5-prefix probes into the densely-indexed item dictionary,
+    // true positives anti-joined away. The dense item index comes
+    // from PrefixSums.exclusiveOffsets (counts of 1) — a distributed
+    // rank with NO unpartitioned window; draws are engine-common md5
+    // arithmetic, so the sample is reproducible and fully oracled.
+    "q_neg_sample" -> ((s, dir) => {
+      val pos = Tables.lineitem(s, dir).join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(pmod(col("o_custkey"), lit(10)) === 0)
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+        .distinct()
+      val items = Tables.part(s, dir).select(col("p_partkey")).distinct()
+      val nItems = items.count() // bounded scalar (pageRank class)
+      val idx = PrefixSums.exclusiveOffsets(
+        items.withColumn("one", lit(1L)), "p_partkey", "one", "idx")
+      val probes = pos
+        .select(col("cust"), col("item"),
+          explode(array(lit(1), lit(2))).as("j"))
+        .withColumn("pidx", pmod(
+          conv(substring(md5(concat_ws(":", col("cust"), col("item"),
+            col("j"))), 1, 15), 16, 10).cast(LongType), lit(nItems)))
+      probes
+        .join(idx.select(col("idx").as("pidx"),
+          col("p_partkey").as("neg_item")), "pidx")
+        .join(pos.select(col("cust"), col("item").as("neg_item")),
+          Seq("cust", "neg_item"), "left_anti")
+        .select(col("cust"), col("item").as("pos_item"), col("j"),
+          col("neg_item"))
+    }),
+
+    // dictionary phrase tagging (the gazetteer/NER-dictionary pass):
+    // the corpus's top-20 bigram phrases matched against every
+    // document via TERM-FILTERED positional postings — tokens survive
+    // only if they open some dictionary phrase (broadcast of the
+    // bounded dict), then one (doc, pos) equi-join checks the second
+    // word; mentions counted per (doc, phrase). Never a LIKE scan,
+    // never a corpus-wide positional self-join.
+    "q_phrase_tag" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bi = docs.select(split(col("text"), " ").as("w"))
+        .select(explode(expr(
+          "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+            " (a, b) -> struct(a, b))")).as("p"))
+        .select(col("p.a").as("wa"), col("p.b").as("wb"))
+        .groupBy("wa", "wb").agg(count(lit(1)).as("n"))
+      val dict = bi.orderBy(col("n").desc, col("wa"), col("wb"))
+        .limit(20)
+        .select(col("wa"), col("wb"),
+          concat_ws(" ", col("wa"), col("wb")).as("phrase"))
+      val tok = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      tok.join(broadcast(dict), col("w") === col("wa"))
+        .select(col("doc_id"), col("pos"), col("phrase"), col("wb"))
+        .join(tok.select(col("doc_id"), (col("pos") - 1).as("pos"),
+          col("w").as("w2")), Seq("doc_id", "pos"))
+        .filter(col("w2") === col("wb"))
+        .groupBy(col("doc_id"), col("phrase"))
+        .agg(count(lit(1)).as("n_mentions"))
+    }),
+
     // co-purchase graph ("customers who bought A also bought B"): the
     // bipartite customer×part projection with the maxBasket skew
     // guard gate-visible — pairs count CUSTOMERS, support ≥ 2,
@@ -3562,6 +3625,53 @@ object SparkEntry {
         |FROM ranked WHERE rank <= 3""".stripMargin,
 
     // positional bigrams via the proven w/pos CTE; same integer lift
+    // dense item index via ROW_NUMBER (the engine-side distributed
+    // rank's sequential mirror); identical md5 probe arithmetic;
+    // ANTI JOIN removes true positives
+    "q_neg_sample" ->
+      """WITH pos AS (
+        |  SELECT DISTINCT o_custkey AS cust, l_partkey AS item
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_custkey % 10 = 0),
+        |it AS (SELECT DISTINCT p_partkey FROM part),
+        |n AS (SELECT COUNT(*) AS n_items FROM it),
+        |idx AS (
+        |  SELECT p_partkey,
+        |    ROW_NUMBER() OVER (ORDER BY p_partkey) - 1 AS pidx
+        |  FROM it),
+        |pr AS (
+        |  SELECT cust, item, j,
+        |    CAST(('0x' || substr(md5(CAST(cust AS VARCHAR) || ':' ||
+        |      CAST(item AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1,
+        |      15)) AS BIGINT) % n.n_items AS pidx
+        |  FROM pos, (SELECT unnest([1, 2]) AS j) jj, n)
+        |SELECT p.cust, p.item AS pos_item, p.j,
+        |  i.p_partkey AS neg_item
+        |FROM pr p JOIN idx i USING (pidx)
+        |ANTI JOIN pos q ON q.cust = p.cust
+        |  AND q.item = i.p_partkey""".stripMargin,
+
+    // same top-20 bigram dictionary; the match is one positional
+    // self-join restricted to dictionary openers
+    "q_phrase_tag" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |bg AS (
+        |  SELECT a.word AS wa, b.word AS wb, COUNT(*) AS n
+        |  FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  GROUP BY 1, 2),
+        |dict AS (
+        |  SELECT wa, wb, wa || ' ' || wb AS phrase FROM bg
+        |  ORDER BY n DESC, wa, wb LIMIT 20)
+        |SELECT x.doc_id, d.phrase, COUNT(*) AS n_mentions
+        |FROM w x
+        |JOIN dict d ON x.word = d.wa
+        |JOIN w y ON y.doc_id = x.doc_id AND y.pos = x.pos + 1
+        |  AND y.word = d.wb
+        |GROUP BY 1, 2""".stripMargin,
+
     // the basket projection with the same maxBasket guard; pairs
     // count customers once (DISTINCT membership first)
     "q_copurchase" ->

@@ -66,6 +66,7 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
       // PrefixSums.exclusiveOffsets: broadcast non-equi self-join of
       // the super-bucket totals (quadratic only in |buckets|/1024)
       "mix_budget", "pack_sequences", "q_auc",
+      "q_neg_sample", // PrefixSums item index + 1-row count broadcast
       "q_sample_weighted", // PrefixSums + 1-row broadcast step
       "q_pareto", // PrefixSums prefix-max bucket combine
       "q_percent_rank", // PrefixSums + 1-row broadcast total
