@@ -1130,6 +1130,51 @@ object SparkEntry {
           Sketches.kmvEstimate("kmv", k).as("est_distinct"))
     }),
 
+    // Bloom MEMBERSHIP sketch tables — the membership member of the
+    // sketch-table family (B45 HLL = distinct, B70 CMS = frequency,
+    // B74 KMV = set algebra, B89 bottom-k = quantiles): "was this key
+    // EVER seen" with zero false negatives and a deterministic bit
+    // table. Bit positions are engine-common md5 prefixes, so — unlike
+    // the xxhash64-bucketed CMS, which gates a contract — every hit
+    // flag here, INCLUDING any false-positive collision, is exactly
+    // hash-oracled. Probes: the 20 heaviest users (present) plus their
+    // 1000003·u+7 images; presence is COMPUTED by an honest join, not
+    // assumed, so the gate stays truthful under key-shifted scale
+    // replicas where the image of one replica can be a real key of
+    // another.
+    "q_bloom" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cells = Sketches.bloomBuild(ev, "user_id", Seq("event_type"))
+      val global = Sketches.bloomMerge(cells, Seq.empty)
+      val top = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("user_id")).limit(20)
+        .select(col("user_id"))
+      val probes = top.select(col("user_id").as("probe_key"))
+        .union(top.select((col("user_id") * 1000003 + 7).as("probe_key")))
+      val present = ev.select(col("user_id").as("probe_key")).distinct()
+        .withColumn("present", lit(1))
+      Sketches.bloomProbe(global, probes, "probe_key")
+        .join(present, Seq("probe_key"), "left")
+        .select(col("probe_key"),
+          coalesce(col("present"), lit(0)).as("present"),
+          col("bloom_hit"))
+    }),
+
+    // the MERGE path: per-(type, day) Bloom cells distinct-union to
+    // per-type filters (bitwise OR ≡ set union of set-bit positions),
+    // gated against a direct build of the coarser cell in the oracle —
+    // the q_kmv_rollup shape for membership
+    "q_bloom_rollup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        expr("unix_timestamp(ts) div 86400").as("day"), col("user_id"))
+      val daily = Sketches.bloomBuild(ev, "user_id",
+        Seq("event_type", "day"))
+      Sketches.bloomMerge(daily, Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_bits"))
+    }),
+
     // one-pass data profiling: every per-column stat AND every
     // pairwise correlation of three measures from a SINGLE hash
     // aggregation — the moment sums are exact DECIMAL(38,0)→BIGINT
@@ -1840,6 +1885,15 @@ object SparkEntry {
       // d² join rows) runs through the gate, mirrored in the oracle CTE
       Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
         shingleN = 3, minJaccard = 0.1, maxShingleDf = 50)),
+
+    // directional shingle CONTAINMENT: C(sub ⊆ sup) = |S∩|/|S(sub)| in
+    // exact permille — catches excerpt/syndication subset-duplication
+    // that symmetric Jaccard structurally under-scores (an excerpt
+    // inside a 10×-longer doc is J ≈ 0.1 but C = 1000‰). Same df-capped
+    // inverted-index candidates as dedup_jaccard; only the ratio is new
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containment(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, minPermille = 500, maxShingleDf = 50)),
 
     // transitive closure of the (oracled) jaccard pair list: the
     // pick-one-representative step of a real dedup pipeline
@@ -4126,6 +4180,49 @@ object SparkEntry {
         |                 // th AS BIGINT) END AS est_distinct
         |FROM st""".stripMargin,
 
+    // full bit-table mirror: the md5 probe arithmetic is engine-common,
+    // so hit flags — including false-positive collisions — are exact
+    "q_bloom" ->
+      """WITH ii AS (SELECT unnest([0, 1, 2, 3]) AS i),
+        |bits AS (
+        |  SELECT DISTINCT CAST('0x' || substr(md5(
+        |      CAST(user_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
+        |    1, 15) AS BIGINT) % 65536 AS bloom_bit
+        |  FROM events, ii),
+        |top AS (
+        |  SELECT user_id FROM events GROUP BY user_id
+        |  ORDER BY COUNT(*) DESC, user_id LIMIT 20),
+        |probes AS (
+        |  SELECT user_id AS probe_key FROM top
+        |  UNION ALL SELECT user_id * 1000003 + 7 FROM top),
+        |pb AS (
+        |  SELECT p.probe_key, CAST('0x' || substr(md5(
+        |      CAST(p.probe_key AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
+        |    1, 15) AS BIGINT) % 65536 AS bloom_bit
+        |  FROM probes p, ii),
+        |hits AS (
+        |  SELECT pb.probe_key,
+        |    CAST(SUM(CASE WHEN b.bloom_bit IS NOT NULL THEN 1 ELSE 0 END)
+        |      = 4 AS INT) AS bloom_hit
+        |  FROM pb LEFT JOIN bits b USING (bloom_bit)
+        |  GROUP BY pb.probe_key)
+        |SELECT h.probe_key,
+        |  CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS present,
+        |  h.bloom_hit
+        |FROM hits h LEFT JOIN (SELECT DISTINCT user_id FROM events) p
+        |  ON p.user_id = h.probe_key""".stripMargin,
+
+    // direct build of the coarser cell — merged-path ≡ direct-build is
+    // the property under test
+    "q_bloom_rollup" ->
+      """WITH ii AS (SELECT unnest([0, 1, 2, 3]) AS i)
+        |SELECT event_type, COUNT(*) AS n_bits FROM (
+        |  SELECT DISTINCT event_type, CAST('0x' || substr(md5(
+        |      CAST(user_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
+        |    1, 15) AS BIGINT) % 65536 AS bloom_bit
+        |  FROM events, ii)
+        |GROUP BY event_type""".stripMargin,
+
     // same single-pass moments (HUGEINT per-row products mirror the
     // Spark side's DECIMAL(38,0)); the correlation expression is the
     // IDENTICAL formula string evaluated by both engines
@@ -4817,6 +4914,36 @@ object SparkEntry {
         |JOIN sz sa ON sa.doc_id = id_a
         |JOIN sz sb ON sb.doc_id = id_b
         |WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 3) >= 0.1""".stripMargin,
+
+    // same candidate CTEs as dedup_jaccard; only the final ratio
+    // changes — directional permille against the SMALLER shingle set
+    "dedup_containment" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS sh
+        |  FROM w a
+        |  JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |shj AS (
+        |  SELECT s.doc_id, s.sh FROM sh s
+        |  JOIN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 50) k
+        |    ON k.sh = s.sh),
+        |inter AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+        |  FROM shj x JOIN shj y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id)
+        |SELECT CASE WHEN sa.sz <= sb.sz THEN id_a ELSE id_b END AS sub_id,
+        |  CASE WHEN sa.sz <= sb.sz THEN id_b ELSE id_a END AS sup_id,
+        |  (1000 * i) // least(sa.sz, sb.sz) AS cont_permille
+        |FROM inter
+        |JOIN sz sa ON sa.doc_id = id_a
+        |JOIN sz sb ON sb.doc_id = id_b
+        |WHERE (1000 * i) // least(sa.sz, sb.sz) >= 500""".stripMargin,
 
     // the exact pair set the LSH+verify pipeline must reproduce:
     // planted near-dups (doc_id-derived, mirrored from

@@ -829,6 +829,57 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, minJaccard: Double = 0.5,
                    maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val (inter, sizes) =
+      shingleIntersections(docs, idCol, textCol, shingleN, maxShingleDf)
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast(DoubleType) /
+          (col("sz_a") + col("sz_b") - col("inter")), 3))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Directional shingle CONTAINMENT pairs: C(sub ⊆ sup) =
+    * |S(sub) ∩ S(sup)| / |S(sub)| in exact permille, emitted for the
+    * smaller-shingle-set document of each candidate pair. Jaccard
+    * misses subset duplication by construction — an excerpt fully
+    * contained in a 10×-longer document scores J = |A|/|B| ≈ 0.1 but
+    * C = 1000‰ — and excerpt/syndication containment is what a
+    * crawl-scale LLM corpus actually contains (Lee et al. 2022 §5
+    * discusses exactly this asymmetry). Same inverted-index candidate
+    * generation as [[ngramJaccard]] (df-capped posting lists, never an
+    * all-pairs join); the only new arithmetic is the integer permille
+    * ratio against the SMALLER set size, which keeps the gate
+    * hash-exact.
+    */
+  def containment(docs: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int = 3, minPermille: Long = 800,
+                  maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val (inter, sizes) =
+      shingleIntersections(docs, idCol, textCol, shingleN, maxShingleDf)
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      // sub = the smaller shingle set (ties break to id_a, which is
+      // the smaller id by pair construction)
+      .select(
+        when(col("sz_a") <= col("sz_b"), col("id_a")).otherwise(col("id_b"))
+          .as("sub_id"),
+        when(col("sz_a") <= col("sz_b"), col("id_b")).otherwise(col("id_a"))
+          .as("sup_id"),
+        expr("(1000 * inter) div least(sz_a, sz_b)").as("cont_permille"))
+      .filter(col("cont_permille") >= minPermille)
+  }
+
+  /** Shared candidate machinery for [[ngramJaccard]] and
+    * [[containment]]: returns (per-pair shingle intersection counts,
+    * per-doc shingle-set sizes).
+    */
+  private def shingleIntersections(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, maxShingleDf: Int): (DataFrame, DataFrame) = {
     // join on the 64-bit shingle hash, not the string: same
     // intersection counts (collisions ~n²/2^65) with far smaller
     // shuffle keys
@@ -903,13 +954,6 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
 
-    inter
-      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("jaccard",
-        round(col("inter").cast(DoubleType) /
-          (col("sz_a") + col("sz_b") - col("inter")), 3))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    (inter, sizes)
   }
 }

@@ -243,4 +243,75 @@ object Sketches {
   def sampleSketchQuantile(qskCol: String, permille: Int) =
     expr(s"element_at(array_sort(transform($qskCol, x -> x._2)), " +
       s"CAST(1 + ($permille * (size($qskCol) - 1)) div 1000 AS INT))")
+
+  // ---- Bloom filters: mergeable MEMBERSHIP sketch tables -----------
+  //
+  // The membership member of the sketch-table family (HLL = distinct,
+  // CMS = frequency, KMV = set algebra, bottom-k = quantiles): "was
+  // key k EVER seen in cell c" with NO false negatives and a bounded
+  // false-positive rate — the shape behind "have we crawled this URL",
+  // "is this user in the suppression list", and decontamination
+  // pre-filters at 100 TB. A filter is held as a sparse TABLE of its
+  // SET bit positions, `(dims…, bloom_bit)`, not a binary blob:
+  // building is explode-k-probes + distinct (map-side partial dedup,
+  // the shuffle carries ≤ m cells per group regardless of key count);
+  // merging to a coarser grain is distinct-union (bitwise OR ≡ set
+  // union of set-bit positions — associative, commutative, idempotent);
+  // probing is one equi-join on bit position + a count(matched) = k
+  // test. Every step is a plain relational operator.
+  //
+  // Probe bits are engine-common md5 prefixes (`pmod(md5_60(key:i),
+  // m)` ≡ DuckDB `((x % m) + m) % m` arithmetic), so — unlike the
+  // xxhash64-bucketed CMS, whose gate is a contract — the ENTIRE
+  // Bloom surface (cell bit counts, merged tables, membership flags,
+  // measured collisions) is deterministic and exactly hash-oracled.
+  //
+  // Guarantees: present ⇒ hit, always (no false negatives — gated
+  // directly); absent ⇒ hit with p ≈ (1 − e^(−k·n/m))^k (k=4,
+  // m=65536, n=5000 → ~0.6%).
+
+  /** The k probe-bit positions of one key: `md5_60(key:i) mod m`.
+    * The 60-bit md5 prefix is non-negative, so Spark `pmod` and
+    * DuckDB `%` agree without the signed-modulus mirror.
+    */
+  private def bloomProbeBits(keyName: String, m: Int, k: Int) =
+    expr(s"transform(sequence(0, ${k - 1}), i -> pmod(" +
+      s"CAST(conv(substring(md5(concat_ws(':'," +
+      s" CAST($keyName AS STRING), i)), 1, 15), 16, 10) AS BIGINT)," +
+      s" $m))")
+
+  /** Scan once into a per-(dims) Bloom cell table: the distinct set
+    * bit positions of each cell's filter. m = 2^16 bits, k = 4 probes
+    * by default (≤0.7% fpp up to ~5k distinct keys per cell; size m
+    * to the expected per-cell cardinality, not the corpus).
+    */
+  def bloomBuild(df: DataFrame, keyCol: String, dims: Seq[String],
+                 m: Int = 65536, k: Int = 4): DataFrame =
+    df.select(dims.map(col) :+ col(keyCol).as("_k"): _*)
+      .select(dims.map(col) :+
+        explode(bloomProbeBits("_k", m, k)).as("bloom_bit"): _*)
+      .distinct()
+
+  /** Merge cell tables down to coarser `dims`: distinct-union of set
+    * bits — the Bloom OR. Exact w.r.t. a direct build of the coarser
+    * cell by construction (same probe arithmetic, set union).
+    */
+  def bloomMerge(cells: DataFrame, dims: Seq[String]): DataFrame =
+    cells.select((dims.map(col) :+ col("bloom_bit")): _*).distinct()
+
+  /** Membership-test each probe key against one (already-merged)
+    * filter: a key hits iff ALL k of its probe bits are set. One
+    * equi-join on bit position; the filter side is the sparse cell
+    * table (≤ m rows — broadcast-sized by construction).
+    */
+  def bloomProbe(cells: DataFrame, probes: DataFrame, keyCol: String,
+                 m: Int = 65536, k: Int = 4): DataFrame =
+    probes
+      .select(col(keyCol),
+        explode(bloomProbeBits(keyCol, m, k)).as("bloom_bit"))
+      .join(broadcast(cells.select(col("bloom_bit"), lit(1).as("_set"))
+        .distinct()), Seq("bloom_bit"), "left")
+      .groupBy(col(keyCol))
+      .agg((sum(coalesce(col("_set"), lit(0))) === k).cast("int")
+        .as("bloom_hit"))
 }

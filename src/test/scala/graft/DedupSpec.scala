@@ -556,6 +556,45 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assigned.unpersist(blocking = false)
   }
 
+  test("containment: a planted excerpt scores 1000 permille toward its " +
+    "source, direction points small -> large, and jaccard misses it") {
+    import spark.implicits._
+    // excerpt = the first ~1/3 of a long doc: every excerpt shingle is
+    // in the source, so C = 1000 while J ~ len(sub)/len(sup) < 0.5
+    val base = docs.filter(length(col("text")) > 400).limit(5)
+      .select(col("doc_id"), col("text"))
+    val excerpts = base.select((col("doc_id") + 5000000L).as("doc_id"),
+      expr("array_join(slice(split(text, ' '), 1, 40), ' ')").as("text"))
+    // noise docs are disjoint from base by the length predicate, so
+    // every planted id is unique
+    val planted = base.union(excerpts)
+      .union(docs.filter(length(col("text")) <= 400).limit(20))
+    val pairs = Dedup.containment(planted, "doc_id", "text",
+      shingleN = 3, minPermille = 900)
+    val hits = pairs.filter(col("sub_id") >= 5000000L &&
+      col("sup_id") === col("sub_id") - 5000000L)
+    assert(hits.count() === base.count())
+    assert(hits.filter(col("cont_permille") =!= 1000L).count() === 0)
+    // direction invariant: sub is never the larger shingle set
+    val szs = planted.select(col("doc_id"),
+      size(array_distinct(expr(
+        "transform(sequence(1, greatest(size(split(text,' ')) - 2, 0))," +
+          " i -> array_join(slice(split(text,' '), i, 3), ' '))")))
+        .cast("long").as("sz"))
+    val bad = Dedup.containment(planted, "doc_id", "text",
+        shingleN = 3, minPermille = 0)
+      .join(szs.select(col("doc_id").as("sub_id"), col("sz").as("sz_sub")), "sub_id")
+      .join(szs.select(col("doc_id").as("sup_id"), col("sz").as("sz_sup")), "sup_id")
+      .filter(col("sz_sub") > col("sz_sup"))
+    assert(bad.count() === 0)
+    // the asymmetry claim: the same planted pairs under symmetric
+    // jaccard score well below the containment signal
+    val j = Dedup.ngramJaccard(planted, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.0)
+      .filter(col("id_b") >= 5000000L && col("id_a") === col("id_b") - 5000000L)
+    assert(j.filter(col("jaccard") > 0.9).count() === 0)
+  }
+
   test("decontaminate broadcasts the benchmark side (no corpus self-join)") {
     val docs10 = docs
     val plan = Dedup.decontaminate(

@@ -181,4 +181,33 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
       .select(Sketches.kmvEstimate("kmv", k)).head().getLong(0)
     joined.foreach(r => assert(global >= r.getAs[Long]("est") / 2))
   }
+
+  test("Bloom: every present key hits (no false negatives, ever)") {
+    val cells = Sketches.bloomBuild(events, "user_id", Seq.empty)
+    val probes = events.select(col("user_id").as("k")).distinct()
+    val misses = Sketches.bloomProbe(cells, probes, "k")
+      .filter(col("bloom_hit") =!= 1)
+    assert(misses.count() === 0)
+  }
+
+  test("Bloom: merging fine cells equals a direct coarse build, and " +
+    "fpp on absent keys stays under 5%") {
+    val daily = Sketches.bloomBuild(events, "user_id",
+      Seq("event_type", "day"))
+    val merged = Sketches.bloomMerge(daily, Seq("event_type"))
+    val direct = Sketches.bloomBuild(events, "user_id", Seq("event_type"))
+    assert(merged.except(direct).count() === 0)
+    assert(direct.except(merged).count() === 0)
+    // absent keys: images far outside the id domain; fpp is bounded by
+    // (1 - e^(-k n / m))^k ~ 0.6% at n = 5k — assert a loose 5%
+    val present = events.select(col("user_id")).distinct()
+    val absent = present
+      .select((col("user_id") * 1000003 + 7).as("k"))
+      .join(present.select(col("user_id").as("k")), Seq("k"), "left_anti")
+    val global = Sketches.bloomMerge(daily, Seq.empty)
+    val probed = Sketches.bloomProbe(global, absent, "k")
+    val n = probed.count()
+    val fp = probed.filter(col("bloom_hit") === 1).count()
+    assert(fp * 20 <= n, s"fpp too high: $fp of $n")
+  }
 }
