@@ -1690,6 +1690,95 @@ object SparkEntry {
         expr("(1000 * sy) div n").as("y_mean_milli"))
     }),
 
+    // two-sample KOLMOGOROV-SMIRNOV distribution drift test, integer-
+    // exact: D = max_v |F1(v) − F2(v)| evaluated as the cross-
+    // multiplied |c1(v)·n2 − c2(v)·n1| over the distinct-value grid —
+    // no float ECDF anywhere, so the drift detector hash-oracles (the
+    // q_anomaly cross-multiplication rule applied to a whole-
+    // distribution test). The cumulative counts ride TWO
+    // PrefixSums.exclusiveOffsets passes over the value-cardinality
+    // grid — a distributed rank, never a corpus-scale unpartitioned
+    // window; products accumulate in DECIMAL(38,0) (c·n crosses 2^63
+    // past ~3e9 rows per side) and only the bounded permille statistic
+    // is emitted.
+    "q_ks_test" -> ((s, dir) => {
+      val g = Tables.orders(s, dir).select(
+          (dec(col("o_totalprice"), 12, 2) * 100).cast(LongType).as("cents"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+            .as("is1"))
+        .groupBy(col("cents"))
+        .agg(sum(col("is1")).as("cnt1"),
+          sum(lit(1L) - col("is1")).as("cnt2"))
+        .persist()
+      g.count() // eager fill: 4 consumers (2 offset passes, join, totals)
+      val off1 = PrefixSums.exclusiveOffsets(g, "cents", "cnt1", "c1ex")
+      val off2 = PrefixSums.exclusiveOffsets(g, "cents", "cnt2", "c2ex")
+      val tot = g.agg(sum(col("cnt1")).as("n1"), sum(col("cnt2")).as("n2"))
+      g.join(off1, "cents").join(off2, "cents")
+        .crossJoin(broadcast(tot))
+        .select(col("n1"), col("n2"),
+          expr("abs(CAST(c1ex + cnt1 AS DECIMAL(38,0)) * n2" +
+            " - CAST(c2ex + cnt2 AS DECIMAL(38,0)) * n1)").as("d"))
+        .groupBy(col("n1"), col("n2"))
+        .agg(expr("CAST((1000 * max(d)) div" +
+          " (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)")
+          .as("ks_permille"))
+    }),
+
+    // TIME-WEIGHTED average for irregularly-sampled series (the
+    // sensor/price-feed aggregate where plain AVG over-weights bursts):
+    // twa = Σ vᵢ·(tᵢ₊₁−tᵢ) div (t_last − t_first) per user, durations
+    // from LEAD inside the per-user window (narrow, the q_lag
+    // collation), value·seconds products in DECIMAL(38,0). Pure
+    // integer floor division keeps it hash-exact.
+    "q_twa" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d38 = DecimalType(38, 0)
+      val e = Tables.events(s, dir).select(col("user_id"),
+        expr("unix_timestamp(ts)").as("t"), col("event_id"),
+        (dec(col("value"), 10, 2) * 100).cast(LongType).as("v"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+      e.withColumn("t2", lead(col("t"), 1).over(w))
+        .filter(col("t2").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum((col("t2") - col("t")).cast(d38) * col("v")).as("num"),
+          (max(col("t2")) - min(col("t"))).cast(d38).as("den"))
+        .filter(col("den") > 0)
+        .select(col("user_id"),
+          expr("CAST(num div den AS BIGINT)").as("twa_cents"))
+    }),
+
+    // exponentially-weighted smoothing with a TRUNCATED integer kernel
+    // (α = 1/2 over the last 4 observations): ewma = (8x₀ + 4x₁ + 2x₂
+    // + 1x₃) div (sum of PRESENT weights) — short-history rows
+    // renormalize over available lags, so the series has no warm-up
+    // NULLs and every value is exact integer cents. The window is
+    // type-partitioned (narrow); the truncation error vs the infinite
+    // kernel is ≤ 1/15 of the oldest weight — the trade that keeps an
+    // inherently-recursive smoother one window pass and hash-oracled.
+    "q_ewma" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir).select(col("event_type"),
+          expr("unix_timestamp(ts) div 86400").as("day"),
+          (dec(col("value"), 10, 2) * 100).cast(LongType).as("cents"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("cents")).as("x"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily
+        .withColumn("l1", lag(col("x"), 1).over(w))
+        .withColumn("l2", lag(col("x"), 2).over(w))
+        .withColumn("l3", lag(col("x"), 3).over(w))
+        .select(col("event_type"), col("day"),
+          expr("CAST((8 * CAST(x AS DECIMAL(38,0))" +
+            " + 4 * coalesce(l1, 0) + 2 * coalesce(l2, 0)" +
+            " + coalesce(l3, 0)) div" +
+            " (8 + CASE WHEN l1 IS NULL THEN 0 ELSE 4 END" +
+            "    + CASE WHEN l2 IS NULL THEN 0 ELSE 2 END" +
+            "    + CASE WHEN l3 IS NULL THEN 0 ELSE 1 END) AS BIGINT)")
+            .as("ewma_cents"))
+    }),
+
     // first-order Markov transition matrix over per-user event
     // streams: LEAD inside the per-user window (narrow, the q_lag
     // collation — truncated second + event_id total order), then a
@@ -4846,6 +4935,70 @@ object SparkEntry {
         |       // (n * sxx - sx * sx) AS BIGINT) AS slope_micro,
         |  CAST((1000 * sy) // n AS BIGINT) AS y_mean_milli
         |FROM m""".stripMargin,
+
+    // cumulative counts via SQL windows (the oracle may window
+    // globally; the engine may not), HUGEINT cross products
+    "q_ks_test" ->
+      """WITH o AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT) AS cents,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+        |      AS is1
+        |  FROM orders),
+        |g AS (
+        |  SELECT cents, SUM(is1) AS cnt1, SUM(1 - is1) AS cnt2
+        |  FROM o GROUP BY cents),
+        |c AS (
+        |  SELECT SUM(cnt1) OVER (ORDER BY cents) AS c1,
+        |    SUM(cnt2) OVER (ORDER BY cents) AS c2
+        |  FROM g),
+        |n AS (
+        |  SELECT CAST(SUM(cnt1) AS BIGINT) AS n1,
+        |    CAST(SUM(cnt2) AS BIGINT) AS n2 FROM g)
+        |SELECT n1, n2,
+        |  CAST(MAX(1000 * abs(CAST(c1 AS HUGEINT) * n2
+        |    - CAST(c2 AS HUGEINT) * n1))
+        |    // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS ks_permille
+        |FROM c, n GROUP BY n1, n2""".stripMargin,
+
+    "q_twa" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |    event_id,
+        |    CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS v
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, t, v,
+        |    lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |      AS t2
+        |  FROM e)
+        |SELECT user_id,
+        |  CAST(SUM(CAST(t2 - t AS HUGEINT) * v)
+        |    // (MAX(t2) - MIN(t)) AS BIGINT) AS twa_cents
+        |FROM l WHERE t2 IS NOT NULL
+        |GROUP BY user_id HAVING MAX(t2) - MIN(t) > 0""".stripMargin,
+
+    "q_ewma" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(10,2)) * 100) AS BIGINT)
+        |      AS x
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, day, x,
+        |    lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+        |    lag(x, 2) OVER (PARTITION BY event_type ORDER BY day) AS l2,
+        |    lag(x, 3) OVER (PARTITION BY event_type ORDER BY day) AS l3
+        |  FROM d)
+        |SELECT event_type, day,
+        |  CAST((8 * CAST(x AS HUGEINT) + 4 * coalesce(l1, 0)
+        |    + 2 * coalesce(l2, 0) + coalesce(l3, 0))
+        |    // (8 + CASE WHEN l1 IS NULL THEN 0 ELSE 4 END
+        |         + CASE WHEN l2 IS NULL THEN 0 ELSE 2 END
+        |         + CASE WHEN l3 IS NULL THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS ewma_cents
+        |FROM l""".stripMargin,
 
     // same per-user (ts_sec, event_id) collation, same LEAD, same
     // integer permille normalization

@@ -70,7 +70,8 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
       "q_sample_weighted", // PrefixSums + 1-row broadcast step
       "q_pareto", // PrefixSums prefix-max bucket combine
       "q_percent_rank", // PrefixSums + 1-row broadcast total
-      "q_anomaly") // 1-row broadcast moments × the hourly counts
+      "q_anomaly", // 1-row broadcast moments × the hourly counts
+      "q_ks_test") // PrefixSums ×2 + 1-row broadcast (n1, n2) totals
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString

