@@ -779,6 +779,94 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // association RULES over the capped basket projection: support /
+    // directional confidence / lift in exact integer micro-and-permille
+    // units — the "is this co-occurrence real or just popularity"
+    // refinement of q_copurchase (lift divides out the independence
+    // rate). Every count shares q_copurchase's maxBasket skew guard;
+    // DECIMAL(38,0) numerators.
+    "q_basket_lift" -> ((s, dir) => {
+      val baskets = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      operators.CoOccur.associationRules(baskets, "cust", "part",
+          maxBasket = 40)
+        .filter(col("n_co") >= 2)
+        .orderBy(col("lift_micro").desc, col("item_a"), col("item_b"))
+        .limit(100)
+    }),
+
+    // first/last-touch marketing ATTRIBUTION: each purchase credits
+    // the user's earliest and latest preceding non-purchase event —
+    // first_value/last_value with IGNORE NULLS over the per-user
+    // (ts, event_id)-ordered frame (narrow window, one pass, no
+    // touches×conversions join), then one bounded credit rollup per
+    // touch type. Touchless purchases credit 'none' rather than
+    // silently dropping.
+    "q_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, dir).select(col("user_id"),
+        expr("unix_timestamp(ts)").as("t"), col("event_id"),
+        col("event_type"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when(col("event_type") =!= "purchase", col("event_type"))
+      val credited = e
+        .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+        .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(coalesce(col("first_touch"), lit("none")).as("first_touch"),
+          coalesce(col("last_touch"), lit("none")).as("last_touch"))
+      credited.groupBy(col("first_touch")).agg(count(lit(1)).as("n_first"))
+        .join(credited.groupBy(col("last_touch"))
+          .agg(count(lit(1)).as("n_last"))
+          .withColumnRenamed("last_touch", "first_touch"),
+          Seq("first_touch"), "full_outer")
+        .select(col("first_touch").as("touch_type"),
+          coalesce(col("n_first"), lit(0L)).as("n_first"),
+          coalesce(col("n_last"), lit(0L)).as("n_last"))
+    }),
+
+    // RFM customer segmentation: recency/frequency/monetary quintile
+    // scores from exact interpolated quintile EDGES (the B37
+    // equi-depth convention — floor to integer cents/days/counts, one
+    // 1-row broadcast, bin by <=), recency inverted so 5 = best.
+    // Output is the ≤125-cell segment grid, never a per-customer
+    // global rank — no corpus-scale window anywhere (the approx-
+    // percentile swap is the documented B37 scale path).
+    "q_rfm" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val custs = o.groupBy(col("o_custkey"))
+        .agg(max(expr("unix_timestamp(o_orderdate) div 86400")).as("lastd"),
+          count(lit(1)).as("f"),
+          sum(dec(col("o_totalprice"), 12, 2) * 100).cast(LongType).as("m"))
+        .crossJoin(broadcast(o.agg(
+          max(expr("unix_timestamp(o_orderdate) div 86400")).as("maxd"))))
+        .select(col("o_custkey"), (col("maxd") - col("lastd")).as("r"),
+          col("f"), col("m"))
+        .persist()
+      custs.count() // eager: edge agg + binning both consume it
+      def edges(c: String) = Seq(0.2, 0.4, 0.6, 0.8).zipWithIndex.map {
+        case (p, i) => floor(expr(s"percentile($c, $p)")).cast(LongType)
+          .as(s"${c}_e${i + 1}")
+      }
+      val es = custs.agg(edges("r").head,
+        (edges("r").tail ++ edges("f") ++ edges("m")): _*)
+      def score(c: String) =
+        when(col(c) <= col(s"${c}_e1"), 1)
+          .when(col(c) <= col(s"${c}_e2"), 2)
+          .when(col(c) <= col(s"${c}_e3"), 3)
+          .when(col(c) <= col(s"${c}_e4"), 4).otherwise(5)
+      custs.crossJoin(broadcast(es))
+        .select((lit(6) - score("r")).as("r_score"),
+          score("f").as("f_score"), score("m").as("m_score"), col("m"))
+        .groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("m")).cast(LongType).as("m_cents"))
+    }),
+
     // skip-gram PMI co-occurrence (window ±2, unordered pairs): the
     // word-association matrix behind PPMI embeddings —
     // lift = P(ab)/(P(a)P(b)) = n_ab·N² / (T·n_a·n_b) in exact
@@ -3829,6 +3917,103 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT item_a, item_b, n_co FROM co WHERE n_co >= 2
         |ORDER BY n_co DESC, item_a, item_b LIMIT 100""".stripMargin,
+
+    // same capped projection + the integer rule metrics; HUGEINT
+    // mirrors the DECIMAL(38,0) numerators
+    "q_basket_lift" ->
+      """WITH b AS (
+        |  SELECT DISTINCT o_custkey AS g, l_partkey AS it
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |small AS (SELECT g FROM b GROUP BY g HAVING COUNT(*) <= 40),
+        |bb AS (SELECT b.g, b.it FROM b SEMI JOIN small USING (g)),
+        |n AS (SELECT COUNT(DISTINCT g) AS n_groups FROM bb),
+        |ic AS (SELECT it, COUNT(*) AS n_i FROM bb GROUP BY it),
+        |co AS (
+        |  SELECT x.it AS item_a, y.it AS item_b, COUNT(*) AS n_co
+        |  FROM bb x JOIN bb y ON x.g = y.g AND x.it < y.it
+        |  GROUP BY 1, 2)
+        |SELECT item_a, item_b, n_co,
+        |  CAST((1000000 * CAST(n_co AS HUGEINT)) // n_groups AS BIGINT)
+        |    AS support_micro,
+        |  (1000 * n_co) // a.n_i AS conf_ab_permille,
+        |  (1000 * n_co) // bt.n_i AS conf_ba_permille,
+        |  CAST((CAST(1000000 AS HUGEINT) * n_co * n_groups)
+        |    // (CAST(a.n_i AS HUGEINT) * bt.n_i) AS BIGINT) AS lift_micro
+        |FROM co JOIN ic a ON a.it = item_a
+        |JOIN ic bt ON bt.it = item_b CROSS JOIN n
+        |WHERE n_co >= 2
+        |ORDER BY lift_micro DESC, item_a, item_b LIMIT 100""".stripMargin,
+
+    "q_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |    event_id, event_type
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type,
+        |    first_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY t, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY t, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+        |  FROM e),
+        |p AS (
+        |  SELECT coalesce(ft, 'none') AS ft, coalesce(lt, 'none') AS lt
+        |  FROM c WHERE event_type = 'purchase'),
+        |f AS (SELECT ft AS touch_type, COUNT(*) AS n_first
+        |  FROM p GROUP BY 1),
+        |l AS (SELECT lt AS touch_type, COUNT(*) AS n_last
+        |  FROM p GROUP BY 1)
+        |SELECT touch_type, coalesce(n_first, 0) AS n_first,
+        |  coalesce(n_last, 0) AS n_last
+        |FROM f FULL OUTER JOIN l USING (touch_type)""".stripMargin,
+
+    // quantile_cont + floor is the engine-common edge convention
+    // (the q_equidepth parity rule) applied per measure
+    "q_rfm" ->
+      """WITH cu AS (
+        |  SELECT o_custkey,
+        |    MAX(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400)
+        |      AS lastd,
+        |    COUNT(*) AS f,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100)
+        |      AS BIGINT) AS m
+        |  FROM orders GROUP BY 1),
+        |mx AS (
+        |  SELECT MAX(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400)
+        |    AS maxd
+        |  FROM orders),
+        |c AS (SELECT o_custkey, mx.maxd - lastd AS r, f, m FROM cu, mx),
+        |q AS (SELECT
+        |  CAST(floor(quantile_cont(r, 0.2)) AS BIGINT) AS r_e1,
+        |  CAST(floor(quantile_cont(r, 0.4)) AS BIGINT) AS r_e2,
+        |  CAST(floor(quantile_cont(r, 0.6)) AS BIGINT) AS r_e3,
+        |  CAST(floor(quantile_cont(r, 0.8)) AS BIGINT) AS r_e4,
+        |  CAST(floor(quantile_cont(f, 0.2)) AS BIGINT) AS f_e1,
+        |  CAST(floor(quantile_cont(f, 0.4)) AS BIGINT) AS f_e2,
+        |  CAST(floor(quantile_cont(f, 0.6)) AS BIGINT) AS f_e3,
+        |  CAST(floor(quantile_cont(f, 0.8)) AS BIGINT) AS f_e4,
+        |  CAST(floor(quantile_cont(m, 0.2)) AS BIGINT) AS m_e1,
+        |  CAST(floor(quantile_cont(m, 0.4)) AS BIGINT) AS m_e2,
+        |  CAST(floor(quantile_cont(m, 0.6)) AS BIGINT) AS m_e3,
+        |  CAST(floor(quantile_cont(m, 0.8)) AS BIGINT) AS m_e4
+        |  FROM c)
+        |SELECT
+        |  6 - (CASE WHEN r <= r_e1 THEN 1 WHEN r <= r_e2 THEN 2
+        |    WHEN r <= r_e3 THEN 3 WHEN r <= r_e4 THEN 4 ELSE 5 END)
+        |    AS r_score,
+        |  CASE WHEN f <= f_e1 THEN 1 WHEN f <= f_e2 THEN 2
+        |    WHEN f <= f_e3 THEN 3 WHEN f <= f_e4 THEN 4 ELSE 5 END
+        |    AS f_score,
+        |  CASE WHEN m <= m_e1 THEN 1 WHEN m <= m_e2 THEN 2
+        |    WHEN m <= m_e3 THEN 3 WHEN m <= m_e4 THEN 4 ELSE 5 END
+        |    AS m_score,
+        |  COUNT(*) AS n_customers, CAST(SUM(m) AS BIGINT) AS m_cents
+        |FROM c CROSS JOIN q
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     // positional window join |Δpos| ∈ {1,2} with least/greatest
     // canonicalization; HUGEINT mirrors the DECIMAL(38,0) numerators

@@ -23,16 +23,54 @@ object CoOccur {
     * groups of ≤ `maxBasket` distinct items.
     */
   def pairCounts(df: DataFrame, groupCol: String, itemCol: String,
-                 maxBasket: Int): DataFrame = {
+                 maxBasket: Int): DataFrame =
+    pairCountsOf(boundedBaskets(df, groupCol, itemCol, maxBasket))
+
+  /** Association RULES from the same capped projection: each
+    * unordered pair annotated with the exact integer rule metrics —
+    * support (µ of baskets containing both), directional confidence
+    * (‰ of a's baskets that also hold b, and the reverse), and lift
+    * (µ, observed/independence co-rate). All counts come from the SAME
+    * capped basket set, so the skew guard governs every metric
+    * consistently; numerators ride DECIMAL(38,0) (n_co·N crosses 2^63
+    * past ~9e12 pair-basket products).
+    */
+  def associationRules(df: DataFrame, groupCol: String, itemCol: String,
+                       maxBasket: Int): DataFrame = {
+    val bounded = boundedBaskets(df, groupCol, itemCol, maxBasket)
+    val itemCnt = bounded.groupBy(col("it")).agg(count(lit(1)).as("n_i"))
+    val nGroups = bounded.agg(
+      countDistinct(col("g")).as("n_groups"))
+    pairCountsOf(bounded)
+      .join(itemCnt.select(col("it").as("item_a"), col("n_i").as("n_a")),
+        "item_a")
+      .join(itemCnt.select(col("it").as("item_b"), col("n_i").as("n_b")),
+        "item_b")
+      .crossJoin(broadcast(nGroups))
+      .select(col("item_a"), col("item_b"), col("n_co"),
+        expr("(1000000 * CAST(n_co AS DECIMAL(38,0))) div n_groups")
+          .cast("long").as("support_micro"),
+        expr("(1000 * n_co) div n_a").as("conf_ab_permille"),
+        expr("(1000 * n_co) div n_b").as("conf_ba_permille"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_co * n_groups)" +
+          " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
+          .as("lift_micro"))
+  }
+
+  /** Distinct membership, groups above `maxBasket` dropped. */
+  private def boundedBaskets(df: DataFrame, groupCol: String,
+                             itemCol: String, maxBasket: Int): DataFrame = {
     val b = df.select(col(groupCol).as("g"), col(itemCol).as("it"))
       .distinct()
     val small = b.groupBy(col("g")).agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBasket)
       .select(col("g"))
-    val bounded = b.join(small, Seq("g"), "left_semi")
+    b.join(small, Seq("g"), "left_semi")
+  }
+
+  private def pairCountsOf(bounded: DataFrame): DataFrame =
     bounded.alias("a").join(bounded.alias("b"),
         col("a.g") === col("b.g") && col("a.it") < col("b.it"))
       .groupBy(col("a.it").as("item_a"), col("b.it").as("item_b"))
       .agg(count(lit(1)).as("n_co"))
-  }
 }

@@ -71,7 +71,9 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
       "q_pareto", // PrefixSums prefix-max bucket combine
       "q_percent_rank", // PrefixSums + 1-row broadcast total
       "q_anomaly", // 1-row broadcast moments × the hourly counts
-      "q_ks_test") // PrefixSums ×2 + 1-row broadcast (n1, n2) totals
+      "q_ks_test", // PrefixSums ×2 + 1-row broadcast (n1, n2) totals
+      "q_basket_lift", // 1-row broadcast basket total × the rule frame
+      "q_rfm") // 1-row broadcast quintile edges × customer measures
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString

@@ -89,4 +89,62 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       .orderBy("day").collect().map(_.getLong(1))
     assert(got.toSeq === Seq(10L, 10L, 10L, 10L, 58L))
   }
+
+  test("q_attribution: planted journey credits first and last touch " +
+    "correctly, and credits balance to the conversion count") {
+    import spark.implicits._
+    // user 1: view -> click -> purchase  (first=view, last=click)
+    // user 2: purchase                   (no touch -> 'none')
+    // user 3: click -> purchase -> view -> purchase
+    //   (p1: first=click last=click; p2: first=click last=view)
+    val e = Seq(
+      (1L, 10L, 100L, "view"), (2L, 11L, 100L, "click"),
+      (3L, 12L, 100L, "purchase"),
+      (4L, 10L, 200L, "purchase"),
+      (5L, 10L, 300L, "click"), (6L, 11L, 300L, "purchase"),
+      (7L, 12L, 300L, "view"), (8L, 13L, 300L, "purchase"))
+      .toDF("event_id", "t", "user_id", "event_type")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val credited = e
+      .withColumn("ft", first(touch, ignoreNulls = true).over(w))
+      .withColumn("lt", last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(coalesce(col("ft"), lit("none")).as("ft"),
+        coalesce(col("lt"), lit("none")).as("lt"))
+    val rows = credited.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.sorted.toSeq === Seq(("click", "click"), ("click", "view"),
+      ("none", "none"), ("view", "click")))
+    // on real data: total first credits == total last credits ==
+    // number of conversions
+    val g = SparkEntry.queries("q_attribution")(spark, sf)
+    val Row(nf: Long, nl: Long) =
+      g.agg(sum("n_first"), sum("n_last")).head()
+    val conv = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(nf === conv && nl === conv)
+  }
+
+  test("q_rfm: segment counts cover every customer exactly once, and " +
+    "higher m_score segments have higher average monetary value") {
+    val seg = SparkEntry.queries("q_rfm")(spark, sf)
+    val total = seg.agg(sum("n_customers")).head().getLong(0)
+    val nCust = Tables.orders(spark, sf)
+      .select(countDistinct("o_custkey")).head().getLong(0)
+    assert(total === nCust)
+    // m-quintile monotonicity: avg cents strictly rises across the
+    // occupied m_score levels
+    val byM = seg.groupBy("m_score")
+      .agg((sum("m_cents") / sum("n_customers")).as("avg_m"))
+      .orderBy("m_score").collect()
+      .map(r => (r.getInt(0), r.getDouble(1)))
+    byM.sliding(2).foreach {
+      case Array((s1, a1), (s2, a2)) =>
+        assert(a1 < a2, s"m_score $s1 avg $a1 !< $s2 avg $a2")
+      case _ =>
+    }
+  }
 }
