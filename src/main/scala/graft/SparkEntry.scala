@@ -1508,6 +1508,40 @@ object SparkEntry {
         .orderBy(col("pr").desc, col("word")).limit(20)
     }),
 
+    // HITS hubs & authorities (Kleinberg 1999) over the directed
+    // customer→supplier purchase graph, integer-exact: each half-round
+    // is ONE edge join + ONE sum, normalized to micro units by the
+    // round's 1-row max broadcast (floor division — the bounded-round
+    // hash-exact convention PageRank/k-core/LPA use, applied to the
+    // mutually-recursive pair). Two authority rounds unroll in the
+    // oracle; DECIMAL(38,0) guards the 1e6·score products.
+    "q_hits" -> ((s, dir) => {
+      val edges = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct().persist()
+      edges.count() // eager: three rounds re-read the edge set
+      def normed(scores: org.apache.spark.sql.DataFrame, c: String) =
+        scores.crossJoin(broadcast(scores.agg(max(col(c)).as("mx"))))
+          .select(col("node"),
+            expr(s"CAST((1000000 * CAST($c AS DECIMAL(38,0))) div mx" +
+              " AS BIGINT)").as(c + "n"))
+      val a1 = normed(edges.groupBy(col("dst").as("node"))
+        .agg((count(lit(1)) * 1000000L).as("a1")), "a1")
+      val h1 = normed(edges.join(a1, edges("dst") === a1("node"))
+        .groupBy(edges("src").as("node")).agg(sum(col("a1n")).as("h1")),
+        "h1")
+      val a2 = normed(edges.join(h1, edges("src") === h1("node"))
+        .groupBy(edges("dst").as("node")).agg(sum(col("h1n")).as("a2")),
+        "a2")
+      a2.select(col("node"), col("a2n").as("auth_micro"))
+        .orderBy(col("auth_micro").desc, col("node")).limit(20)
+    }),
+
     // exact triangle counting under degree-ordered orientation — the
     // O(m^1.5)-bounded wedge join that survives skewed hubs (see
     // Graph.triangleCount). The PageRank graph is bipartite (zero
@@ -1979,6 +2013,62 @@ object SparkEntry {
           sum(col("n_ev")).cast(LongType).as("n_events"),
           max(col("n_ev")).as("longest_session_events"),
           sum(col("dur_s")).cast(LongType).as("active_seconds"))
+    }),
+
+    // kNN CLASSIFICATION over the embedding table: majority vote of
+    // the 5 exact nearest neighbors' labels per probe (C6's scored
+    // frame + one bounded per-probe vote window, ties broken (votes
+    // desc, label asc) — a total order, so the prediction is
+    // hash-exact), scored against the true label — the
+    // label-propagation / weak-supervision primitive of a training-
+    // data pipeline.
+    "q_knn_classify" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val topk = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queryMaxId = 9, k = 5)
+      val lbl = emb.select(col("vec_id"), col("label"))
+      val votes = topk
+        .join(lbl.withColumnRenamed("vec_id", "neighbor_id"),
+          "neighbor_id")
+        .groupBy(col("q_id"), col("label"))
+        .agg(count(lit(1)).as("n_votes"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("n_votes").desc, col("label"))
+      votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .join(lbl.select(col("vec_id").as("q_id"),
+          col("label").as("true_label")), "q_id")
+        .select(col("q_id"), col("label").as("pred_label"),
+          col("true_label"), col("n_votes"),
+          (col("label") === col("true_label")).cast("int").as("correct"))
+    }),
+
+    // cohort LIFETIME VALUE: weekly acquisition cohorts, revenue by
+    // cohort age, cumulative LTV per user in exact cents — the
+    // revenue face of B66's retention matrix. Aggregate FIRST, then
+    // the cumulative sum runs over the tiny (cohort × age) grid —
+    // never a per-order window.
+    "q_cohort_ltv" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, dir).select(col("o_custkey"),
+        expr("unix_timestamp(o_orderdate) div 604800").as("wk"),
+        (dec(col("o_totalprice"), 12, 2) * 100).cast(LongType).as("cents"))
+      val first = o.groupBy(col("o_custkey")).agg(min(col("wk")).as("cw"))
+      val grid = o.join(first, "o_custkey")
+        .groupBy(col("cw"), (col("wk") - col("cw")).as("age"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("cents")).cast(LongType).as("rev_cents"))
+      val sizes = first.groupBy(col("cw")).agg(count(lit(1)).as("n_users"))
+      val w = Window.partitionBy(col("cw")).orderBy(col("age"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      grid.withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+        .join(sizes, "cw")
+        .select(col("cw").as("cohort_week"), col("age").as("age_weeks"),
+          col("n_orders"), col("rev_cents"),
+          col("cum_rev_cents").cast(LongType).as("cum_rev_cents"),
+          col("n_users"),
+          expr("cum_rev_cents div n_users").as("ltv_per_user_cents"))
     }),
 
     // first-order Markov transition matrix over per-user event
@@ -5016,6 +5106,33 @@ object SparkEntry {
         |FROM r3 JOIN dh ON r3.node = dh.node
         |ORDER BY pr DESC, word LIMIT 20""".stripMargin,
 
+    // two authority half-round pairs unrolled; HUGEINT mirrors the
+    // DECIMAL(38,0) normalization products
+    "q_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |a1 AS (SELECT dst AS node, COUNT(*) * 1000000 AS a1
+        |       FROM e GROUP BY dst),
+        |a1m AS (SELECT MAX(a1) AS mx FROM a1),
+        |a1n AS (SELECT node,
+        |    CAST((1000000 * CAST(a1 AS HUGEINT)) // mx AS BIGINT) AS a1n
+        |  FROM a1, a1m),
+        |h1 AS (SELECT e.src AS node, SUM(a1n.a1n) AS h1
+        |       FROM e JOIN a1n ON e.dst = a1n.node GROUP BY e.src),
+        |h1m AS (SELECT MAX(h1) AS mx FROM h1),
+        |h1n AS (SELECT node,
+        |    CAST((1000000 * CAST(h1 AS HUGEINT)) // mx AS BIGINT) AS h1n
+        |  FROM h1, h1m),
+        |a2 AS (SELECT e.dst AS node, SUM(h1n.h1n) AS a2
+        |       FROM e JOIN h1n ON e.src = h1n.node GROUP BY e.dst),
+        |a2m AS (SELECT MAX(a2) AS mx FROM a2)
+        |SELECT CAST(node AS BIGINT) AS node,
+        |  CAST((1000000 * CAST(a2 AS HUGEINT)) // mx AS BIGINT)
+        |    AS auth_micro
+        |FROM a2, a2m
+        |ORDER BY auth_micro DESC, node LIMIT 20""".stripMargin,
+
     // the plain full-vocabulary answer the MG guarantee promises to
     // reproduce exactly: cnt*threshold > n in integers, strict
     "q_heavy_hitters" ->
@@ -5934,6 +6051,40 @@ object SparkEntry {
         |SELECT q_id, id AS neighbor_id, rank, round(sim, 3) AS cosine
         |FROM ranked WHERE rank <= 5""".stripMargin,
 
+    // the ann_topk scored frame + a label vote; (votes desc, label)
+    // is a total order so the argmax row is exact
+    "q_knn_classify" ->
+      """WITH d AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(SUM(v*v)) AS nrm FROM d GROUP BY vec_id),
+        |dot AS (
+        |  SELECT q.vec_id AS q_id, x.vec_id AS id, SUM(q.v*x.v) AS dp
+        |  FROM d q JOIN d x ON q.i = x.i AND q.vec_id <= 9 AND x.vec_id <> q.vec_id
+        |  GROUP BY q.vec_id, x.vec_id),
+        |scored AS (
+        |  SELECT q_id, id, dp / (nq.nrm * nx.nrm) AS sim
+        |  FROM dot JOIN n nq ON nq.vec_id = q_id JOIN n nx ON nx.vec_id = id),
+        |ranked AS (
+        |  SELECT q_id, id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, id) AS rank
+        |  FROM scored),
+        |votes AS (
+        |  SELECT r.q_id, em.label, COUNT(*) AS n_votes
+        |  FROM ranked r JOIN embeddings em ON em.vec_id = r.id
+        |  WHERE r.rank <= 5 GROUP BY r.q_id, em.label),
+        |pv AS (
+        |  SELECT q_id, label, n_votes,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY n_votes DESC, label) AS rn
+        |  FROM votes)
+        |SELECT pv.q_id, pv.label AS pred_label, t.label AS true_label,
+        |  pv.n_votes,
+        |  CAST(pv.label = t.label AS INT) AS correct
+        |FROM pv JOIN embeddings t ON t.vec_id = pv.q_id
+        |WHERE pv.rn = 1""".stripMargin,
+
     // every column re-states its standalone query's proven SQL
     "doc_features" ->
       """WITH t AS (
@@ -6298,6 +6449,29 @@ object SparkEntry {
         |      FROM e JOIN f USING (user_id))
         |SELECT cohort_day, "offset" AS offset, COUNT(*) AS n_users
         |FROM v GROUP BY cohort_day, "offset"""".stripMargin,
+
+    "q_cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    CAST(floor(epoch(o_orderdate)) AS BIGINT) // 604800 AS wk,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |f AS (SELECT o_custkey, MIN(wk) AS cw FROM o GROUP BY 1),
+        |g AS (
+        |  SELECT f.cw, o.wk - f.cw AS age, COUNT(*) AS n_orders,
+        |    CAST(SUM(o.cents) AS BIGINT) AS rev_cents
+        |  FROM o JOIN f USING (o_custkey) GROUP BY 1, 2),
+        |sz AS (SELECT cw, COUNT(*) AS n_users FROM f GROUP BY cw),
+        |c AS (
+        |  SELECT cw, age, n_orders, rev_cents,
+        |    CAST(SUM(rev_cents) OVER (PARTITION BY cw ORDER BY age
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents
+        |  FROM g)
+        |SELECT c.cw AS cohort_week, c.age AS age_weeks, c.n_orders,
+        |  c.rev_cents, c.cum_rev_cents, sz.n_users,
+        |  c.cum_rev_cents // sz.n_users AS ltv_per_user_cents
+        |FROM c JOIN sz USING (cw)""".stripMargin,
 
     // same ×10 decicent window median; quantile_cont is DuckDB's
     // spelling of percentile

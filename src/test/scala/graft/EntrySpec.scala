@@ -73,7 +73,9 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
       "q_anomaly", // 1-row broadcast moments × the hourly counts
       "q_ks_test", // PrefixSums ×2 + 1-row broadcast (n1, n2) totals
       "q_basket_lift", // 1-row broadcast basket total × the rule frame
-      "q_rfm") // 1-row broadcast quintile edges × customer measures
+      "q_rfm", // 1-row broadcast quintile edges × customer measures
+      "q_hits", // 1-row broadcast per-round max normalizers
+      "q_knn_classify") // ann_topk's broadcast-query non-equi scorer
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString

