@@ -2071,6 +2071,94 @@ object SparkEntry {
           expr("cum_rev_cents div n_users").as("ltv_per_user_cents"))
     }),
 
+    // lag-1 AUTOCORRELATION as the integer AR(1) coefficient: regress
+    // next-day volume on today's — φ = (nΣxy − ΣxΣy) div (nΣx² −
+    // (Σx)²) in permille over calendar-adjacent day pairs (one
+    // self-join of the tiny daily grid), the q_linreg moment
+    // discipline pointed at the series itself. The mean-reversion /
+    // burst-persistence signal behind capacity forecasts.
+    "q_autocorr" -> ((s, dir) => {
+      val d38 = DecimalType(38, 0)
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_timestamp(ts) div 86400").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val pairs = daily
+        .join(daily.select(col("event_type"), (col("day") - 1).as("day"),
+          col("x").as("y")), Seq("event_type", "day"))
+      pairs.select(col("event_type"), col("x").cast(d38).as("x"),
+          col("y").cast(d38).as("y"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast(d38).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("event_type"), col("n").cast(LongType).as("n_pairs"),
+          expr("CAST((1000 * (n * sxy - sx * sy))" +
+            " div (n * sxx - sx * sx) AS BIGINT)").as("ar1_permille"))
+    }),
+
+    // period-over-period growth report: weekly volume per type with
+    // the previous period, absolute delta, and growth in permille —
+    // the WoW dashboard primitive; the window runs over the
+    // calendar-bounded weekly grid, never per event.
+    "q_pop" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val weekly = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_timestamp(ts) div 604800").as("wk"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("wk"))
+      weekly.withColumn("prev_n", lag(col("n"), 1).over(w))
+        .select(col("event_type"), col("wk"), col("n"), col("prev_n"),
+          (col("n") - col("prev_n")).as("delta"),
+          when(col("prev_n") > 0,
+            expr("(1000 * (n - prev_n)) div prev_n")).as("growth_permille"))
+    }),
+
+    // per-slice corpus PARITY audit: every (lang, source) cell's mean
+    // document length against the corpus mean as an exact permille
+    // ratio-of-means (Σc·ng·1000 div (nc·Σg), DECIMAL numerators) +
+    // a >20%-deviation flag — the representation-balance check run
+    // before training mixes are frozen; the cell grid is
+    // dictionary-bounded, the global mean one broadcast row.
+    "q_slice_parity" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("lang"), col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("len"))
+      val cells = d.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("s_len"))
+      val glob = d.agg(count(lit(1)).as("g_n"), sum(col("len")).as("g_s"))
+      cells.crossJoin(broadcast(glob))
+        .select(col("lang"), col("source"), col("n_docs"),
+          expr("(1000 * s_len) div n_docs").as("mean_len_milli"),
+          expr("CAST((CAST(1000 AS DECIMAL(38,0)) * s_len * g_n)" +
+            " div (CAST(n_docs AS DECIMAL(38,0)) * g_s) AS BIGINT)")
+            .as("parity_permille"))
+        .withColumn("balanced",
+          (abs(col("parity_permille") - 1000) <= 200).cast("int"))
+    }),
+
+    // integer Flesch-Kincaid readability: sentences from non-empty
+    // '.'-units, syllables ≈ vowel runs (count of 'V' markers after
+    // the [aeiou]+ collapse — lower() first, so every marker is
+    // synthetic), grade in exact centi-units with floor divisions.
+    // Map-only over the corpus; regex is a shared-dialect character
+    // class, engine-parity-safe.
+    "q_readability" -> ((s, dir) => {
+      val rv = regexp_replace(lower(col("text")), "[aeiou]+", "V")
+      Tables.documents(s, dir).select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_words"),
+          size(filter(split(col("text"), "\\."),
+            x => length(trim(x)) > 0)).cast(LongType).as("n_sentences"),
+          (length(rv) - length(regexp_replace(rv, "V", "")))
+            .cast(LongType).as("n_syllables"))
+        .select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"),
+          (expr("(39 * n_words) div greatest(n_sentences, 1)") +
+            expr("(1180 * n_syllables) div greatest(n_words, 1)") -
+            lit(1559L)).as("fk_centi"))
+    }),
+
     // first-order Markov transition matrix over per-user event
     // streams: LEAD inside the per-user window (narrow, the q_lag
     // collation — truncated second + event_id total order), then a
@@ -6472,6 +6560,80 @@ object SparkEntry {
         |  c.rev_cents, c.cum_rev_cents, sz.n_users,
         |  c.cum_rev_cents // sz.n_users AS ltv_per_user_cents
         |FROM c JOIN sz USING (cw)""".stripMargin,
+
+    "q_autocorr" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type, CAST(a.x AS HUGEINT) AS x,
+        |    CAST(b.x AS HUGEINT) AS y
+        |  FROM d a JOIN d b ON b.event_type = a.event_type
+        |    AND b.day = a.day + 1),
+        |m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx
+        |  FROM p GROUP BY event_type)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+        |  CAST((1000 * (n * sxy - sx * sy))
+        |    // (n * sxx - sx * sx) AS BIGINT) AS ar1_permille
+        |FROM m""".stripMargin,
+
+    "q_pop" ->
+      """WITH w AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, wk, n,
+        |    lag(n) OVER (PARTITION BY event_type ORDER BY wk) AS prev_n
+        |  FROM w)
+        |SELECT event_type, wk, n, prev_n, n - prev_n AS delta,
+        |  CASE WHEN prev_n > 0 THEN (1000 * (n - prev_n)) // prev_n
+        |       END AS growth_permille
+        |FROM l""".stripMargin,
+
+    "q_slice_parity" ->
+      """WITH d AS (
+        |  SELECT lang, source, len(string_split(text, ' ')) AS l
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, source, COUNT(*) AS n_docs,
+        |    CAST(SUM(l) AS BIGINT) AS s_len
+        |  FROM d GROUP BY 1, 2),
+        |g AS (SELECT COUNT(*) AS g_n, CAST(SUM(l) AS BIGINT) AS g_s
+        |      FROM d)
+        |SELECT lang, source, n_docs,
+        |  (1000 * s_len) // n_docs AS mean_len_milli,
+        |  CAST((CAST(1000 AS HUGEINT) * s_len * g_n)
+        |    // (CAST(n_docs AS HUGEINT) * g_s) AS BIGINT)
+        |    AS parity_permille,
+        |  CAST(abs(CAST((CAST(1000 AS HUGEINT) * s_len * g_n)
+        |    // (CAST(n_docs AS HUGEINT) * g_s) AS BIGINT) - 1000) <= 200
+        |    AS INT) AS balanced
+        |FROM c, g""".stripMargin,
+
+    "q_readability" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(len(list_filter(string_split(text, '.'),
+        |      x -> trim(x) <> '')) AS BIGINT) AS n_sentences,
+        |    regexp_replace(lower(text), '[aeiou]+', 'V', 'g') AS rv
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_words, n_sentences,
+        |    CAST(len(rv) - len(replace(rv, 'V', '')) AS BIGINT)
+        |      AS n_syllables
+        |  FROM r)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  (39 * n_words) // greatest(n_sentences, 1)
+        |    + (1180 * n_syllables) // greatest(n_words, 1)
+        |    - 1559 AS fk_centi
+        |FROM s""".stripMargin,
 
     // same ×10 decicent window median; quantile_cont is DuckDB's
     // spelling of percentile

@@ -75,7 +75,8 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
       "q_basket_lift", // 1-row broadcast basket total × the rule frame
       "q_rfm", // 1-row broadcast quintile edges × customer measures
       "q_hits", // 1-row broadcast per-round max normalizers
-      "q_knn_classify") // ann_topk's broadcast-query non-equi scorer
+      "q_knn_classify", // ann_topk's broadcast-query non-equi scorer
+      "q_slice_parity") // 1-row broadcast corpus mean × the cell grid
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString

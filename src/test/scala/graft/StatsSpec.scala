@@ -220,6 +220,75 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     ltv.unpersist(blocking = false)
   }
 
+  test("q_autocorr arithmetic: a perfectly persistent series scores " +
+    "1000 permille, a mean-reverting alternation scores -1000") {
+    import spark.implicits._
+    def ar1(xs: Seq[Long]): Long = {
+      val p = xs.zip(xs.tail).map { case (x, y) => (BigInt(x), BigInt(y)) }
+      val n = BigInt(p.size)
+      val (sx, sy) = (p.map(_._1).sum, p.map(_._2).sum)
+      val sxy = p.map { case (x, y) => x * y }.sum
+      val sxx = p.map { case (x, _) => x * x }.sum
+      ((1000 * (n * sxy - sx * sy)) / (n * sxx - sx * sx)).toLong
+    }
+    assert(ar1(Seq(1L, 2L, 3L, 4L, 5L)) === 1000L) // x_{t+1} = x_t + 1
+    assert(ar1(Seq(10L, 2L, 10L, 2L, 10L, 2L)) === -1000L)
+    // engine agreement on the planted persistent series
+    val d = Seq.tabulate(6)(i => ("t", i.toLong, i + 1L))
+      .toDF("event_type", "day", "x")
+    val pairs = d.join(d.select(col("event_type"),
+      (col("day") - 1).as("day"), col("x").as("y")),
+      Seq("event_type", "day"))
+    val got = pairs
+      .select(col("x").cast("decimal(38,0)").as("x"),
+        col("y").cast("decimal(38,0)").as("y"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        expr("sum(x*y)").as("sxy"), expr("sum(x*x)").as("sxx"))
+      .select(expr("CAST((1000 * (n * sxy - sx * sy))" +
+        " div (n * sxx - sx * sx) AS BIGINT)")).head().getLong(0)
+    assert(got === 1000L)
+  }
+
+  test("q_slice_parity: parity permilles average to ~1000 when " +
+    "weighted by docs, and a planted short-doc slice flags unbalanced") {
+    val p = SparkEntry.queries("q_slice_parity")(spark, sf)
+    // doc-weighted mean of cell means == global mean → Σ n·parity ≈
+    // 1000·Σn (floor error < #cells)
+    // Σ n_c·floor-parity ∈ (1000·N − N, 1000·N]: each cell's floor
+    // loses < 1 permille-unit per doc
+    val r = p.agg(sum(expr("n_docs * parity_permille")).cast("long"),
+      sum("n_docs").cast("long")).head()
+    val (wsum, n) = (r.getLong(0), r.getLong(1))
+    assert(wsum <= 1000L * n && wsum > 1000L * n - n)
+    assert(p.filter(col("balanced") =!= 1 &&
+      abs(col("parity_permille") - 1000) <= 200).count() === 0)
+  }
+
+  test("q_readability: hand-counted document and formula fixpoints") {
+    import spark.implicits._
+    // "The cat sat. It ran." → 5 words, 2 sentences,
+    // vowel runs: e,a,a,I,a → 5 syllables
+    // fk = 39·5//2 + 1180·5//5 − 1559 = 97 + 1180 − 1559 = −282
+    val d = Seq((1L, "The cat sat. It ran.")).toDF("doc_id", "text")
+    val rv = regexp_replace(lower(col("text")), "[aeiou]+", "V")
+    val row = d.select(
+      size(split(col("text"), " ")).cast("long").as("w"),
+      size(filter(split(col("text"), "\\."),
+        x => length(trim(x)) > 0)).cast("long").as("s"),
+      (length(rv) - length(regexp_replace(rv, "V", "")))
+        .cast("long").as("y"))
+      .select(col("w"), col("s"), col("y"),
+        (expr("(39 * w) div greatest(s, 1)") +
+          expr("(1180 * y) div greatest(w, 1)") - lit(1559L)).as("fk"))
+      .head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3)) === ((5L, 2L, 5L, -282L)))
+    val real = SparkEntry.queries("q_readability")(spark, sf)
+    assert(real.filter(col("n_syllables") > col("n_words") * 10)
+      .count() === 0)
+  }
+
   test("q_knn_classify: one row per probe, votes bounded by k, and a " +
     "planted homogeneous neighborhood predicts its label") {
     val r = SparkEntry.queries("q_knn_classify")(spark, sf).collect()
