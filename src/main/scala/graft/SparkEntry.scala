@@ -2071,6 +2071,106 @@ object SparkEntry {
           expr("cum_rev_cents div n_users").as("ltv_per_user_cents"))
     }),
 
+    // frequent JOURNEY PATHS: the top ordered event-type trigrams
+    // across per-user streams — LEAD ×2 inside the narrow per-user
+    // window (the q_markov collation), then one |types|³-bounded
+    // count frame; the "what do users actually do" sequence-mining
+    // primitive behind funnel design.
+    "q_paths" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(expr("unix_timestamp(ts)"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type").as("s0"))
+        .withColumn("s1", lead(col("s0"), 1).over(w))
+        .withColumn("s2", lead(col("s0"), 2).over(w))
+        .filter(col("s2").isNotNull)
+        .groupBy(col("s0"), col("s1"), col("s2"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("s0"), col("s1"), col("s2"))
+        .limit(20)
+    }),
+
+    // BENFORD first-digit audit: observed leading-digit distribution
+    // of order amounts vs Benford's law (expected permilles as exact
+    // integer literals — log10(1+1/d) pre-tabulated), with per-digit
+    // deviation. Leading digit via string head — no float log10 in
+    // either engine. The classic fabricated-data / fraud screen, one
+    // scan + a 9-row frame.
+    "q_benford" -> ((s, dir) => {
+      val cents = (dec(col("o_totalprice"), 12, 2) * 100).cast(LongType)
+      val bexp = map(
+        (1 to 9).flatMap(d => Seq(lit(d), lit(Seq(301L, 176L, 125L,
+          97L, 79L, 67L, 58L, 51L, 46L)(d - 1)))): _*)
+      Tables.orders(s, dir)
+        .select(substring(cents.cast("string"), 1, 1).cast("int")
+          .as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(Tables.orders(s, dir)
+          .agg(count(lit(1)).as("n_total"))))
+        .select(col("digit"), col("n"),
+          expr("(1000 * n) div n_total").as("observed_permille"),
+          element_at(bexp, col("digit")).as("benford_permille"))
+        .withColumn("abs_dev_permille",
+          abs(col("observed_permille") - col("benford_permille")))
+    }),
+
+    // cohort CHURN: per weekly acquisition cohort, the share of users
+    // whose last activity is more than 7 days before corpus end —
+    // exact permille; two bounded aggregations + one 1-row corpus-end
+    // broadcast.
+    "q_churn" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"),
+        expr("unix_timestamp(ts) div 86400").as("day"))
+      val users = e.groupBy(col("user_id"))
+        .agg(min(col("day")).as("firstd"), max(col("day")).as("lastd"))
+      users
+        .crossJoin(broadcast(e.agg(max(col("day")).as("endd"))))
+        .select(expr("firstd div 7").as("cohort_week"),
+          when(col("endd") - col("lastd") > 7, 1L).otherwise(0L)
+            .as("churned"))
+        .groupBy(col("cohort_week"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("churned")).as("n_churned"))
+        .withColumn("churn_permille",
+          expr("(1000 * n_churned) div n_users"))
+    }),
+
+    // TRENDING TERMS: the top-20 ≥6-char terms by volume, each with
+    // its integer OLS slope over daily counts (the B79 moment
+    // discipline per term, x centered on the corpus min day) — the
+    // "what's rising" text-analytics report; daily per-term counts
+    // only exist for the broadcast-bounded dictionary.
+    "q_keyword_trend" -> ((s, dir) => {
+      val d38 = DecimalType(38, 0)
+      val docs = Tables.documents(s, dir)
+      // documents carry no timestamps: day = a deterministic md5 hash
+      // of doc_id into a 30-day window (the synthetic-clock rule used
+      // for engine-common reproducibility)
+      val tok = docs.select(col("doc_id"),
+          pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+            16, 10).cast(LongType), lit(30L)).as("day"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 6)
+      val top = tok.groupBy(col("w")).agg(count(lit(1)).as("n_total"))
+        .orderBy(col("n_total").desc, col("w")).limit(20)
+      val daily = tok.join(broadcast(top), "w")
+        .groupBy(col("w"), col("n_total"), col("day"))
+        .agg(count(lit(1)).as("c"))
+      daily.select(col("w"), col("n_total"),
+          col("day").cast(d38).as("x"), col("c").cast(d38).as("y"))
+        .groupBy(col("w"), col("n_total"))
+        .agg(count(lit(1)).cast(d38).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .filter(expr("n * sxx - sx * sx <> 0"))
+        .select(col("w").as("term"), col("n_total"),
+          expr("CAST((1000000 * (n * sxy - sx * sy))" +
+            " div (n * sxx - sx * sx) AS BIGINT)").as("slope_micro"))
+    }),
+
     // lag-1 AUTOCORRELATION as the integer AR(1) coefficient: regress
     // next-day volume on today's — φ = (nΣxy − ΣxΣy) div (nΣx² −
     // (Σx)²) in permille over calendar-adjacent day pairs (one
@@ -6560,6 +6660,83 @@ object SparkEntry {
         |  c.rev_cents, c.cum_rev_cents, sz.n_users,
         |  c.cum_rev_cents // sz.n_users AS ltv_per_user_cents
         |FROM c JOIN sz USING (cw)""".stripMargin,
+
+    "q_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |    event_id, event_type
+        |  FROM events),
+        |l AS (
+        |  SELECT event_type AS s0,
+        |    lead(event_type, 1) OVER w AS s1,
+        |    lead(event_type, 2) OVER w AS s2
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+        |SELECT s0, s1, s2, COUNT(*) AS n
+        |FROM l WHERE s2 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, s0, s1, s2 LIMIT 20""".stripMargin,
+
+    // expected permilles are shared integer literals; leading digit
+    // via string head in both engines — no float log10 anywhere
+    "q_benford" ->
+      """WITH c AS (
+        |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice
+        |    AS DECIMAL(12,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1)
+        |    AS INT) AS digit
+        |  FROM orders),
+        |n AS (SELECT COUNT(*) AS n_total FROM c),
+        |b(digit, benford_permille) AS (VALUES (1, 301), (2, 176),
+        |  (3, 125), (4, 97), (5, 79), (6, 67), (7, 58), (8, 51),
+        |  (9, 46)),
+        |o AS (SELECT digit, COUNT(*) AS cnt FROM c GROUP BY digit)
+        |SELECT o.digit, o.cnt AS n,
+        |  (1000 * o.cnt) // n.n_total AS observed_permille,
+        |  CAST(b.benford_permille AS BIGINT) AS benford_permille,
+        |  abs((1000 * o.cnt) // n.n_total - b.benford_permille)
+        |    AS abs_dev_permille
+        |FROM o JOIN b USING (digit) CROSS JOIN n""".stripMargin,
+
+    "q_churn" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id, MIN(day) AS firstd, MAX(day) AS lastd
+        |  FROM e GROUP BY 1),
+        |x AS (SELECT MAX(day) AS endd FROM e)
+        |SELECT firstd // 7 AS cohort_week, COUNT(*) AS n_users,
+        |  CAST(SUM(CASE WHEN endd - lastd > 7 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_churned,
+        |  (1000 * CAST(SUM(CASE WHEN endd - lastd > 7 THEN 1 ELSE 0
+        |    END) AS BIGINT)) // COUNT(*) AS churn_permille
+        |FROM u, x GROUP BY 1""".stripMargin,
+
+    // the synthetic md5 clock + per-term B79 moments; HUGEINT mirror
+    "q_keyword_trend" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 30 AS day,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tk AS (SELECT * FROM tok WHERE length(w) >= 6),
+        |top AS (
+        |  SELECT w, COUNT(*) AS n_total FROM tk GROUP BY w
+        |  ORDER BY n_total DESC, w LIMIT 20),
+        |daily AS (
+        |  SELECT tk.w, top.n_total, tk.day, COUNT(*) AS c
+        |  FROM tk JOIN top USING (w) GROUP BY 1, 2, 3),
+        |m AS (
+        |  SELECT w, n_total, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(CAST(day AS HUGEINT)) AS sx, SUM(CAST(c AS HUGEINT)) AS sy,
+        |    SUM(CAST(day AS HUGEINT) * c) AS sxy,
+        |    SUM(CAST(day AS HUGEINT) * day) AS sxx
+        |  FROM daily GROUP BY 1, 2)
+        |SELECT w AS term, n_total,
+        |  CAST((1000000 * (n * sxy - sx * sy))
+        |    // (n * sxx - sx * sx) AS BIGINT) AS slope_micro
+        |FROM m WHERE n * sxx - sx * sx <> 0""".stripMargin,
 
     "q_autocorr" ->
       """WITH d AS (

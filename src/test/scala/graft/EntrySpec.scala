@@ -76,7 +76,9 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
       "q_rfm", // 1-row broadcast quintile edges × customer measures
       "q_hits", // 1-row broadcast per-round max normalizers
       "q_knn_classify", // ann_topk's broadcast-query non-equi scorer
-      "q_slice_parity") // 1-row broadcast corpus mean × the cell grid
+      "q_slice_parity", // 1-row broadcast corpus mean × the cell grid
+      "q_benford", // 1-row broadcast order total × the 9-digit frame
+      "q_churn") // 1-row broadcast corpus-end day × user extents
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString

@@ -289,6 +289,52 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       .count() === 0)
   }
 
+  test("q_benford: digits cover 1-9 exactly once, observed permilles " +
+    "sum to ~1000, and the Benford table is the canonical one") {
+    val r = SparkEntry.queries("q_benford")(spark, sf).collect()
+    assert(r.map(_.getAs[Int]("digit")).sorted.toSeq === (1 to 9))
+    val s = r.map(_.getAs[Long]("observed_permille")).sum
+    assert(s > 990 && s <= 1000) // floor loses < 1 per digit
+    val b = r.map(x => x.getAs[Int]("digit") ->
+      x.getAs[Long]("benford_permille")).toMap
+    assert(b(1) === 301L && b(9) === 46L)
+    assert(r.forall(x => x.getAs[Long]("abs_dev_permille") ===
+      math.abs(x.getAs[Long]("observed_permille") -
+        x.getAs[Long]("benford_permille"))))
+  }
+
+  test("q_paths: hand journey yields its exact trigrams; counts on " +
+    "real data reconcile with eligible positions") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Seq((1L, 1L, "a"), (2L, 2L, "b"), (3L, 3L, "c"),
+      (4L, 4L, "d")).map { case (id, t, ty) => (id, t, 9L, ty) }
+      .toDF("event_id", "t", "user_id", "event_type")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+    val tri = e.select(col("user_id"), col("event_type").as("s0"),
+        lead(col("event_type"), 1).over(w).as("s1"),
+        lead(col("event_type"), 2).over(w).as("s2"))
+      .filter(col("s2").isNotNull)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    assert(tri.sorted.toSeq === Seq(("a", "b", "c"), ("b", "c", "d")))
+    // real data: Σ trigram counts over ALL trigrams = Σ max(0, n_u−2)
+    val perUser = Tables.events(spark, sf).groupBy("user_id").count()
+      .agg(sum(greatest(col("count") - 2, lit(0L)))).head().getLong(0)
+    // the gated query is top-20; recompute untruncated here
+    val all = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_timestamp(ts)").as("t"),
+        col("event_id"), col("event_type").as("s0"))
+      .withColumn("s1", lead(col("s0"), 1).over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("t"), col("event_id"))))
+      .withColumn("s2", lead(col("s0"), 2).over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("t"), col("event_id"))))
+      .filter(col("s2").isNotNull).count()
+    assert(all === perUser)
+  }
+
   test("q_knn_classify: one row per probe, votes bounded by k, and a " +
     "planted homogeneous neighborhood predicts its label") {
     val r = SparkEntry.queries("q_knn_classify")(spark, sf).collect()
