@@ -2071,6 +2071,50 @@ object SparkEntry {
           expr("cum_rev_cents div n_users").as("ltv_per_user_cents"))
     }),
 
+    // grid-density CLUSTERING (DBSCAN's grid approximation, the
+    // standard distributed form): bin points into cells, keep cells
+    // at or above the p90 occupancy (adaptive, engine-common
+    // floor(percentile) — a fixed minPts would be SF-brittle), then
+    // merge 8-adjacent dense cells through the SAME distributed
+    // connected-components loop B73 gates — adjacency by 8 explode-
+    // probes + ONE equi-join on the cell key, never a cell×cell
+    // distance join. Coordinates are the B64 synthetic lattice.
+    "q_dbscan" -> ((s, dir) => {
+      val pts = Tables.events(s, dir).select(
+        ((col("event_id") * 7919) % 100000).as("x"),
+        ((col("event_id") * 104729) % 100000).as("y"))
+      val occ = pts.select(expr("x div 5000").as("cx"),
+          expr("y div 5000").as("cy"))
+        .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("n"))
+      val thr = occ.agg(greatest(floor(expr("percentile(n, 0.9)"))
+        .cast(LongType), lit(2L)).as("thr"))
+      val cells = occ.crossJoin(broadcast(thr))
+        .filter(col("n") >= col("thr"))
+        .select((col("cx") * 1000 + col("cy")).as("cell"),
+          col("cx"), col("cy"), col("n"))
+        .persist()
+      cells.count() // eager: probes + dst side + final rollup
+      val offs = explode(array(
+        Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1),
+          (1, 0), (1, 1)).map { case (dx, dy) =>
+          struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))
+        }: _*))
+      val edges = cells.select(col("cell").as("src"), col("cx"),
+          col("cy"), offs.as("o"))
+        .select(col("src"),
+          ((col("cx") + col("o.dx")) * 1000 + col("cy") + col("o.dy"))
+            .as("dst"))
+        .join(cells.select(col("cell").as("dst")), "dst")
+        .filter(col("src") < col("dst"))
+      val comp = Graph.connectedComponents(edges)
+      cells.join(comp, cells("cell") === comp("node"), "left")
+        .select(coalesce(col("component"), col("cell")).as("cluster_id"),
+          col("n"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("n")).cast(LongType).as("n_points"))
+    }),
+
     // frequent JOURNEY PATHS: the top ordered event-type trigrams
     // across per-user streams — LEAD ×2 inside the narrow per-user
     // window (the q_markov collation), then one |types|³-bounded
@@ -2090,6 +2134,47 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("s0"), col("s1"), col("s2"))
         .limit(20)
+    }),
+
+    // K-ANONYMITY risk audit: equivalence-class sizes over the
+    // quasi-identifier tuple (nation, segment, coarse balance band) —
+    // classes below k = 5 are re-identification risks (Sweeney 2002).
+    // The privacy/governance pass run before any data release; one
+    // hash aggregation over a dictionary-bounded grid.
+    "q_kanonymity" -> ((s, dir) => {
+      Tables.customer(s, dir).select(col("c_nationkey"),
+          col("c_mktsegment"),
+          expr("CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)" +
+            " div 100000").as("bal_band"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("at_risk", (col("n") < 5).cast("int"))
+    }),
+
+    // funnel CONVERSION DELAY: per user, the first purchase at or
+    // after the first view; delay distribution as engine-common
+    // floor(percentile) order statistics — the "how long does
+    // conversion take" companion to B26's ordered funnel. Two
+    // min-aggregations + one user-keyed join; the delay frame is
+    // user-bounded.
+    "q_funnel_delay" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"),
+        col("event_type"), expr("unix_timestamp(ts)").as("t"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("t")).as("tv"))
+      val d = e.filter(col("event_type") === "purchase")
+        .join(v, "user_id")
+        .filter(col("t") >= col("tv"))
+        .groupBy(col("user_id")).agg(min(col("t")).as("tp"),
+          min(col("tv")).as("tv2"))
+        .select((col("tp") - col("tv2")).as("delay_s"))
+      d.agg(count(lit(1)).as("n_converted"),
+        floor(expr("percentile(delay_s, 0.25)")).cast(LongType)
+          .as("p25_delay_s"),
+        floor(expr("percentile(delay_s, 0.5)")).cast(LongType)
+          .as("p50_delay_s"),
+        floor(expr("percentile(delay_s, 0.9)")).cast(LongType)
+          .as("p90_delay_s"))
     }),
 
     // BENFORD first-digit audit: observed leading-digit distribution
@@ -6660,6 +6745,67 @@ object SparkEntry {
         |  c.rev_cents, c.cum_rev_cents, sz.n_users,
         |  c.cum_rev_cents // sz.n_users AS ltv_per_user_cents
         |FROM c JOIN sz USING (cw)""".stripMargin,
+
+    // bounded cell graph: the oracle may use the O(cells²) neighbor
+    // join + recursive closure; the engine must not
+    "q_dbscan" ->
+      """WITH RECURSIVE
+        |p AS (
+        |  SELECT (event_id * 7919) % 100000 AS x,
+        |    (event_id * 104729) % 100000 AS y
+        |  FROM events),
+        |occ AS (
+        |  SELECT x // 5000 AS cx, y // 5000 AS cy, COUNT(*) AS n
+        |  FROM p GROUP BY 1, 2),
+        |th AS (SELECT greatest(CAST(floor(quantile_cont(n, 0.9))
+        |  AS BIGINT), 2) AS thr FROM occ),
+        |cc AS (
+        |  SELECT cx * 1000 + cy AS cell, cx, cy, n
+        |  FROM occ, th WHERE n >= thr),
+        |e1 AS (
+        |  SELECT a.cell AS src, b.cell AS dst
+        |  FROM cc a JOIN cc b ON abs(a.cx - b.cx) <= 1
+        |    AND abs(a.cy - b.cy) <= 1 AND a.cell < b.cell),
+        |und AS (SELECT src AS a, dst AS b FROM e1
+        |        UNION SELECT dst, src FROM e1),
+        |r AS (
+        |  SELECT DISTINCT a AS node, a AS reach FROM und
+        |  UNION
+        |  SELECT r.node, u.b FROM r JOIN und u ON u.a = r.reach),
+        |lbl AS (SELECT node, MIN(reach) AS comp FROM r GROUP BY node)
+        |SELECT coalesce(l.comp, cc.cell) AS cluster_id,
+        |  COUNT(*) AS n_cells, CAST(SUM(cc.n) AS BIGINT) AS n_points
+        |FROM cc LEFT JOIN lbl l ON l.node = cc.cell
+        |GROUP BY 1""".stripMargin,
+
+    "q_kanonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    // 100000 AS bal_band,
+        |  COUNT(*) AS n,
+        |  CAST(COUNT(*) < 5 AS INT) AS at_risk
+        |FROM customer GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_funnel_delay" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t
+        |  FROM events),
+        |v AS (SELECT user_id, MIN(t) AS tv FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |d AS (
+        |  SELECT p.user_id, MIN(p.t) - MIN(v.tv) AS delay_s
+        |  FROM e p JOIN v ON v.user_id = p.user_id
+        |  WHERE p.event_type = 'purchase' AND p.t >= v.tv
+        |  GROUP BY p.user_id)
+        |SELECT COUNT(*) AS n_converted,
+        |  CAST(floor(quantile_cont(delay_s, 0.25)) AS BIGINT)
+        |    AS p25_delay_s,
+        |  CAST(floor(quantile_cont(delay_s, 0.5)) AS BIGINT)
+        |    AS p50_delay_s,
+        |  CAST(floor(quantile_cont(delay_s, 0.9)) AS BIGINT)
+        |    AS p90_delay_s
+        |FROM d""".stripMargin,
 
     "q_paths" ->
       """WITH e AS (

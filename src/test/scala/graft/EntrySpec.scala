@@ -78,7 +78,8 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
       "q_knn_classify", // ann_topk's broadcast-query non-equi scorer
       "q_slice_parity", // 1-row broadcast corpus mean × the cell grid
       "q_benford", // 1-row broadcast order total × the 9-digit frame
-      "q_churn") // 1-row broadcast corpus-end day × user extents
+      "q_churn", // 1-row broadcast corpus-end day × user extents
+      "q_dbscan") // 1-row broadcast p90 occupancy threshold × the cell grid
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString

@@ -289,6 +289,69 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       .count() === 0)
   }
 
+  test("q_kanonymity: class sizes partition the table and every " +
+    "below-k class is flagged") {
+    val r = SparkEntry.queries("q_kanonymity")(spark, sf).persist()
+    assert(r.agg(sum("n")).head().getLong(0) ===
+      Tables.customer(spark, sf).count())
+    assert(r.filter((col("n") < 5) =!= (col("at_risk") === 1))
+      .count() === 0)
+    r.unpersist(blocking = false)
+  }
+
+  test("q_funnel_delay arithmetic: planted view->purchase journeys " +
+    "yield exact delays; non-viewers and pre-view purchases drop") {
+    import spark.implicits._
+    // u1: view@10, purchase@40 → 30; u2: purchase@5 only → drops;
+    // u3: purchase@3 BEFORE view@8, then purchase@20 → 12
+    val e = Seq((1L, "view", 10L), (1L, "purchase", 40L),
+      (2L, "purchase", 5L),
+      (3L, "purchase", 3L), (3L, "view", 8L), (3L, "purchase", 20L))
+      .toDF("user_id", "event_type", "t")
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("t").as("tv"))
+    val d = e.filter(col("event_type") === "purchase")
+      .join(v, "user_id").filter(col("t") >= col("tv"))
+      .groupBy("user_id").agg((min("t") - min("tv")).as("delay"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d === Map(1L -> 30L, 3L -> 12L))
+    val g = SparkEntry.queries("q_funnel_delay")(spark, sf).head()
+    assert(g.getAs[Long]("n_converted") > 0)
+    assert(g.getAs[Long]("p25_delay_s") <= g.getAs[Long]("p50_delay_s")
+      && g.getAs[Long]("p50_delay_s") <= g.getAs[Long]("p90_delay_s"))
+  }
+
+  test("q_dbscan: two planted blobs with a sparse bridge resolve to " +
+    "two clusters through the cell-merge machinery") {
+    import spark.implicits._
+    // dense cells at (0,0),(0,1) and (5,5) on a 1000-key grid; the
+    // far cell is its own cluster; the adjacent pair merges
+    val cells = Seq((0L, 0L, 10L), (0L, 1L, 12L), (5L, 5L, 9L))
+      .toDF("cx", "cy", "n")
+      .withColumn("cell", col("cx") * 1000 + col("cy"))
+    val offs = explode(array(
+      Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1),
+        (1, 0), (1, 1)).map { case (dx, dy) =>
+        struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))
+      }: _*))
+    val edges = cells.select(col("cell").as("src"), col("cx"),
+        col("cy"), offs.as("o"))
+      .select(col("src"),
+        ((col("cx") + col("o.dx")) * 1000 + col("cy") + col("o.dy"))
+          .as("dst"))
+      .join(cells.select(col("cell").as("dst")), "dst")
+      .filter(col("src") < col("dst"))
+    val comp = graft.operators.Graph.connectedComponents(edges)
+    val lbl = cells.join(comp, cells("cell") === comp("node"), "left")
+      .select(coalesce(col("component"), col("cell")).as("cid"), col("n"))
+      .groupBy("cid").agg(count(lit(1)).as("nc"), sum("n").as("np"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(lbl.size === 2)
+    assert(lbl(0L) === ((2L, 22L)))   // cells (0,0)+(0,1), min label 0
+    assert(lbl(5005L) === ((1L, 9L))) // the isolated far cell
+  }
+
   test("q_benford: digits cover 1-9 exactly once, observed permilles " +
     "sum to ~1000, and the Benford table is the canonical one") {
     val r = SparkEntry.queries("q_benford")(spark, sf).collect()
