@@ -1525,11 +1525,17 @@ object SparkEntry {
           (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct().persist()
       edges.count() // eager: three rounds re-read the edge set
-      def normed(scores: org.apache.spark.sql.DataFrame, c: String) =
+      // each level pins (localCheckpoint — node-sized frames) before
+      // its max-agg: the normalizer and the next level are two
+      // consumers, and unpinned each would re-derive every lower
+      // level through the whole join chain (2^levels recomputes)
+      def normed(scores0: org.apache.spark.sql.DataFrame, c: String) = {
+        val scores = scores0.localCheckpoint(true)
         scores.crossJoin(broadcast(scores.agg(max(col(c)).as("mx"))))
           .select(col("node"),
             expr(s"CAST((1000000 * CAST($c AS DECIMAL(38,0))) div mx" +
               " AS BIGINT)").as(c + "n"))
+      }
       val a1 = normed(edges.groupBy(col("dst").as("node"))
         .agg((count(lit(1)) * 1000000L).as("a1")), "a1")
       val h1 = normed(edges.join(a1, edges("dst") === a1("node"))

@@ -57,7 +57,13 @@ object CoOccur {
           .as("lift_micro"))
   }
 
-  /** Distinct membership, groups above `maxBasket` dropped. */
+  /** Distinct membership, groups above `maxBasket` dropped.
+    * Persisted + eagerly filled (the ngramJaccard pattern): the pair
+    * self-join reads it twice and the rule metrics add two more
+    * consumers — unpinned, each re-runs the source join + distinct
+    * (measured 3.0 s → 1.9 s on the rule query at sf0.1). Two longs
+    * per row; lives until session cache eviction.
+    */
   private def boundedBaskets(df: DataFrame, groupCol: String,
                              itemCol: String, maxBasket: Int): DataFrame = {
     val b = df.select(col(groupCol).as("g"), col(itemCol).as("it"))
@@ -65,7 +71,9 @@ object CoOccur {
     val small = b.groupBy(col("g")).agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBasket)
       .select(col("g"))
-    b.join(small, Seq("g"), "left_semi")
+    val bounded = b.join(small, Seq("g"), "left_semi").persist()
+    bounded.count()
+    bounded
   }
 
   private def pairCountsOf(bounded: DataFrame): DataFrame =
