@@ -2690,9 +2690,17 @@ object SparkEntry {
         val base = Dedup.buildBandIndex(
           all.filter(col("doc_id") < 1000000L), "doc_id", "text",
           shingleN = 3, k = 64, bands = 32)
+        // halves split on pmod(id, 20) < 10 vs >= 10 — NOT on the
+        // planted +1e6 offset classes: the split must PARTITION every
+        // >= 1e6 doc at any SF (key-shifted scale replicas put
+        // original ids up there too; the r9 sweep caught exactly this
+        // — residues outside {0, 10} were in neither index nor batch,
+        // and the oracle saw near-dup partners the index never held).
+        // At base SFs only residues 0 and 10 exist, so the sets are
+        // unchanged.
         val ext = Dedup.extendIndex(base,
           all.filter(col("doc_id") >= 1000000L &&
-            pmod(col("doc_id") - 1000000L, lit(20)) === 0),
+            pmod(col("doc_id"), lit(20)) < 10),
           "doc_id", "text")
         Dedup.saveBandIndex(ext, p)
         base.shingles.unpersist(blocking = false)
@@ -2700,7 +2708,7 @@ object SparkEntry {
       })
       Dedup.admitBatch(Dedup.loadBandIndex(s, extPath),
         all.filter(col("doc_id") >= 1000000L &&
-          pmod(col("doc_id") - 1000000L, lit(20)) === 10),
+          pmod(col("doc_id"), lit(20)) >= 10),
         "doc_id", "text", minJaccard = 0.5)
     }),
 
@@ -6024,10 +6032,9 @@ object SparkEntry {
         |inter AS (
         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
         |  FROM sh x JOIN sh y ON x.sh = y.sh
-        |    AND x.doc_id >= 1000000 AND (x.doc_id - 1000000) % 20 = 10
+        |    AND x.doc_id >= 1000000 AND x.doc_id % 20 >= 10
         |    AND x.doc_id <> y.doc_id
-        |    AND (NOT (y.doc_id >= 1000000
-        |              AND (y.doc_id - 1000000) % 20 = 10)
+        |    AND (NOT (y.doc_id >= 1000000 AND y.doc_id % 20 >= 10)
         |         OR x.doc_id < y.doc_id)
         |  GROUP BY x.doc_id, y.doc_id)
         |SELECT id_a, id_b,
