@@ -2142,6 +2142,94 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // A/B EXPERIMENT report: users split into deterministic arms by
+    // id parity, conversion = any purchase; per-arm rates, uplift,
+    // and the pooled two-proportion z² CROSS-MULTIPLIED into exact
+    // integers (the B42/B80 no-float rule aimed at experimentation):
+    // z²·100 = 100·(cₜ·n_c − c_c·nₜ)²·N div (nₜ·n_c·C·(N−C)).
+    // One user-extent aggregation + a 2-row arm frame.
+    "q_ab_test" -> ((s, dir) => {
+      // conversion = a HEAVY purchaser (≥ 14 purchase events): "any
+      // purchase" saturates at ~100% in this corpus, which zeroes the
+      // pooled-variance denominator; the threshold keeps the rate
+      // interior (~46%) and the CASE guard below keeps a degenerate
+      // regime NULL instead of a division error
+      val u = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg((sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)) >= 14L).cast("long").as("conv"))
+        .select(pmod(col("user_id"), lit(2)).as("arm"), col("conv"))
+        .groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+      val wide = u.groupBy()
+        .agg(sum(when(col("arm") === 1, col("n"))).as("n_t"),
+          sum(when(col("arm") === 1, col("c"))).as("c_t"),
+          sum(when(col("arm") === 0, col("n"))).as("n_c"),
+          sum(when(col("arm") === 0, col("c"))).as("c_c"))
+      wide.select(col("n_t"), col("c_t"), col("n_c"), col("c_c"),
+        expr("(1000 * c_t) div n_t - (1000 * c_c) div n_c")
+          .as("uplift_permille"),
+        expr("CASE WHEN c_t + c_c > 0 AND n_t + n_c > c_t + c_c THEN" +
+          " CAST((100 * CAST(c_t * n_c - c_c * n_t AS DECIMAL(38,0))" +
+          " * (c_t * n_c - c_c * n_t) * (n_t + n_c))" +
+          " div (CAST(n_t AS DECIMAL(38,0)) * n_c * (c_t + c_c)" +
+          " * (n_t + n_c - c_t - c_c)) AS BIGINT) END").as("z2_centi"))
+    }),
+
+    // item-item SIMILAR-ITEMS serving table: for each item, its top-5
+    // co-purchase partners by exact integer cosine² (n_co²·10⁶ div
+    // (n_a·n_b) — the sqrt-free spelling that stays hash-exact) —
+    // the "customers also bought" table recommenders serve; built
+    // from the SAME capped pair frame as B86/B93, per-item rank via
+    // the narrow per-item window over the support-filtered pairs.
+    "q_item_sims" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val baskets = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      val rules = operators.CoOccur.associationRules(baskets, "cust",
+          "part", maxBasket = 40)
+        .filter(col("n_co") >= 2)
+      // cos² ≈ conf_ab·conf_ba (permille × permille = micro) — the
+      // floored-confidence product, deterministic and oracle-mirrored
+      val scored = rules.select(col("item_a").as("item"),
+          col("item_b").as("other"),
+          (col("conf_ab_permille") * col("conf_ba_permille"))
+            .as("cos2_micro"), col("n_co"))
+        .union(rules.select(col("item_b").as("item"),
+          col("item_a").as("other"),
+          (col("conf_ab_permille") * col("conf_ba_permille"))
+            .as("cos2_micro"), col("n_co")))
+      val w = Window.partitionBy(col("item"))
+        .orderBy(col("cos2_micro").desc, col("other"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("item"), col("other"), col("cos2_micro"),
+          col("n_co"), col("rnk"))
+    }),
+
+    // VOCABULARY COVERAGE curve: what share of corpus token mass the
+    // top-k terms cover, for k ∈ {100, 1000, 10000} — the report
+    // that sizes a tokenizer vocabulary (C52's BPE budget) before
+    // induction; three bounded top-k sums + one 1-row total, never a
+    // corpus-scale rank window.
+    "q_vocab_coverage" -> ((s, dir) => {
+      val tf = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .persist()
+      tf.count() // eager: 3 top-k sums + the total read it
+      val tot = tf.agg(sum(col("n")).cast(LongType).as("n_tok"))
+      val ks = Seq(100, 1000, 10000).map { k =>
+        tf.orderBy(col("n").desc, col("w")).limit(k)
+          .agg(lit(k.toLong).as("k"),
+            sum(col("n")).cast(LongType).as("top_mass"))
+      }.reduce(_.unionByName(_))
+      ks.crossJoin(broadcast(tot))
+        .select(col("k"), col("top_mass"), col("n_tok"),
+          expr("(1000 * top_mass) div n_tok").as("coverage_permille"))
+    }),
+
     // K-ANONYMITY risk audit: equivalence-class sizes over the
     // quasi-identifier tuple (nation, segment, coarse balance band) —
     // classes below k = 5 are re-identification risks (Sweeney 2002).
@@ -6790,6 +6878,86 @@ object SparkEntry {
         |  COUNT(*) AS n_cells, CAST(SUM(cc.n) AS BIGINT) AS n_points
         |FROM cc LEFT JOIN lbl l ON l.node = cc.cell
         |GROUP BY 1""".stripMargin,
+
+    "q_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) >= 14 AS BIGINT) AS conv
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT user_id % 2 AS arm, COUNT(*) AS n,
+        |    CAST(SUM(conv) AS BIGINT) AS c
+        |  FROM u GROUP BY 1),
+        |w AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_t,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN c END) AS BIGINT) AS c_t,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_c,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN c END) AS BIGINT) AS c_c
+        |  FROM a)
+        |SELECT n_t, c_t, n_c, c_c,
+        |  (1000 * c_t) // n_t - (1000 * c_c) // n_c AS uplift_permille,
+        |  CASE WHEN c_t + c_c > 0 AND n_t + n_c > c_t + c_c THEN
+        |    CAST((100 * CAST(c_t * n_c - c_c * n_t AS HUGEINT)
+        |      * (c_t * n_c - c_c * n_t) * (n_t + n_c))
+        |      // (CAST(n_t AS HUGEINT) * n_c * (c_t + c_c)
+        |      * (n_t + n_c - c_t - c_c)) AS BIGINT) END AS z2_centi
+        |FROM w""".stripMargin,
+
+    // the B93 rule CTEs + per-item rank; cos² is the floored
+    // confidence product in both engines
+    "q_item_sims" ->
+      """WITH b AS (
+        |  SELECT DISTINCT o_custkey AS g, l_partkey AS it
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |small AS (SELECT g FROM b GROUP BY g HAVING COUNT(*) <= 40),
+        |bb AS (SELECT b.g, b.it FROM b SEMI JOIN small USING (g)),
+        |ic AS (SELECT it, COUNT(*) AS n_i FROM bb GROUP BY it),
+        |co AS (
+        |  SELECT x.it AS item_a, y.it AS item_b, COUNT(*) AS n_co
+        |  FROM bb x JOIN bb y ON x.g = y.g AND x.it < y.it
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT item_a, item_b, n_co,
+        |    (1000 * n_co) // a.n_i AS cab,
+        |    (1000 * n_co) // bt.n_i AS cba
+        |  FROM co JOIN ic a ON a.it = item_a
+        |  JOIN ic bt ON bt.it = item_b
+        |  WHERE n_co >= 2),
+        |sym AS (
+        |  SELECT item_a AS item, item_b AS other, cab * cba AS cos2,
+        |    n_co FROM r
+        |  UNION ALL
+        |  SELECT item_b, item_a, cab * cba, n_co FROM r),
+        |rk AS (
+        |  SELECT item, other, cos2 AS cos2_micro, n_co,
+        |    row_number() OVER (PARTITION BY item
+        |      ORDER BY cos2 DESC, other) AS rnk
+        |  FROM sym)
+        |SELECT item, other, cos2_micro, n_co, CAST(rnk AS INT) AS rnk
+        |FROM rk WHERE rnk <= 5""".stripMargin,
+
+    "q_vocab_coverage" ->
+      """WITH tf AS (
+        |  SELECT w, COUNT(*) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |        FROM documents) u
+        |  GROUP BY w),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tok FROM tf),
+        |ks AS (
+        |  SELECT CAST(100 AS BIGINT) AS k, CAST(SUM(n) AS BIGINT)
+        |    AS top_mass
+        |  FROM (SELECT n FROM tf ORDER BY n DESC, w LIMIT 100) s
+        |  UNION ALL
+        |  SELECT 1000, CAST(SUM(n) AS BIGINT)
+        |  FROM (SELECT n FROM tf ORDER BY n DESC, w LIMIT 1000) s
+        |  UNION ALL
+        |  SELECT 10000, CAST(SUM(n) AS BIGINT)
+        |  FROM (SELECT n FROM tf ORDER BY n DESC, w LIMIT 10000) s)
+        |SELECT k, top_mass, n_tok,
+        |  (1000 * top_mass) // n_tok AS coverage_permille
+        |FROM ks, tot""".stripMargin,
 
     "q_kanonymity" ->
       """SELECT c_nationkey, c_mktsegment,

@@ -79,7 +79,9 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
       "q_slice_parity", // 1-row broadcast corpus mean × the cell grid
       "q_benford", // 1-row broadcast order total × the 9-digit frame
       "q_churn", // 1-row broadcast corpus-end day × user extents
-      "q_dbscan") // 1-row broadcast p90 occupancy threshold × the cell grid
+      "q_dbscan", // 1-row broadcast p90 occupancy threshold × the cell grid
+      "q_vocab_coverage", // 1-row broadcast token total × the 3-row k frame
+      "q_item_sims") // inherits B93's 1-row basket-total broadcast
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString

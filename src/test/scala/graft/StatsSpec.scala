@@ -398,6 +398,51 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(all === perUser)
   }
 
+  test("q_ab_test: closed-form z2 on a hand frame, and the gate row " +
+    "is internally consistent") {
+    // n_t=100, c_t=60, n_c=100, c_c=40: diff=2000, N=200, C=100
+    // z2 = (60*100-40*100)^2 * 200 / (100*100*100*100) = 8
+    val z2 = (BigInt(100) * BigInt(2000) * BigInt(2000) * 200 /
+      (BigInt(100) * 100 * 100 * 100)).toLong
+    assert(z2 === 800L) // z2_centi = 800 -> z2 = 8.00, z ~ 2.83
+    val r = SparkEntry.queries("q_ab_test")(spark, sf).head()
+    val (nt, ct, nc, cc) = (r.getAs[Long]("n_t"), r.getAs[Long]("c_t"),
+      r.getAs[Long]("n_c"), r.getAs[Long]("c_c"))
+    assert(nt > 0 && nc > 0 && ct <= nt && cc <= nc)
+    assert(r.getAs[Long]("uplift_permille") ===
+      1000 * ct / nt - 1000 * cc / nc)
+    // interior conversion: the guard case never fires on this corpus
+    assert(ct + cc > 0 && ct + cc < nt + nc)
+    assert(!r.isNullAt(r.fieldIndex("z2_centi")))
+  }
+
+  test("q_vocab_coverage: coverage is monotone in k, bounded by 1000 " +
+    "permille, and the total reconciles") {
+    val rows = SparkEntry.queries("q_vocab_coverage")(spark, sf)
+      .orderBy("k").collect()
+    assert(rows.map(_.getAs[Long]("k")).toSeq === Seq(100L, 1000L, 10000L))
+    val cov = rows.map(_.getAs[Long]("coverage_permille"))
+    assert(cov.toSeq === cov.sorted.toSeq)
+    assert(cov.forall(c => c > 0 && c <= 1000))
+    val tot = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " "))).count()
+    assert(rows.forall(_.getAs[Long]("n_tok") === tot))
+    assert(rows.forall(r => r.getAs[Long]("top_mass") <= tot))
+  }
+
+  test("q_item_sims: at most 5 partners per item, ranks dense from 1, " +
+    "and cos2 never exceeds 1e6") {
+    val r = SparkEntry.queries("q_item_sims")(spark, sf).persist()
+    val bad = r.groupBy("item").agg(count(lit(1)).as("cnt"),
+        max("rnk").as("mx"), min("rnk").as("mn"))
+      .filter(col("cnt") > 5 || col("mx") =!= col("cnt") ||
+        col("mn") =!= 1)
+    assert(bad.count() === 0)
+    assert(r.filter(col("cos2_micro") > 1000000L ||
+      col("cos2_micro") < 0).count() === 0)
+    r.unpersist(blocking = false)
+  }
+
   test("q_knn_classify: one row per probe, votes bounded by k, and a " +
     "planted homogeneous neighborhood predicts its label") {
     val r = SparkEntry.queries("q_knn_classify")(spark, sf).collect()
