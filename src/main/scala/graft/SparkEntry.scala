@@ -2951,6 +2951,25 @@ object SparkEntry {
         TextFunctions.langId(col("text")).as("lang_pred"),
         col("lang").as("lang_label"))),
 
+    // language-ID CONFUSION MATRIX: the C8 heuristic evaluated
+    // against the gold lang column — per (label, prediction) cell
+    // counts + row-share permilles, the classifier-evaluation report
+    // run before trusting any lang filter in a cleaning pipeline.
+    // One map-only scan + a |langs|²-bounded grid.
+    "q_lang_confusion" -> ((s, dir) => {
+      val p = Tables.documents(s, dir).select(
+        TextFunctions.langId(col("text")).as("lang_pred"),
+        col("lang").as("lang_label"))
+      val cell = p.groupBy(col("lang_label"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+      val tot = p.groupBy(col("lang_label"))
+        .agg(count(lit(1)).as("n_label"))
+      cell.join(tot, "lang_label")
+        .select(col("lang_label"), col("lang_pred"), col("n"),
+          col("n_label"),
+          expr("(1000 * n) div n_label").as("share_permille"))
+    }),
+
     // the per-document feature vector a quality classifier trains on:
     // every text signal family composed in ONE map-only scan — no
     // shuffle, no join; each column reuses a formulation already
@@ -7378,6 +7397,37 @@ object SparkEntry {
         |       ELSE 'pt' END AS lang_pred,
         |  lang_label
         |FROM s""".stripMargin,
+
+    // the lang_id CTEs aggregated to the confusion grid
+    "q_lang_confusion" ->
+      """WITH t AS (
+        |  SELECT lang AS lang_label, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang_label,
+        |    len(list_filter(ws, w -> w IN ('the','and','of','to','is','in','that','it'))) AS s_en,
+        |    len(list_filter(ws, w -> w IN ('el','la','de','que','y','los','en','un'))) AS s_es,
+        |    len(list_filter(ws, w -> w IN ('le','la','de','et','les','des','un','une'))) AS s_fr,
+        |    len(list_filter(ws, w -> w IN ('der','die','und','das','ist','nicht','ein','zu'))) AS s_de,
+        |    len(list_filter(ws, w -> w IN ('o','a','de','que','e','do','da','em'))) AS s_pt
+        |  FROM t),
+        |p AS (
+        |  SELECT lang_label,
+        |    CASE WHEN greatest(s_en,s_es,s_fr,s_de,s_pt) <= 0 THEN 'und'
+        |         WHEN s_en = greatest(s_en,s_es,s_fr,s_de,s_pt) THEN 'en'
+        |         WHEN s_es = greatest(s_en,s_es,s_fr,s_de,s_pt) THEN 'es'
+        |         WHEN s_fr = greatest(s_en,s_es,s_fr,s_de,s_pt) THEN 'fr'
+        |         WHEN s_de = greatest(s_en,s_es,s_fr,s_de,s_pt) THEN 'de'
+        |         ELSE 'pt' END AS lang_pred
+        |  FROM s),
+        |cell AS (
+        |  SELECT lang_label, lang_pred, COUNT(*) AS n
+        |  FROM p GROUP BY 1, 2),
+        |tot AS (SELECT lang_label, COUNT(*) AS n_label
+        |        FROM p GROUP BY 1)
+        |SELECT c.lang_label, c.lang_pred, c.n, t.n_label,
+        |  (1000 * c.n) // t.n_label AS share_permille
+        |FROM cell c JOIN tot t USING (lang_label)""".stripMargin,
 
     // per-language rollup composed from the proven lang_id + quality
     // CTEs; all measures integer-exact

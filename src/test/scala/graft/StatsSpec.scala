@@ -443,6 +443,21 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     r.unpersist(blocking = false)
   }
 
+  test("q_lang_confusion: cells partition the corpus and row shares " +
+    "sum to ~1000 permille per label") {
+    val m = SparkEntry.queries("q_lang_confusion")(spark, sf).persist()
+    assert(m.agg(sum("n")).head().getLong(0) ===
+      Tables.documents(spark, sf).count())
+    // per label: Σ n = n_label and Σ floor-shares ∈ (1000 − cells, 1000]
+    val bad = m.groupBy("lang_label")
+      .agg(sum("n").as("sn"), max("n_label").as("nl"),
+        sum("share_permille").as("ss"), count(lit(1)).as("cells"))
+      .filter(col("sn") =!= col("nl") || col("ss") > 1000 ||
+        col("ss") <= lit(1000) - col("cells"))
+    assert(bad.count() === 0)
+    m.unpersist(blocking = false)
+  }
+
   test("q_knn_classify: one row per probe, votes bounded by k, and a " +
     "planted homogeneous neighborhood predicts its label") {
     val r = SparkEntry.queries("q_knn_classify")(spark, sf).collect()
