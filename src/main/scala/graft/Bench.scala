@@ -100,7 +100,10 @@ object Bench {
     val reps = results.map { case (k, t, _, _) =>
       jstr(k) + ":[" + t.mkString(",") + "]" }.mkString("{", ",", "}")
     val cpu = results.map { case (k, _, _, c) =>
-      jstr(k) + ":[" + c.map(x => f"$x%.3f").mkString(",") + "]" }
+      // Locale.ROOT: f"" uses the JVM default locale, and a comma-
+      // decimal locale (de_DE) would emit 1,234 and corrupt the JSON
+      jstr(k) + ":[" + c.map(x => String.format(java.util.Locale.ROOT,
+        "%.3f", Double.box(x))).mkString(",") + "]" }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e), _) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")

@@ -2285,6 +2285,11 @@ object SparkEntry {
       Tables.orders(s, dir)
         .select(substring(cents.cast("string"), 1, 1).cast("int")
           .as("digit"))
+        // mirror the oracle's inner JOIN b USING (digit): a zero or
+        // negative amount yields digit 0 or NULL ('-' cast), which
+        // the 9-row Benford table drops — keep the row sets equal
+        // even on degenerate amounts
+        .filter(col("digit").between(1, 9))
         .groupBy(col("digit")).agg(count(lit(1)).as("n"))
         .crossJoin(broadcast(Tables.orders(s, dir)
           .agg(count(lit(1)).as("n_total"))))

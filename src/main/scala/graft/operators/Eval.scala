@@ -35,6 +35,11 @@ object Eval {
     */
   def calibrationBins(df: DataFrame, scorePml: Column, label: Column,
                       bins: Int = 10): DataFrame = {
+    // equal-width bins require the permille domain to divide evenly;
+    // e.g. bins = 7 → w = 142 would silently fold the remainder into
+    // the last bin, emitting irregular "equal-width" cells
+    require(bins >= 1 && 1000 % bins == 0,
+      s"bins must divide 1000 (got $bins)")
     val w = 1000 / bins
     df.select(scorePml.cast(LongType).as("s"),
         label.cast(LongType).as("y"))

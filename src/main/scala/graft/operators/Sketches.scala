@@ -120,16 +120,25 @@ object Sketches {
     * instead of the data. One (row, bucket) equi-join of cell tables;
     * products accumulate in DECIMAL(38,0).
     */
-  def cmsInnerProduct(a: DataFrame, b: DataFrame): DataFrame =
-    a.select(col("cms_row"), col("cms_bucket"), col("cnt").as("ca"))
+  def cmsInnerProduct(a: DataFrame, b: DataFrame): DataFrame = {
+    val perRow = a
+      .select(col("cms_row"), col("cms_bucket"), col("cnt").as("ca"))
       .join(b.select(col("cms_row"), col("cms_bucket"),
         col("cnt").as("cb")), Seq("cms_row", "cms_bucket"))
       .groupBy(col("cms_row"))
       .agg(sum(expr("CAST(ca AS DECIMAL(38,0)) * cb")).as("ip"))
-      // disjoint sketches share no (row, bucket) cell: the empty min
-      // IS the estimate 0 (some bucket of every row is empty)
-      .agg(coalesce(min(col("ip")), lit(0)).cast("long")
-        .as("join_size_est"))
+    // densify over the full row domain before the min: a depth row
+    // whose buckets are disjoint between the two sketches has true
+    // row inner product 0 (a shared key collides in EVERY row), and
+    // dropping it from the inner join would return the min over only
+    // the colliding rows — an overestimate. Left-joining the per-row
+    // sums against sketch a's distinct rows coalesces those rows to
+    // 0; fully empty inputs coalesce the empty min to 0 as before.
+    a.select(col("cms_row")).distinct()
+      .join(perRow, Seq("cms_row"), "left")
+      .agg(coalesce(min(coalesce(col("ip"), lit(0))), lit(0))
+        .cast("long").as("join_size_est"))
+  }
 
   // ---- KMV ("theta") sketches -------------------------------------
   //
@@ -307,6 +316,12 @@ object Sketches {
   def bloomProbe(cells: DataFrame, probes: DataFrame, keyCol: String,
                  m: Int = 65536, k: Int = 4): DataFrame =
     probes
+      // distinct first: a probe key appearing n times would explode
+      // to n·k bit rows and fail the sum===k test below — a false
+      // NEGATIVE for a present key, violating the Bloom guarantee.
+      // Output is per distinct key either way (the groupBy), so
+      // deduplicating here only fixes the repeated-key call.
+      .select(col(keyCol)).distinct()
       .select(col(keyCol),
         explode(bloomProbeBits(keyCol, m, k)).as("bloom_bit"))
       .join(broadcast(cells.select(col("bloom_bit"), lit(1).as("_set"))
