@@ -773,10 +773,12 @@ object SparkEntry {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
       operators.CoOccur.pairCounts(baskets, "cust", "part",
-          maxBasket = 40)
-        .filter(col("n_co") >= 2)
-        .orderBy(col("n_co").desc, col("item_a"), col("item_b"))
-        .limit(100)
+          maxBasket = 40,
+          // inside the pin scope so only the 100-row answer
+          // materializes and the basket pin is released on return
+          finish = _.filter(col("n_co") >= 2)
+            .orderBy(col("n_co").desc, col("item_a"), col("item_b"))
+            .limit(100))
     }),
 
     // association RULES over the capped basket projection: support /
@@ -791,10 +793,10 @@ object SparkEntry {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
       operators.CoOccur.associationRules(baskets, "cust", "part",
-          maxBasket = 40)
-        .filter(col("n_co") >= 2)
-        .orderBy(col("lift_micro").desc, col("item_a"), col("item_b"))
-        .limit(100)
+          maxBasket = 40,
+          finish = _.filter(col("n_co") >= 2)
+            .orderBy(col("lift_micro").desc, col("item_a"), col("item_b"))
+            .limit(100))
     }),
 
     // first/last-touch marketing ATTRIBUTION: each purchase credits
@@ -859,12 +861,18 @@ object SparkEntry {
           .when(col(c) <= col(s"${c}_e2"), 2)
           .when(col(c) <= col(s"${c}_e3"), 3)
           .when(col(c) <= col(s"${c}_e4"), 4).otherwise(5)
-      custs.crossJoin(broadcast(es))
+      // checkpoint the ≤125-cell grid, then drop the customer pin —
+      // the Graph.pageRank release discipline (a long session must
+      // not accumulate per-query pins)
+      val out = custs.crossJoin(broadcast(es))
         .select((lit(6) - score("r")).as("r_score"),
           score("f").as("f_score"), score("m").as("m_score"), col("m"))
         .groupBy(col("r_score"), col("f_score"), col("m_score"))
         .agg(count(lit(1)).as("n_customers"),
           sum(col("m")).cast(LongType).as("m_cents"))
+        .localCheckpoint(true)
+      custs.unpersist(blocking = false)
+      out
     }),
 
     // skip-gram PMI co-occurrence (window ±2, unordered pairs): the
@@ -1544,8 +1552,12 @@ object SparkEntry {
       val a2 = normed(edges.join(h1, edges("src") === h1("node"))
         .groupBy(edges("dst").as("node")).agg(sum(col("h1n")).as("a2")),
         "a2")
-      a2.select(col("node"), col("a2n").as("auth_micro"))
+      // 20-row checkpoint, then release the edge pin (Graph pattern)
+      val out = a2.select(col("node"), col("a2n").as("auth_micro"))
         .orderBy(col("auth_micro").desc, col("node")).limit(20)
+        .localCheckpoint(true)
+      edges.unpersist(blocking = false)
+      out
     }),
 
     // exact triangle counting under degree-ordered orientation — the
@@ -1875,7 +1887,7 @@ object SparkEntry {
       val off1 = PrefixSums.exclusiveOffsets(g, "cents", "cnt1", "c1ex")
       val off2 = PrefixSums.exclusiveOffsets(g, "cents", "cnt2", "c2ex")
       val tot = g.agg(sum(col("cnt1")).as("n1"), sum(col("cnt2")).as("n2"))
-      g.join(off1, "cents").join(off2, "cents")
+      val out = g.join(off1, "cents").join(off2, "cents")
         .crossJoin(broadcast(tot))
         .select(col("n1"), col("n2"),
           expr("abs(CAST(c1ex + cnt1 AS DECIMAL(38,0)) * n2" +
@@ -1884,6 +1896,9 @@ object SparkEntry {
         .agg(expr("CAST((1000 * max(d)) div" +
           " (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)")
           .as("ks_permille"))
+        .localCheckpoint(true) // 1-row result; then drop the grid pin
+      g.unpersist(blocking = false)
+      out
     }),
 
     // TIME-WEIGHTED average for irregularly-sampled series (the
@@ -2113,12 +2128,16 @@ object SparkEntry {
         .join(cells.select(col("cell").as("dst")), "dst")
         .filter(col("src") < col("dst"))
       val comp = Graph.connectedComponents(edges)
-      cells.join(comp, cells("cell") === comp("node"), "left")
+      // cluster-bounded checkpoint, then drop the cell pin
+      val out = cells.join(comp, cells("cell") === comp("node"), "left")
         .select(coalesce(col("component"), col("cell")).as("cluster_id"),
           col("n"))
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("n_cells"),
           sum(col("n")).cast(LongType).as("n_points"))
+        .localCheckpoint(true)
+      cells.unpersist(blocking = false)
+      out
     }),
 
     // frequent JOURNEY PATHS: the top ordered event-type trigrams
@@ -2182,14 +2201,16 @@ object SparkEntry {
     // from the SAME capped pair frame as B86/B93, per-item rank via
     // the narrow per-item window over the support-filtered pairs.
     "q_item_sims" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val baskets = Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      // support-filtered rules, materialized + basket pin released
+      // inside associationRules; two consumers below (top-k pass,
+      // n_co join) read the checkpoint, not the derivation
       val rules = operators.CoOccur.associationRules(baskets, "cust",
-          "part", maxBasket = 40)
-        .filter(col("n_co") >= 2)
+          "part", maxBasket = 40,
+          finish = _.filter(col("n_co") >= 2))
       // cos² ≈ conf_ab·conf_ba (permille × permille = micro) — the
       // floored-confidence product, deterministic and oracle-mirrored
       val scored = rules.select(col("item_a").as("item"),
@@ -2200,10 +2221,20 @@ object SparkEntry {
           col("item_a").as("other"),
           (col("conf_ab_permille") * col("conf_ba_permille"))
             .as("cos2_micro"), col("n_co")))
-      val w = Window.partitionBy(col("item"))
-        .orderBy(col("cos2_micro").desc, col("other"))
-      scored.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
+      // bounded per-item top-5 via the map-side-partial TopKAgg
+      // instead of row_number over the doubled union — the shuffle
+      // carries ≤5 struct rows per item, not every scored pair;
+      // ordering (cos2 desc, other asc) matches the old window.
+      // n_co rides a bounded equi-join back against the checkpointed
+      // scored frame ((item, other) is unique by construction).
+      scored.groupBy(col("item"))
+        .agg(graft.functions.TopKAgg.topK(5)(col("cos2_micro"),
+          col("other")).as("top"))
+        .select(col("item"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("item"), (col("pos") + 1).as("rnk"),
+          col("e._2").as("other"), col("e._1").as("cos2_micro"))
+        .join(scored.select(col("item"), col("other"), col("n_co")),
+          Seq("item", "other"))
         .select(col("item"), col("other"), col("cos2_micro"),
           col("n_co"), col("rnk"))
     }),
@@ -2225,9 +2256,13 @@ object SparkEntry {
           .agg(lit(k.toLong).as("k"),
             sum(col("n")).cast(LongType).as("top_mass"))
       }.reduce(_.unionByName(_))
-      ks.crossJoin(broadcast(tot))
+      // 3-row checkpoint, then drop the term-frequency pin
+      val out = ks.crossJoin(broadcast(tot))
         .select(col("k"), col("top_mass"), col("n_tok"),
           expr("(1000 * top_mass) div n_tok").as("coverage_permille"))
+        .localCheckpoint(true)
+      tf.unpersist(blocking = false)
+      out
     }),
 
     // K-ANONYMITY risk audit: equivalence-class sizes over the

@@ -21,10 +21,21 @@ object CoOccur {
   /** Item pairs co-occurring within the same group: `(item_a, item_b,
     * n_co)` with `item_a < item_b`, counting GROUPS (not rows), over
     * groups of ≤ `maxBasket` distinct items.
+    *
+    * `finish` runs INSIDE the pinned-basket scope (pass the caller's
+    * filter/top-k so only the bounded answer materializes); the
+    * result is pinned via localCheckpoint and the basket pin is
+    * released before returning — a long-lived session accumulates no
+    * basket frames (the Graph.pageRank discipline).
     */
   def pairCounts(df: DataFrame, groupCol: String, itemCol: String,
-                 maxBasket: Int): DataFrame =
-    pairCountsOf(boundedBaskets(df, groupCol, itemCol, maxBasket))
+                 maxBasket: Int,
+                 finish: DataFrame => DataFrame = identity): DataFrame = {
+    val bounded = boundedBaskets(df, groupCol, itemCol, maxBasket)
+    val out = finish(pairCountsOf(bounded)).localCheckpoint(true)
+    bounded.unpersist(blocking = false)
+    out
+  }
 
   /** Association RULES from the same capped projection: each
     * unordered pair annotated with the exact integer rule metrics —
@@ -36,12 +47,13 @@ object CoOccur {
     * past ~9e12 pair-basket products).
     */
   def associationRules(df: DataFrame, groupCol: String, itemCol: String,
-                       maxBasket: Int): DataFrame = {
+                       maxBasket: Int,
+                       finish: DataFrame => DataFrame = identity): DataFrame = {
     val bounded = boundedBaskets(df, groupCol, itemCol, maxBasket)
     val itemCnt = bounded.groupBy(col("it")).agg(count(lit(1)).as("n_i"))
     val nGroups = bounded.agg(
       countDistinct(col("g")).as("n_groups"))
-    pairCountsOf(bounded)
+    val rules = pairCountsOf(bounded)
       .join(itemCnt.select(col("it").as("item_a"), col("n_i").as("n_a")),
         "item_a")
       .join(itemCnt.select(col("it").as("item_b"), col("n_i").as("n_b")),
@@ -55,6 +67,11 @@ object CoOccur {
         expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_co * n_groups)" +
           " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
           .as("lift_micro"))
+    // same release discipline as pairCounts: finish inside the pin
+    // scope, checkpoint the bounded answer, drop the basket pin
+    val out = finish(rules).localCheckpoint(true)
+    bounded.unpersist(blocking = false)
+    out
   }
 
   /** Distinct membership, groups above `maxBasket` dropped.
@@ -62,7 +79,7 @@ object CoOccur {
     * self-join reads it twice and the rule metrics add two more
     * consumers — unpinned, each re-runs the source join + distinct
     * (measured 3.0 s → 1.9 s on the rule query at sf0.1). Two longs
-    * per row; lives until session cache eviction.
+    * per row; callers unpersist it before returning.
     */
   private def boundedBaskets(df: DataFrame, groupCol: String,
                              itemCol: String, maxBasket: Int): DataFrame = {

@@ -31,6 +31,42 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
     assert(leaks.isEmpty, s"blocks survive Bench clearing after: $leaks")
   }
 
+  test("pin-releasing queries leave only GC-reclaimable blocks " +
+      "(no CacheManager pins survive the closure)") {
+    // the round-9 leak class: a closure persist()s a multi-consumer
+    // intermediate and returns a plan that still references it, so
+    // the CacheManager holds it forever (clearCache is the only way
+    // out) and a long-lived session accumulates pinned frames. The
+    // discipline (Graph.pageRank): checkpoint the bounded answer,
+    // unpersist the pin before returning. localCheckpoint blocks ARE
+    // still registered in getPersistentRDDs, but they are held only
+    // by the result reference — once dropped, the ContextCleaner
+    // reclaims them on GC, which CacheManager-held pins never are.
+    // So the gate is: run the query, drop every reference, GC-poll
+    // until the persistent-RDD map drains. A reintroduced persist
+    // leak fails this deterministically (strong refs never drain).
+    val names = Seq("q_rfm", "q_hits", "q_ks_test", "q_dbscan",
+      "q_vocab_coverage", "q_copurchase", "q_basket_lift", "q_item_sims")
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    def drained(): Boolean = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.sparkContext.getPersistentRDDs.nonEmpty &&
+          System.nanoTime() < deadline) {
+        System.gc()
+        Thread.sleep(250)
+      }
+      spark.sparkContext.getPersistentRDDs.isEmpty
+    }
+    val leaky = names.filterNot { n =>
+      SparkEntry.queries(n)(spark, sf).count() // result ref dies here
+      drained()
+    }
+    assert(leaky.isEmpty,
+      s"queries leave GC-unreclaimable pinned blocks: $leaky")
+  }
+
   test("oracle SQL exists only for declared queries") {
     val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"oracle for unknown queries: $unknown")
