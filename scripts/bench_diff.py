@@ -13,23 +13,26 @@ import json, re, sys
 
 
 def load(path):
+    """Returns (wall_by_query, cpu_by_query); cpu may be empty (pre-r8
+    artifacts and truncated driver tails carry no cpu arrays)."""
     with open(path) as f:
         doc = json.load(f)
     if "queries" in doc:
-        return dict(doc["queries"])
+        cpu = {k: min(v) for k, v in doc.get("cpu", {}).items() if v}
+        return dict(doc["queries"]), cpu
     if "tail" in doc:
         pairs = re.findall(r'"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)', doc["tail"])
         # the first pair may be cut mid-name; drop it if the tail
         # doesn't start at a quote boundary
         out = {k: float(v) for k, v in pairs}
         out.pop("value", None)
-        return out
+        return out, {}
     raise SystemExit(f"{path}: neither 'queries' nor 'tail' present")
 
 
 def main():
     prev_path, cur_path = sys.argv[1], sys.argv[2]
-    prev, cur = load(prev_path), load(cur_path)
+    (prev, prev_cpu), (cur, cur_cpu) = load(prev_path), load(cur_path)
     names = sorted(set(prev) | set(cur))
     common = [n for n in names if n in prev and n in cur]
     rows = []
@@ -55,6 +58,27 @@ def main():
               f"median ratio {med:.2f}")
     print(f"only-prev: {sorted(set(prev) - set(cur))}")
     print(f"only-cur:  {sorted(set(cur) - set(prev))}")
+    # CPU trend gate: wall time on a shared box is noisy (the round-9
+    # diff was unreadable for it), but per-query CPU-seconds are not —
+    # a CPU regression is a plan/code regression, not scheduling. Flag
+    # >1.5x growth on queries costing >= 0.2 CPU-s (below that, JIT
+    # and listener jitter dominate the ratio).
+    cpu_common = [n for n in cur_cpu if n in prev_cpu and prev_cpu[n] >= 0.2]
+    if cpu_common:
+        flagged = [(n, prev_cpu[n], cur_cpu[n], cur_cpu[n] / prev_cpu[n])
+                   for n in cpu_common if cur_cpu[n] / prev_cpu[n] > 1.5]
+        flagged.sort(key=lambda r: -r[3])
+        cr = sorted(cur_cpu[n] / prev_cpu[n] for n in cpu_common)
+        print(f"\ncpu trend ({len(cpu_common)} queries >=0.2 cpu-s): "
+              f"sum {sum(prev_cpu[n] for n in cpu_common):.1f} -> "
+              f"{sum(cur_cpu[n] for n in cpu_common):.1f} cpu-s, "
+              f"median ratio {cr[len(cr) // 2]:.2f}")
+        if flagged:
+            print("CPU REGRESSIONS (>1.5x, soft gate — explain or fix):")
+            for n, p, c, r in flagged:
+                print(f"  {n:28s} {p:8.3f} -> {c:8.3f} cpu-s ({r:.2f}x)")
+        else:
+            print("no cpu regressions >1.5x")
 
 
 if __name__ == "__main__":

@@ -43,13 +43,26 @@ object Bench {
     // bus is drained before each snapshot so deltas attribute to the
     // right query
     val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    // per-query interference telemetry (round-9 lesson: the graded
+    // artifact charged one query 20 s for another's cleanup storm and
+    // nothing in the artifact could show it): shuffle read/write and
+    // spill deltas per rep, plus resident storage bytes at timer
+    // start — a nonzero resident_start means the drain below did NOT
+    // reach steady state and the timing is suspect.
+    val shufR = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shufW = new java.util.concurrent.atomic.AtomicLong(0L)
+    val spill = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = t.taskMetrics
-          if (m != null)
-            cpuNs.addAndGet(m.executorCpuTime + m.executorDeserializeCpuTime): Unit
+          if (m != null) {
+            cpuNs.addAndGet(m.executorCpuTime + m.executorDeserializeCpuTime)
+            shufR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled): Unit
+          }
         }
       })
     val drainBus: () => Unit = {
@@ -66,17 +79,46 @@ object Bench {
         }
       } catch { case _: Throwable => () => Thread.sleep(200) }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .map { case (name, fn) =>
+    // resident STORAGE bytes across the (local) executors — the
+    // steady-state signal the drain loop waits on. Broadcast and
+    // checkpoint blocks are ContextCleaner-driven (GC + async daemon),
+    // so a single System.gc() call does NOT guarantee they are gone
+    // before the next timer starts; round-9's graded artifact proved
+    // it (q_triangles billed 20.9 s for 1.6 s of work).
+    def residentBytes(): Long =
+      spark.sparkContext.getExecutorMemoryStatus.values
+        .map { case (max, remaining) => max - remaining }.sum
+    // Drain to completion before each name's timer: clear the cache,
+    // unpersist blocking, then GC-poll until the persistent-RDD map
+    // is empty AND resident storage stops shrinking (two equal
+    // consecutive readings) — bounded at 15 s so a genuine leak
+    // can't hang the bench (it will show up as resident_start > 0).
+    def drainState(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
-      System.gc() // lets the ContextCleaner drop dead checkpoint blocks
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      var prev = -1L
+      var cur = residentBytes()
+      while ((spark.sparkContext.getPersistentRDDs.nonEmpty ||
+          cur != prev) && System.nanoTime() < deadline) {
+        System.gc()
+        Thread.sleep(100)
+        drainBus()
+        prev = cur
+        cur = residentBytes()
+      }
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
+      drainState()
+      val res0 = residentBytes()
       var err: Option[String] = None
       val timesCpu = (1 to 2).map { _ =>
         drainBus()
         val c0 = cpuNs.get()
+        val r0 = shufR.get(); val w0 = shufW.get(); val s0 = spill.get()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
@@ -84,9 +126,11 @@ object Bench {
         }
         val wall = (System.nanoTime() - t0) / 1e9
         drainBus()
-        (wall, (cpuNs.get() - c0) / 1e9)
+        (wall, (cpuNs.get() - c0) / 1e9,
+          (shufR.get() - r0, shufW.get() - w0, spill.get() - s0))
       }
-      (name, timesCpu.map(_._1), err, timesCpu.map(_._2))
+      (name, timesCpu.map(_._1), err, timesCpu.map(_._2),
+        timesCpu.map(_._3), res0)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -95,21 +139,32 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
     val ok = results.filter(_._3.isEmpty)
-    val qs = ok.map { case (k, t, _, _) => jstr(k) + ":" + t.min }
+    val qs = ok.map { case (k, t, _, _, _, _) => jstr(k) + ":" + t.min }
       .mkString("{", ",", "}")
-    val reps = results.map { case (k, t, _, _) =>
+    val reps = results.map { case (k, t, _, _, _, _) =>
       jstr(k) + ":[" + t.mkString(",") + "]" }.mkString("{", ",", "}")
-    val cpu = results.map { case (k, _, _, c) =>
+    val cpu = results.map { case (k, _, _, c, _, _) =>
       // Locale.ROOT: f"" uses the JVM default locale, and a comma-
       // decimal locale (de_DE) would emit 1,234 and corrupt the JSON
       jstr(k) + ":[" + c.map(x => String.format(java.util.Locale.ROOT,
         "%.3f", Double.box(x))).mkString(",") + "]" }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e), _) => jstr(k) + ":" + jstr(e) }
+    // per-query interference telemetry: per-rep [shuffle read,
+    // shuffle write, spill] bytes and the resident storage bytes when
+    // the timer started (nonzero = the drain never reached steady
+    // state; the timing likely includes another query's cleanup)
+    val io = results.map { case (k, _, _, _, sh, res) =>
+      jstr(k) + ":{\"shuffle_read\":[" + sh.map(_._1).mkString(",") +
+        "],\"shuffle_write\":[" + sh.map(_._2).mkString(",") +
+        "],\"spill\":[" + sh.map(_._3).mkString(",") +
+        s"""],"resident_start":$res}""" }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e), _, _, _) =>
+      jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = ok.map(_._2.min).sum
     val totalCpu = ok.map(_._4.min).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$totalCpu,"queries":$qs,"reps":$reps,"cpu":$cpu,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$totalCpu,"queries":$qs,"reps":$reps,"cpu":$cpu,"io":$io,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
