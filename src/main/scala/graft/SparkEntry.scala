@@ -3140,6 +3140,14 @@ object SparkEntry {
       Dedup.exciseSubstrings(Tables.documents(s, dir), "doc_id", "text",
         spanN = 5)),
 
+    // the variable-length variant: only maximal covered runs of ≥ 8
+    // tokens are excised (Lee et al.'s minimum MATCH length, scaled
+    // to the synthetic corpus) — incidental 5-gram repeats survive,
+    // verbatim blocks are cut; gate still verifies the rewritten text
+    "dedup_substrings_minlen" -> ((s, dir) =>
+      Dedup.exciseSubstrings(Tables.documents(s, dir), "doc_id", "text",
+        spanN = 5, minRunTokens = 8)),
+
     // per-source document cap: keep the top 5 docs per source by
     // (n_chars desc, doc_id) — the crawl-style per-domain quota
     "q_domain_cap" -> ((s, dir) => {
@@ -7679,6 +7687,58 @@ object SparkEntry {
         |  SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS pos
         |  FROM m),
         |cov AS (SELECT DISTINCT doc_id, pos FROM cov0),
+        |t0 AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(w))) AS pos, w
+        |  FROM d),
+        |tok AS (SELECT doc_id, pos, w[pos] AS wt FROM t0),
+        |kept AS (
+        |  SELECT tok.doc_id, tok.pos, tok.wt FROM tok
+        |  ANTI JOIN cov USING (doc_id, pos)),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(wt, ' ' ORDER BY pos) AS text_out
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(len(string_split(t.text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(string_split(t.text, ' ')) - COALESCE(a.n_kept, 0)
+        |    AS BIGINT) AS n_removed,
+        |  COALESCE(a.text_out, '') AS text_out
+        |FROM documents t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // the ≥8-token-run variant: same mirror plus the gaps-and-islands
+    // run-length filter over covered positions (pos − ROW_NUMBER is
+    // constant within a maximal consecutive run)
+    "dedup_substrings_minlen" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s0 AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, len(w) - 4)) AS pos, w
+        |  FROM d WHERE len(w) >= 5),
+        |s AS (
+        |  SELECT doc_id, pos,
+        |    array_to_string(w[pos:pos+4], ' ') AS sh
+        |  FROM s0),
+        |m AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      ROW_NUMBER() OVER (PARTITION BY sh ORDER BY doc_id, pos)
+        |        AS rn
+        |    FROM s) WHERE rn > 1),
+        |cov0 AS (
+        |  SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS pos
+        |  FROM m),
+        |covd AS (SELECT DISTINCT doc_id, pos FROM cov0),
+        |runs AS (
+        |  SELECT doc_id, pos,
+        |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+        |      AS g
+        |  FROM covd),
+        |cov AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      COUNT(*) OVER (PARTITION BY doc_id, g) AS run_len
+        |    FROM runs) WHERE run_len >= 8),
         |t0 AS (
         |  SELECT doc_id, unnest(generate_series(1, len(w))) AS pos, w
         |  FROM d),

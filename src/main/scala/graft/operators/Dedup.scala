@@ -658,9 +658,18 @@ object Dedup {
     * Output per input doc: `(doc_id, n_tokens, n_removed, text_out)` —
     * the rewritten text itself is emitted, so the correctness gate
     * verifies CONTENT, not just counts.
+    *
+    * `minRunTokens` is the Lee et al. minimum MATCH length (their
+    * ExactSubstr uses ≥50 tokens): a maximal run of consecutive
+    * covered positions shorter than `minRunTokens` is NOT excised —
+    * short incidental 5-gram repeats (idioms, boilerplate fragments)
+    * survive, only long verbatim blocks are cut. Values ≤ `spanN` are
+    * a no-op (every covered run is at least `spanN` long by
+    * construction). Run lengths come from the same gaps-and-islands
+    * shape [[duplicateSpans]] uses, per-document windows only.
     */
   def exciseSubstrings(docs: DataFrame, idCol: String, textCol: String,
-                       spanN: Int = 5): DataFrame = {
+                       spanN: Int = 5, minRunTokens: Int = 0): DataFrame = {
     val w = split(col(textCol), " ")
     val spans = docs
       .select(col(idCol).as("doc_id"), w.as("w"))
@@ -678,12 +687,28 @@ object Dedup {
       .filter(col("cnt") > 1)
       .select(col("sh"), col("keep.doc_id").as("keep_doc"),
         col("keep.pos").as("keep_pos"))
-    val covered = spans.join(firsts, Seq("sh"))
+    val covered0 = spans.join(firsts, Seq("sh"))
       .filter(!(col("doc_id") === col("keep_doc") &&
         col("pos") === col("keep_pos")))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (spanN - 1))).as("pos"))
       .distinct()
+    val covered =
+      if (minRunTokens <= spanN) covered0
+      else {
+        // gaps-and-islands: pos − row_number is constant within a
+        // maximal consecutive run; keep runs ≥ minRunTokens. Both
+        // windows partition by document — never corpus-scale.
+        val byDoc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos"))
+        covered0
+          .withColumn("_g", col("pos") - row_number().over(byDoc))
+          .withColumn("_len", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("doc_id"), col("_g"))))
+          .filter(col("_len") >= minRunTokens)
+          .select(col("doc_id"), col("pos"))
+      }
     val tok = docs
       .select(col(idCol).as("doc_id"), posexplode(w).as(Seq("p0", "wt")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("wt"))
