@@ -424,6 +424,69 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("state schema evolution: a v2 processor with an added state " +
+      "field restarts from a v1 checkpoint (Avro encoding)") {
+    // the Flink-savepoint upgrade story (stop v1, restart v2 on the
+    // same state): requires RocksDB provider + Avro state encoding
+    // from the FIRST run; v2's appended Option field decodes as None
+    // for v1-written keys. See streaming/StateEvolution.scala.
+    val prevProv =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevEnc =
+      spark.conf.getOption("spark.sql.streaming.stateStore.encodingFormat")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.encodingFormat", "avro")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Transaction]
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_evolve").toString
+      val buf =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      def start(counts: org.apache.spark.sql.Dataset[
+          StateEvolution.AcctCount]) =
+        counts.writeStream
+          .outputMode("update")
+          .option("checkpointLocation", s"$dir/ckpt")
+          .foreachBatch {
+            (df: org.apache.spark.sql.Dataset[StateEvolution.AcctCount],
+             _: Long) =>
+              df.collect().foreach(c => buf.add((c.accountId, c.count)))
+          }
+          .start()
+      val q1 = start(StateEvolution.countsV1(input.toDS()))
+      try {
+        input.addData(tx(1, 10, 1), tx(1, 20, 2), tx(2, 5, 3))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      assert(buf.contains((1L, 2L)) && buf.contains((2L, 1L)),
+        s"v1 must count before the upgrade; got $buf")
+
+      // restart the SAME checkpoint under the evolved state schema
+      val q2 = start(StateEvolution.countsV2(input.toDS()))
+      try {
+        input.addData(tx(1, 30, 4))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      assert(buf.contains((1L, 3L)),
+        s"v2 must continue v1's recovered count (2 -> 3); got $buf")
+    } finally {
+      prevProv match {
+        case Some(p) => spark.conf
+          .set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf
+          .unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevEnc match {
+        case Some(e) => spark.conf
+          .set("spark.sql.streaming.stateStore.encodingFormat", e)
+        case None => spark.conf
+          .unset("spark.sql.streaming.stateStore.encodingFormat")
+      }
+    }
+  }
+
   test("streaming dedup within watermark drops duplicate event ids") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Transaction]
