@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Per-round streaming throughput artifact (STREAM_BENCH_r{N}.json).
+
+Runs graft.tools.StreamBench across the four shape families the
+streaming surface is graded on — in-order, out-of-order, the
+panes-vs-naive sliding state layout, and the timer-vs-tws detector
+pair — at fixed configured rates, and writes one JSON doc with every
+run's engine-reported numbers. Compare rounds with:
+
+    python3 scripts/stream_bench.py STREAM_BENCH_r10.json        # run + write
+    python3 scripts/stream_bench.py --diff prev.json cur.json    # delta table
+
+Rates mirror SURVEY §5's measured points: 32M configured saturates
+the window pipelines on this box; the per-element timer detectors
+are run at 2M (the GroupState emulation saturates far below the
+window pipelines — the tws/timer RATIO is the signal, not the
+absolute).
+"""
+import json, re, subprocess, sys
+
+SHAPES = [
+    ("tumbling", 32_000_000, 45),
+    ("ooo",      32_000_000, 45),
+    ("sliding",  32_000_000, 45),
+    ("panes",    32_000_000, 45),
+    ("timer",     2_000_000, 45),
+    ("tws",       2_000_000, 45),
+]
+
+
+def run_one(pipeline, rate, secs):
+    cmd = ["sbt", "-batch",
+           f"runMain graft.tools.StreamBench {rate} {secs} {pipeline}"]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+    for line in out.stdout.splitlines():
+        m = re.search(r'\{"metric":"stream_rows_per_sec".*\}', line)
+        if m:
+            return json.loads(m.group(0))
+    raise SystemExit(
+        f"{pipeline}: no bench line in output\n{out.stdout[-2000:]}"
+        f"\n{out.stderr[-2000:]}")
+
+
+def diff(prev_path, cur_path):
+    prev = {r["pipeline"]: r for r in json.load(open(prev_path))["runs"]}
+    cur = {r["pipeline"]: r for r in json.load(open(cur_path))["runs"]}
+    print(f"{'pipeline':10s} {'prev Mrows/s':>12s} {'cur Mrows/s':>12s} "
+          f"{'ratio':>6s}")
+    for k in cur:
+        c = cur[k]["value"] / 1e6
+        p = prev.get(k, {}).get("value")
+        ps = f"{p / 1e6:12.2f}" if p else "           -"
+        rs = f"{cur[k]['value'] / p:6.2f}" if p else "     -"
+        print(f"{k:10s} {ps} {c:12.2f} {rs}")
+    for a, b, label in [("panes", "sliding", "pane-layout win"),
+                        ("tws", "timer", "native-timer win")]:
+        if a in cur and b in cur and cur[b]["value"] > 0:
+            print(f"{label}: {cur[a]['value'] / cur[b]['value']:.2f}x")
+
+
+def main():
+    if sys.argv[1] == "--diff":
+        return diff(sys.argv[2], sys.argv[3])
+    out_path = sys.argv[1]
+    runs = []
+    for pipeline, rate, secs in SHAPES:
+        r = run_one(pipeline, rate, secs)
+        runs.append(r)
+        print(f"  {pipeline}: {r['value'] / 1e6:.2f}M rows/s "
+              f"({r['batches']} steady batches, late={r['lateDropped']})")
+    doc = {"metric": "stream_bench", "runs": runs}
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()
