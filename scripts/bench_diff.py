@@ -13,26 +13,39 @@ import json, re, sys
 
 
 def load(path):
-    """Returns (wall_by_query, cpu_by_query); cpu may be empty (pre-r8
-    artifacts and truncated driver tails carry no cpu arrays)."""
+    """Returns (wall_by_query, cpu_by_query, io_by_query); cpu/io may be
+    empty (pre-r8 artifacts and truncated driver tails carry neither)."""
     with open(path) as f:
         doc = json.load(f)
     if "queries" in doc:
         cpu = {k: min(v) for k, v in doc.get("cpu", {}).items() if v}
-        return dict(doc["queries"]), cpu
+        return dict(doc["queries"]), cpu, doc.get("io", {})
     if "tail" in doc:
         pairs = re.findall(r'"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)', doc["tail"])
         # the first pair may be cut mid-name; drop it if the tail
         # doesn't start at a quote boundary
         out = {k: float(v) for k, v in pairs}
         out.pop("value", None)
-        return out, {}
+        return out, {}, {}
     raise SystemExit(f"{path}: neither 'queries' nor 'tail' present")
 
 
 def main():
+    if len(sys.argv) < 3:
+        raise SystemExit("usage: bench_diff.py <prev.json> <cur.json>")
     prev_path, cur_path = sys.argv[1], sys.argv[2]
-    (prev, prev_cpu), (cur, cur_cpu) = load(prev_path), load(cur_path)
+    (prev, prev_cpu, _), (cur, cur_cpu, cur_io) = load(prev_path), load(cur_path)
+    # isolation header (round-10 verdict #6): a future interference
+    # storm must be visible in the diff, not just in the raw io JSON.
+    if cur_io:
+        resident = sorted(n for n, m in cur_io.items()
+                          if m.get("resident_start", 0) > 0)
+        spilled = sorted(n for n, m in cur_io.items()
+                         if any(m.get("spill", [])))
+        print(f"isolation: {len(resident)}/{len(cur_io)} queries nonzero "
+              f"resident_start, {len(spilled)} spilled"
+              + (f"; resident: {resident}" if resident else "")
+              + (f"; spilled: {spilled}" if spilled else ""))
     names = sorted(set(prev) | set(cur))
     common = [n for n in names if n in prev and n in cur]
     rows = []

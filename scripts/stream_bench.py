@@ -46,12 +46,15 @@ def diff(prev_path, cur_path):
     cur = {r["pipeline"]: r for r in json.load(open(cur_path))["runs"]}
     print(f"{'pipeline':10s} {'prev Mrows/s':>12s} {'cur Mrows/s':>12s} "
           f"{'ratio':>6s}")
-    for k in cur:
-        c = cur[k]["value"] / 1e6
+    # iterate the union so a pipeline dropped from cur still shows (as
+    # a prev-only row) instead of silently disappearing from the delta
+    for k in sorted(set(prev) | set(cur), key=lambda n: (n not in cur, n)):
+        c = cur.get(k, {}).get("value")
         p = prev.get(k, {}).get("value")
         ps = f"{p / 1e6:12.2f}" if p else "           -"
-        rs = f"{cur[k]['value'] / p:6.2f}" if p else "     -"
-        print(f"{k:10s} {ps} {c:12.2f} {rs}")
+        cs = f"{c / 1e6:12.2f}" if c else "           -"
+        rs = f"{c / p:6.2f}" if (p and c) else "     -"
+        print(f"{k:10s} {ps} {cs} {rs}")
     for a, b, label in [("panes", "sliding", "pane-layout win"),
                         ("tws", "timer", "native-timer win")]:
         if a in cur and b in cur and cur[b]["value"] > 0:
@@ -59,7 +62,12 @@ def diff(prev_path, cur_path):
 
 
 def main():
+    if len(sys.argv) < 2:
+        raise SystemExit("usage: stream_bench.py <out.json> | "
+                         "--diff <prev.json> <cur.json>")
     if sys.argv[1] == "--diff":
+        if len(sys.argv) < 4:
+            raise SystemExit("usage: stream_bench.py --diff <prev.json> <cur.json>")
         return diff(sys.argv[2], sys.argv[3])
     out_path = sys.argv[1]
     runs = []

@@ -1868,12 +1868,14 @@ object SparkEntry {
     // multiplied |c1(v)·n2 − c2(v)·n1| over the distinct-value grid —
     // no float ECDF anywhere, so the drift detector hash-oracles (the
     // q_anomaly cross-multiplication rule applied to a whole-
-    // distribution test). The cumulative counts ride TWO
-    // PrefixSums.exclusiveOffsets passes over the value-cardinality
-    // grid — a distributed rank, never a corpus-scale unpartitioned
-    // window; products accumulate in DECIMAL(38,0) (c·n crosses 2^63
-    // past ~3e9 rows per side) and only the bounded permille statistic
-    // is emitted.
+    // distribution test). The cumulative counts for BOTH samples ride
+    // ONE multi-measure PrefixSums.exclusiveOffsetsMulti pass over the
+    // value-cardinality grid (round-10 verdict: the two single-measure
+    // passes cost 44.7 CPU-s cold at sf0.1; one shared
+    // bucket/window/broadcast pass halves that) — a distributed rank,
+    // never a corpus-scale unpartitioned window; products accumulate
+    // in DECIMAL(38,0) (c·n crosses 2^63 past ~3e9 rows per side) and
+    // only the bounded permille statistic is emitted.
     "q_ks_test" -> ((s, dir) => {
       val g = Tables.orders(s, dir).select(
           (dec(col("o_totalprice"), 12, 2) * 100).cast(LongType).as("cents"),
@@ -1883,11 +1885,11 @@ object SparkEntry {
         .agg(sum(col("is1")).as("cnt1"),
           sum(lit(1L) - col("is1")).as("cnt2"))
         .persist()
-      g.count() // eager fill: 4 consumers (2 offset passes, join, totals)
-      val off1 = PrefixSums.exclusiveOffsets(g, "cents", "cnt1", "c1ex")
-      val off2 = PrefixSums.exclusiveOffsets(g, "cents", "cnt2", "c2ex")
+      g.count() // eager fill: 3 consumers (offsets pass, join, totals)
+      val off = PrefixSums.exclusiveOffsetsMulti(g, "cents",
+        Seq("cnt1" -> "c1ex", "cnt2" -> "c2ex"))
       val tot = g.agg(sum(col("cnt1")).as("n1"), sum(col("cnt2")).as("n2"))
-      val out = g.join(off1, "cents").join(off2, "cents")
+      val out = g.join(off, "cents")
         .crossJoin(broadcast(tot))
         .select(col("n1"), col("n2"),
           expr("abs(CAST(c1ex + cnt1 AS DECIMAL(38,0)) * n2" +

@@ -48,7 +48,23 @@ object PrefixSums {
     */
   def exclusiveOffsets(totals: DataFrame, keyCol: String, totCol: String,
                        offCol: String,
-                       descending: Boolean = false): DataFrame = {
+                       descending: Boolean = false): DataFrame =
+    exclusiveOffsetsMulti(totals, keyCol, Seq(totCol -> offCol), descending)
+
+  /** Multi-measure [[exclusiveOffsets]]: one pass over the totals
+    * table computes the exclusive prefix sum of EVERY `(totCol,
+    * offCol)` pair in `measures` — one super-bucket assignment, ONE
+    * partitioned window (same spec → Catalyst collapses the N window
+    * expressions into one WindowExec), one bucket-totals agg, and one
+    * broadcast non-equi bucket-prefix join shared by all measures.
+    * The q_ks_test shape (two ECDF counters over one value grid) runs
+    * this instead of two full passes — the round-10 verdict measured
+    * the doubled pass at 44.7 CPU-s cold at sf0.1.
+    */
+  def exclusiveOffsetsMulti(totals: DataFrame, keyCol: String,
+                            measures: Seq[(String, String)],
+                            descending: Boolean = false): DataFrame = {
+    require(measures.nonEmpty, "at least one (totCol, offCol) measure")
     val k = col(keyCol)
     val integral = totals.schema(keyCol).dataType match {
       case ByteType | ShortType | IntegerType | LongType => true
@@ -78,26 +94,32 @@ object PrefixSums {
           .otherwise(least(floor((kk.cast(DoubleType) - col("_kmin")) / w)
             .cast(LongType), nb - 1))
       }
-    val t = totals.select(k.as("_k"), col(totCol).as("_t"))
+    val is = measures.indices
+    val t = totals.select(k.as("_k") +: is.map(i =>
+        col(measures(i)._1).as(s"_t$i")): _*)
       .crossJoin(broadcast(stats))
-      .select(col("_k"), col("_t"), sb.as("_sb"))
+      .select(col("_k") +: is.map(i => col(s"_t$i")) :+ sb.as("_sb"): _*)
 
     val w1 = Window.partitionBy(col("_sb"))
       .orderBy(if (descending) col("_k").desc else col("_k").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val within = t.withColumn("_w", coalesce(sum(col("_t")).over(w1), lit(0L)))
+    val within = t.select(col("*") +: is.map(i =>
+      coalesce(sum(col(s"_t$i")).over(w1), lit(0L)).as(s"_w$i")): _*)
 
-    val st = t.groupBy(col("_sb")).agg(sum(col("_t")).as("_st"))
+    val stAggs = is.map(i => sum(col(s"_t$i")).as(s"_st$i"))
+    val st = t.groupBy(col("_sb")).agg(stAggs.head, stAggs.tail: _*)
     val prior = if (descending) col("y._sb") > col("x._sb")
                 else col("y._sb") < col("x._sb")
+    val soffAggs = is.map(i =>
+      coalesce(sum(col(s"y._st$i")), lit(0L)).as(s"_soff$i"))
     val soff = st.alias("x")
-      .join(broadcast(st.select(col("_sb"), col("_st")).alias("y")),
-        prior, "left")
+      .join(broadcast(st.alias("y")), prior, "left")
       .groupBy(col("x._sb").as("_sb"))
-      .agg(coalesce(sum(col("y._st")), lit(0L)).as("_soff"))
+      .agg(soffAggs.head, soffAggs.tail: _*)
 
     within.join(broadcast(soff), "_sb")
-      .select(col("_k").as(keyCol), (col("_w") + col("_soff")).as(offCol))
+      .select(col("_k").as(keyCol) +: is.map(i =>
+        (col(s"_w$i") + col(s"_soff$i")).as(measures(i)._2)): _*)
   }
 
   /** `totals(keyCol, valCol)` → `(keyCol, outCol)`: per key, the MAX
