@@ -766,38 +766,27 @@ object SparkEntry {
     // co-purchase graph ("customers who bought A also bought B"): the
     // bipartite customer×part projection with the maxBasket skew
     // guard gate-visible — pairs count CUSTOMERS, support ≥ 2,
-    // deterministic top-100
-    "q_copurchase" -> ((s, dir) => {
-      val baskets = Tables.lineitem(s, dir)
-        .join(Tables.orders(s, dir),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
-      operators.CoOccur.pairCounts(baskets, "cust", "part",
-          maxBasket = 40,
-          // inside the pin scope so only the 100-row answer
-          // materializes and the basket pin is released on return
-          finish = _.filter(col("n_co") >= 2)
-            .orderBy(col("n_co").desc, col("item_a"), col("item_b"))
-            .limit(100))
-    }),
+    // deterministic top-100. Reads the STORED rule table (built once
+    // per dataset dir, round-10 verdict #5): the Σ|basket|² pair
+    // projection is a build job shared by three serving queries, so
+    // this plan is a parquet scan + top-k, never the self-join.
+    "q_copurchase" -> ((s, dir) =>
+      basketRules(s, dir)
+        .select(col("item_a"), col("item_b"), col("n_co"))
+        .orderBy(col("n_co").desc, col("item_a"), col("item_b"))
+        .limit(100)),
 
     // association RULES over the capped basket projection: support /
     // directional confidence / lift in exact integer micro-and-permille
     // units — the "is this co-occurrence real or just popularity"
     // refinement of q_copurchase (lift divides out the independence
-    // rate). Every count shares q_copurchase's maxBasket skew guard;
-    // DECIMAL(38,0) numerators.
-    "q_basket_lift" -> ((s, dir) => {
-      val baskets = Tables.lineitem(s, dir)
-        .join(Tables.orders(s, dir),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
-      operators.CoOccur.associationRules(baskets, "cust", "part",
-          maxBasket = 40,
-          finish = _.filter(col("n_co") >= 2)
-            .orderBy(col("lift_micro").desc, col("item_a"), col("item_b"))
-            .limit(100))
-    }),
+    // rate). Every count shares q_copurchase's maxBasket skew guard
+    // AND its stored rule table (one build, three readers);
+    // DECIMAL(38,0) numerators ride the build.
+    "q_basket_lift" -> ((s, dir) =>
+      basketRules(s, dir)
+        .orderBy(col("lift_micro").desc, col("item_a"), col("item_b"))
+        .limit(100)),
 
     // first/last-touch marketing ATTRIBUTION: each purchase credits
     // the user's earliest and latest preceding non-purchase event —
@@ -2203,16 +2192,11 @@ object SparkEntry {
     // from the SAME capped pair frame as B86/B93, per-item rank via
     // the narrow per-item window over the support-filtered pairs.
     "q_item_sims" -> ((s, dir) => {
-      val baskets = Tables.lineitem(s, dir)
-        .join(Tables.orders(s, dir),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
-      // support-filtered rules, materialized + basket pin released
-      // inside associationRules; two consumers below (top-k pass,
-      // n_co join) read the checkpoint, not the derivation
-      val rules = operators.CoOccur.associationRules(baskets, "cust",
-          "part", maxBasket = 40,
-          finish = _.filter(col("n_co") >= 2))
+      // support-filtered rules from the STORED table (one build
+      // shared with q_copurchase/q_basket_lift); two consumers below
+      // (top-k pass, n_co join) each scan the small parquet table,
+      // not the basket derivation
+      val rules = basketRules(s, dir)
       // cos² ≈ conf_ab·conf_ba (permille × permille = micro) — the
       // floored-confidence product, deterministic and oracle-mirrored
       val scored = rules.select(col("item_a").as("item"),
@@ -4176,6 +4160,32 @@ object SparkEntry {
   /** Same train-once memoization for the product quantizer. */
   private val pqModels =
     scala.collection.concurrent.TrieMap.empty[String, Similarity.PqModel]
+
+  /** Build-once memoization of the SAVED capped basket-rules table
+    * (round-10 verdict #5: q_copurchase/q_basket_lift/q_item_sims
+    * each re-paid the Σ|basket|² projection — 112 CPU-s combined at
+    * sf0.1). One parquet build per dataset dir, three bounded
+    * readers — the minhashIndexDirs serving shape applied to
+    * co-occurrence. Stored with the shared support floor n_co >= 2
+    * (every consumer filters at least that hard).
+    */
+  private[graft] val basketRulesDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def basketRules(s: SparkSession, dir: String): DataFrame = {
+    val p = basketRulesDirs.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_basket_rules").toString
+      val baskets = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      operators.CoOccur.buildRulesTable(baskets, "cust", "part",
+        maxBasket = 40, minCo = 2L, path)
+      path
+    })
+    s.read.parquet(p)
+  }
 
   /** Induce-once memoization of the BPE merge table per (corpus dir,
     * merge budget) — induction is deterministic, so vocab emission and

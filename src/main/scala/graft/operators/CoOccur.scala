@@ -26,7 +26,11 @@ object CoOccur {
     * filter/top-k so only the bounded answer materializes); the
     * result is pinned via localCheckpoint and the basket pin is
     * released before returning — a long-lived session accumulates no
-    * basket frames (the Graph.pageRank discipline).
+    * basket frames (the Graph.pageRank discipline). NOTE the
+    * checkpoint is EAGER at call time: with the default
+    * `finish = identity` the FULL pair table materializes here — at
+    * scale always pass a bounding `finish` (or use
+    * [[buildRulesTable]] and read the stored table).
     */
   def pairCounts(df: DataFrame, groupCol: String, itemCol: String,
                  maxBasket: Int,
@@ -50,10 +54,37 @@ object CoOccur {
                        maxBasket: Int,
                        finish: DataFrame => DataFrame = identity): DataFrame = {
     val bounded = boundedBaskets(df, groupCol, itemCol, maxBasket)
+    // same release discipline as pairCounts: finish inside the pin
+    // scope, checkpoint the bounded answer, drop the basket pin
+    val out = finish(rulesOf(bounded)).localCheckpoint(true)
+    bounded.unpersist(blocking = false)
+    out
+  }
+
+  /** Build-once MATERIALIZATION of the capped rule table (the B45
+    * sketch-table discipline applied to co-occurrence): derives
+    * [[associationRules]] restricted to `n_co >= minCo` and writes it
+    * to `path` as parquet. Serving consumers (co-purchase top-k, lift
+    * ranking, item-item similar-items) read the stored table instead
+    * of each re-paying the Σ|basket|² projection — at scale the
+    * projection is a scheduled build job, not a per-query cost. The
+    * support floor is part of the STORED table's contract: readers
+    * cannot see below `minCo`, so every consumer must want the same
+    * (or a higher) floor.
+    */
+  def buildRulesTable(df: DataFrame, groupCol: String, itemCol: String,
+                      maxBasket: Int, minCo: Long, path: String): Unit = {
+    val bounded = boundedBaskets(df, groupCol, itemCol, maxBasket)
+    rulesOf(bounded).filter(col("n_co") >= minCo)
+      .write.mode("overwrite").parquet(path)
+    bounded.unpersist(blocking = false)
+  }
+
+  private def rulesOf(bounded: DataFrame): DataFrame = {
     val itemCnt = bounded.groupBy(col("it")).agg(count(lit(1)).as("n_i"))
     val nGroups = bounded.agg(
       countDistinct(col("g")).as("n_groups"))
-    val rules = pairCountsOf(bounded)
+    pairCountsOf(bounded)
       .join(itemCnt.select(col("it").as("item_a"), col("n_i").as("n_a")),
         "item_a")
       .join(itemCnt.select(col("it").as("item_b"), col("n_i").as("n_b")),
@@ -67,11 +98,6 @@ object CoOccur {
         expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_co * n_groups)" +
           " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
           .as("lift_micro"))
-    // same release discipline as pairCounts: finish inside the pin
-    // scope, checkpoint the bounded answer, drop the basket pin
-    val out = finish(rules).localCheckpoint(true)
-    bounded.unpersist(blocking = false)
-    out
   }
 
   /** Distinct membership, groups above `maxBasket` dropped.

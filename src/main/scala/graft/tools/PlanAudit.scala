@@ -27,11 +27,23 @@ object PlanAudit {
                                unpartitionedWindows: Int) {
     def tsv: String = s"$shuffles\t$bhj\t$smj\t$scans\t" +
       s"${if (pushdown) "yes" else "-"}"
+    def +(o: PlanMetrics): PlanMetrics = PlanMetrics(
+      shuffles + o.shuffles, bhj + o.bhj, smj + o.smj, scans + o.scans,
+      pushdown || o.pushdown,
+      unpartitionedWindows + o.unpartitionedWindows)
   }
 
   def collectPlan(p: SparkPlan): Seq[SparkPlan] = {
     val extra = p match {
       case a: AdaptiveSparkPlanExec => collectPlan(a.executedPlan)
+      // an EXECUTED adaptive plan wraps each materialized stage in a
+      // leaf QueryStageExec whose real operators (the exchange, the
+      // scans below it) hang off `.plan`, not `.children` — without
+      // recursing there, every construction-time execution reports
+      // zero shuffles (a reused stage holds ReusedExchangeExec, so an
+      // exchange still counts exactly once)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        collectPlan(q.plan)
       case _ => Nil
     }
     (p +: p.children.flatMap(collectPlan)) ++ extra
@@ -42,6 +54,18 @@ object PlanAudit {
     * so the warm plan is deterministic regardless of what ran earlier
     * in the session — the state both the baseline tool and the
     * regression spec must measure to agree.
+    *
+    * Eager `localCheckpoint(true)` / `persist()+count()` pins execute
+    * their derivation DURING construction and leave only a LogicalRDD
+    * scan in the returned frame — the round-10 advice: seven queries'
+    * baseline rows had collapsed to `0 0 0 1`, hiding the real plans
+    * from this gate. A QueryExecutionListener records every plan
+    * executed while `fn` constructs (Dataset actions — count /
+    * checkpoint — route through `withAction`, which notifies it), and
+    * the counts SUM over those executions plus the returned frame's
+    * plan, so the frozen baseline sees the whole derivation again —
+    * including any unpartitioned window that only ever runs inside a
+    * construction-time pin.
     */
   def warmMetrics(fn: (SparkSession, String) => DataFrame,
                   spark: SparkSession, dir: String): PlanMetrics = {
@@ -53,13 +77,49 @@ object PlanAudit {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
-    metrics(fn(spark, dir))
+    drainListenerBus(spark) // stray events from the warm call
+    val rec =
+      new java.util.concurrent.ConcurrentLinkedQueue[PlanMetrics]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { rec.add(metricsOf(qe)); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      val df = fn(spark, dir)
+      drainListenerBus(spark) // listener events are async
+      import scala.jdk.CollectionConverters._
+      (rec.asScala.toSeq :+ metricsOf(df.queryExecution))
+        .reduce(_ + _)
+    } finally spark.listenerManager.unregister(l)
   }
 
+  /** The ExecutionListenerBus rides the async shared listener bus;
+    * `waitUntilEmpty` is private[spark] — reflection with a sleep
+    * fallback (the Bench pattern). */
+  private def drainListenerBus(spark: SparkSession): Unit =
+    try {
+      val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+        .invoke(spark.sparkContext)
+      bus.getClass.getMethods
+        .find(m => m.getName == "waitUntilEmpty" &&
+          m.getParameterCount == 0) match {
+        case Some(f) => f.invoke(bus): Unit
+        case None => Thread.sleep(300)
+      }
+    } catch { case _: Throwable => Thread.sleep(300) }
+
   /** Counts over the (initial, pre-execution) physical plan. */
-  def metrics(df: DataFrame): PlanMetrics = {
-    val nodes = collectPlan(df.queryExecution.executedPlan)
-    val simple = df.queryExecution.simpleString
+  def metrics(df: DataFrame): PlanMetrics = metricsOf(df.queryExecution)
+
+  def metricsOf(
+      qe: org.apache.spark.sql.execution.QueryExecution): PlanMetrics = {
+    val nodes = collectPlan(qe.executedPlan)
+    val simple = qe.simpleString
     PlanMetrics(
       shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec]),
       bhj = nodes.count(_.isInstanceOf[BroadcastHashJoinExec]),
@@ -90,7 +150,9 @@ object PlanAudit {
     println(f"${"query"}%-16s ${"shuffles"}%9s ${"bcastJoin"}%10s ${"smj"}%5s ${"scans"}%6s  pushdown")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val m = metrics(fn(spark, dir))
+        // warm + construction-summed, same semantics as the frozen
+        // baseline (eagerly-pinned derivations stay visible)
+        val m = warmMetrics(fn, spark, dir)
         val pushed = if (m.pushdown) "yes" else "-"
         println(f"$name%-16s ${m.shuffles}%9d ${m.bhj}%10d ${m.smj}%5d ${m.scans}%6d  $pushed")
       } catch {

@@ -50,7 +50,7 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
-    def drained(): Boolean = {
+    def drainOnce(): Boolean = {
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
       while (spark.sparkContext.getPersistentRDDs.nonEmpty &&
           System.nanoTime() < deadline) {
@@ -58,6 +58,14 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
         Thread.sleep(250)
       }
       spark.sparkContext.getPersistentRDDs.isEmpty
+    }
+    // System.gc() is advisory: a GC that defers collection under low
+    // heap pressure can outlast one 30 s window without any strong-ref
+    // pin existing. Retry the drain once (with a finalization nudge)
+    // before declaring a leak — a REAL CacheManager pin still fails
+    // both windows deterministically, since strong refs never drain.
+    def drained(): Boolean = drainOnce() || {
+      System.runFinalization(); drainOnce()
     }
     val leaky = names.filterNot { n =>
       SparkEntry.queries(n)(spark, sf).count() // result ref dies here
