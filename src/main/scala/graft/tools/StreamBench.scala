@@ -90,16 +90,36 @@ object StreamBench {
       .outputMode("append")
       .trigger(Trigger.ProcessingTime("1 second"))
       .start()
+    // A pipeline slower than the configured rate accumulates backlog,
+    // so its batches GROW (each covers the wall time of the previous
+    // batch's run) — with a fixed sleep the first real batch can
+    // outlive the whole budget and the only recorded progress is the
+    // empty batch 0, reporting 0 rows/s for a pipeline that was busy
+    // the entire time. Wait past the budget (up to 4x) until at least
+    // two non-empty batches complete, so every shape reports from
+    // batches that actually processed data.
+    def nonEmpty() = q.recentProgress.filter(_.numInputRows > 0)
+    val deadline = System.nanoTime() + 4L * seconds * 1000 * 1000 * 1000
     Thread.sleep(seconds * 1000L)
-    val progress = q.recentProgress
+    while (nonEmpty().length < 2 && System.nanoTime() < deadline)
+      Thread.sleep(5000)
+    val progress = nonEmpty()
     q.stop()
-    val steady = progress.drop(math.min(3, progress.length - 1)) // skip warmup
-    val rps = steady.map(_.processedRowsPerSecond).filter(!_.isNaN)
+    // drop warmup batches only when enough steady ones remain — for a
+    // saturated pipeline the big catch-up batches ARE the throughput
+    // measurement
+    val steady =
+      if (progress.length > 4) progress.drop(3) else progress
     val rows = steady.map(_.numInputRows).sum
     val dropped = steady.flatMap(_.stateOperators)
       .map(_.numRowsDroppedByWatermark).sum
-    val mean = if (rps.nonEmpty) rps.sum / rps.length else 0.0
-    println(s"""{"metric":"stream_rows_per_sec","value":$mean,"unit":"rows/sec","rows":$rows,"lateDropped":$dropped,"batches":${steady.length},"configuredRate":$rowsPerSec,"pipeline":"$pipeline"}""")
+    // aggregate rows/time, not mean-of-per-batch-rates: with growing
+    // catch-up batches the long batches must carry their weight
+    val secsBusy = steady
+      .map(_.durationMs.getOrDefault("triggerExecution", 0L).toDouble)
+      .sum / 1000.0
+    val rate = if (secsBusy > 0) rows / secsBusy else 0.0
+    println(s"""{"metric":"stream_rows_per_sec","value":$rate,"unit":"rows/sec","rows":$rows,"lateDropped":$dropped,"batches":${steady.length},"configuredRate":$rowsPerSec,"pipeline":"$pipeline"}""")
     spark.stop()
   }
 }
