@@ -2771,19 +2771,29 @@ object SparkEntry {
     // not index construction).
     "dedup_minhash_inc" -> ((s, dir) => {
       val all = withPlantedNearDups(Tables.documents(s, dir))
+      // corpus/batch classified by pmod(id, 1e9) — the §6 id-domain
+      // PARTITION rule: at base SFs ids are < 1e9 so the sets equal
+      // the old `< 1e6` split exactly, and at key-shifted scale SFs
+      // (replica ids at r·1e9) every ORIGINAL doc stays in the corpus
+      // index while the batch is exactly the planted docs. The old
+      // absolute `>= 1e6` threshold silently swept the replicas'
+      // original docs into the BATCH at sf0.5 — corpus 5k vs batch
+      // 22.5k, a 41× batch-shingle blowup that read as superlinear
+      // admission cost in the scale-timing table when it was really
+      // an inverted corpus:batch ratio.
       val idxPath = minhashIndexDirs.getOrElseUpdate(dir, {
         val p = java.nio.file.Files
           .createTempDirectory("graft_minhash_index").toString
         val built = Dedup.buildBandIndex(
-          all.filter(col("doc_id") < 1000000L), "doc_id", "text",
-          shingleN = 3, k = 64, bands = 32)
+          all.filter(pmod(col("doc_id"), lit(1000000000L)) < 1000000L),
+          "doc_id", "text", shingleN = 3, k = 64, bands = 32)
         Dedup.saveBandIndex(built, p)
         built.shingles.unpersist(blocking = false)
         p
       })
       Dedup.admitBatch(Dedup.loadBandIndex(s, idxPath),
-        all.filter(col("doc_id") >= 1000000L), "doc_id", "text",
-        minJaccard = 0.5)
+        all.filter(pmod(col("doc_id"), lit(1000000000L)) >= 1000000L),
+        "doc_id", "text", minJaccard = 0.5)
     }),
 
     // the DAILY ROLLING index path gated end to end (round-8 verdict
@@ -2802,18 +2812,20 @@ object SparkEntry {
         val p = java.nio.file.Files
           .createTempDirectory("graft_minhash_ext").toString
         val base = Dedup.buildBandIndex(
-          all.filter(col("doc_id") < 1000000L), "doc_id", "text",
-          shingleN = 3, k = 64, bands = 32)
-        // halves split on pmod(id, 20) < 10 vs >= 10 — NOT on the
-        // planted +1e6 offset classes: the split must PARTITION every
-        // >= 1e6 doc at any SF (key-shifted scale replicas put
-        // original ids up there too; the r9 sweep caught exactly this
-        // — residues outside {0, 10} were in neither index nor batch,
-        // and the oracle saw near-dup partners the index never held).
-        // At base SFs only residues 0 and 10 exist, so the sets are
-        // unchanged.
+          all.filter(pmod(col("doc_id"), lit(1000000000L)) < 1000000L),
+          "doc_id", "text", shingleN = 3, k = 64, bands = 32)
+        // batch membership is pmod(id, 1e9) >= 1e6 (the same §6
+        // id-domain partition as dedup_minhash_inc — the absolute
+        // `>= 1e6` threshold swept scale replicas' ORIGINAL docs into
+        // the batch at sf0.5); halves then split on pmod(id, 20) < 10
+        // vs >= 10 — NOT on the planted +1e6 offset classes: the
+        // split must PARTITION every batch doc at any SF (the r9
+        // sweep caught exactly this — residues outside {0, 10} were
+        // in neither index nor batch, and the oracle saw near-dup
+        // partners the index never held). At base SFs only residues
+        // 0 and 10 exist, so the sets are unchanged.
         val ext = Dedup.extendIndex(base,
-          all.filter(col("doc_id") >= 1000000L &&
+          all.filter(pmod(col("doc_id"), lit(1000000000L)) >= 1000000L &&
             pmod(col("doc_id"), lit(20)) < 10),
           "doc_id", "text")
         Dedup.saveBandIndex(ext, p)
@@ -2821,7 +2833,7 @@ object SparkEntry {
         p
       })
       Dedup.admitBatch(Dedup.loadBandIndex(s, extPath),
-        all.filter(col("doc_id") >= 1000000L &&
+        all.filter(pmod(col("doc_id"), lit(1000000000L)) >= 1000000L &&
           pmod(col("doc_id"), lit(20)) >= 10),
         "doc_id", "text", minJaccard = 0.5)
     }),
@@ -6163,8 +6175,8 @@ object SparkEntry {
         |inter AS (
         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
         |  FROM sh x JOIN sh y ON x.sh = y.sh
-        |    AND x.doc_id >= 1000000 AND x.doc_id <> y.doc_id
-        |    AND (y.doc_id < 1000000 OR x.doc_id < y.doc_id)
+        |    AND x.doc_id % 1000000000 >= 1000000 AND x.doc_id <> y.doc_id
+        |    AND (y.doc_id % 1000000000 < 1000000 OR x.doc_id < y.doc_id)
         |  GROUP BY x.doc_id, y.doc_id)
         |SELECT id_a, id_b,
         |  round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 3) AS jaccard
@@ -6199,9 +6211,9 @@ object SparkEntry {
         |inter AS (
         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
         |  FROM sh x JOIN sh y ON x.sh = y.sh
-        |    AND x.doc_id >= 1000000 AND x.doc_id % 20 >= 10
+        |    AND x.doc_id % 1000000000 >= 1000000 AND x.doc_id % 20 >= 10
         |    AND x.doc_id <> y.doc_id
-        |    AND (NOT (y.doc_id >= 1000000 AND y.doc_id % 20 >= 10)
+        |    AND (NOT (y.doc_id % 1000000000 >= 1000000 AND y.doc_id % 20 >= 10)
         |         OR x.doc_id < y.doc_id)
         |  GROUP BY x.doc_id, y.doc_id)
         |SELECT id_a, id_b,

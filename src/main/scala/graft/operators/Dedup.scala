@@ -275,10 +275,19 @@ object Dedup {
     * candidates, and without ever touching corpus TEXT: the corpus
     * participates only as its stored band/shingle/size rows. A daily
     * batch pays batch-signature cost + a (batch-bands ⋈ index.bands)
-    * bucket join; the index-side exact verify is pruned to candidate
-    * documents with a broadcast semi-join BEFORE the shingle join, so
-    * the per-admission shuffle of the (corpus-sized) shingle table is
-    * candidate-bounded, not corpus-bounded. Verification and the
+    * bucket join with the BATCH side broadcast — the corpus band
+    * table is probed map-side, never shuffled or sorted (measured at
+    * 5× the bench SF: the pre-broadcast plan re-exchanged + re-sorted
+    * all corpus band rows on every admission, which is exactly the
+    * corpus-scaling cost an incremental index exists to avoid); the
+    * index-side exact verify is pruned to candidate documents with a
+    * broadcast semi-join BEFORE the shingle join, so the per-admission
+    * shuffle of the (corpus-sized) shingle table is candidate-bounded,
+    * not corpus-bounded. The batch-broadcast assumes the operating
+    * point of incremental admission — batch ≪ corpus (band rows are
+    * 20 bytes × nBands per batch doc); a batch too large to broadcast
+    * should be split, or rebuilt into the index wholesale.
+    * Verification and the
     * recall argument are [[minhashLshVerified]]'s: at the default
     * k=64/bands=32 the output equals the exact jaccard pair set
     * restricted to pairs touching the batch.
@@ -308,21 +317,32 @@ object Dedup {
     val shN = hashedShingles(newBatch, idCol, textCol, index.shingleN)
       .persist()
     shN.count() // eager fill — see ngramJaccard
-    val bandC = index.bands.withColumn("is_new", lit(false))
-    val bandN = bandTable(shN, index.k, index.nBands)
-      .withColumn("is_new", lit(true))
+    val bandN = bandTable(shN, index.k, index.nBands).persist()
+    bandN.count() // eager fill: probed twice (corpus + batch-batch)
 
-    // candidates: new on the left; the right side is index ∪ batch,
-    // with batch-batch pairs oriented id_a < id_b so nothing doubles.
-    // Persisted: consumed by the pair verify AND the candidate-id
-    // broadcast below — without it the bucket join would run twice.
-    val cand = bandN.drop("is_new").alias("a")
-      .join(bandC.unionByName(bandN).alias("b"),
+    // candidates: new on the left. Two joins instead of one union
+    // join — unioning the corpus bands with the batch bands forced a
+    // single corpus-sized join input that the planner shuffled AND
+    // sorted on (band, bucket) every admission. Split, the
+    // batch-vs-corpus probe broadcasts the (batch-bounded) batch
+    // bands and STREAMS the stored corpus band table map-side — no
+    // corpus shuffle, no corpus sort, admission cost tracks the
+    // batch. Batch-batch pairs are oriented id_a < id_b so nothing
+    // doubles. Persisted: consumed by the pair verify AND the
+    // candidate-id broadcast below.
+    val candCorpus = broadcast(bandN).alias("a")
+      .join(index.bands.alias("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") =!= col("b.doc_id") &&
-          (!col("b.is_new") || col("a.doc_id") < col("b.doc_id")))
+          col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val candBatch = bandN.alias("a")
+      .join(bandN.alias("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val cand = candCorpus.unionByName(candBatch)
       .dropDuplicates("id_a", "id_b")
       .persist()
     cand.count() // eager fill — see ngramJaccard
@@ -356,6 +376,7 @@ object Dedup {
     // in the caller's session (the pageRank discipline)
     val result = verified.localCheckpoint(true)
     shN.unpersist(blocking = false)
+    bandN.unpersist(blocking = false)
     cand.unpersist(blocking = false)
     result
   }
