@@ -37,6 +37,9 @@ import sys
 
 import duckdb
 
+# Must match graft.SparkEntry.KeyShift: the engine's
+# dedup_minhash_inc/ext corpus/batch classification (and its oracles)
+# tests pmod(doc_id, SHIFT) to stay shift-invariant.
 SHIFT = 10 ** 9
 # key columns to shift per table; tables absent here are copied once
 KEYS = {

@@ -2785,14 +2785,14 @@ object SparkEntry {
         val p = java.nio.file.Files
           .createTempDirectory("graft_minhash_index").toString
         val built = Dedup.buildBandIndex(
-          all.filter(pmod(col("doc_id"), lit(1000000000L)) < 1000000L),
+          all.filter(pmod(col("doc_id"), lit(KeyShift)) < 1000000L),
           "doc_id", "text", shingleN = 3, k = 64, bands = 32)
         Dedup.saveBandIndex(built, p)
         built.shingles.unpersist(blocking = false)
         p
       })
       Dedup.admitBatch(Dedup.loadBandIndex(s, idxPath),
-        all.filter(pmod(col("doc_id"), lit(1000000000L)) >= 1000000L),
+        all.filter(pmod(col("doc_id"), lit(KeyShift)) >= 1000000L),
         "doc_id", "text", minJaccard = 0.5)
     }),
 
@@ -2812,7 +2812,7 @@ object SparkEntry {
         val p = java.nio.file.Files
           .createTempDirectory("graft_minhash_ext").toString
         val base = Dedup.buildBandIndex(
-          all.filter(pmod(col("doc_id"), lit(1000000000L)) < 1000000L),
+          all.filter(pmod(col("doc_id"), lit(KeyShift)) < 1000000L),
           "doc_id", "text", shingleN = 3, k = 64, bands = 32)
         // batch membership is pmod(id, 1e9) >= 1e6 (the same §6
         // id-domain partition as dedup_minhash_inc — the absolute
@@ -2825,7 +2825,7 @@ object SparkEntry {
         // partners the index never held). At base SFs only residues
         // 0 and 10 exist, so the sets are unchanged.
         val ext = Dedup.extendIndex(base,
-          all.filter(pmod(col("doc_id"), lit(1000000000L)) >= 1000000L &&
+          all.filter(pmod(col("doc_id"), lit(KeyShift)) >= 1000000L &&
             pmod(col("doc_id"), lit(20)) < 10),
           "doc_id", "text")
         Dedup.saveBandIndex(ext, p)
@@ -2833,7 +2833,7 @@ object SparkEntry {
         p
       })
       Dedup.admitBatch(Dedup.loadBandIndex(s, extPath),
-        all.filter(pmod(col("doc_id"), lit(1000000000L)) >= 1000000L &&
+        all.filter(pmod(col("doc_id"), lit(KeyShift)) >= 1000000L &&
           pmod(col("doc_id"), lit(20)) >= 10),
         "doc_id", "text", minJaccard = 0.5)
     }),
@@ -4242,6 +4242,16 @@ object SparkEntry {
     */
   private val UniDeco = "Å Å ＨＩ Ⅲ ﬁ Å"
   private val UniDecoNfkc = "Å Å HI III fi Å"
+
+  /** Key-shift stride of scripts/gen_scale.py (SHIFT = 10^9): scale
+    * replicas place original ids at r·KeyShift + base, so any
+    * classification of PLANTED (+1e6) vs ORIGINAL ids must test
+    * `pmod(id, KeyShift)` — the SURVEY §6 proportionality rule. The
+    * dedup_minhash_inc/ext ORACLE strings interpolate this constant
+    * so the six sites cannot drift from each other (they still must
+    * match gen_scale.py if its SHIFT ever changes — noted there).
+    */
+  private val KeyShift = 1000000000L
 
   private def withPlantedNearDups(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
@@ -6154,7 +6164,7 @@ object SparkEntry {
     // same planted-corpus shingle CTEs; the pair join keeps the new
     // batch (ids >= 1e6) and orients new-new pairs a < b
     "dedup_minhash_inc" ->
-      """WITH docs AS (
+      s"""WITH docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 1000000 AS doc_id,
@@ -6175,8 +6185,10 @@ object SparkEntry {
         |inter AS (
         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
         |  FROM sh x JOIN sh y ON x.sh = y.sh
-        |    AND x.doc_id % 1000000000 >= 1000000 AND x.doc_id <> y.doc_id
-        |    AND (y.doc_id % 1000000000 < 1000000 OR x.doc_id < y.doc_id)
+        |    AND ((x.doc_id % $KeyShift) + $KeyShift) % $KeyShift >= 1000000
+        |    AND x.doc_id <> y.doc_id
+        |    AND (((y.doc_id % $KeyShift) + $KeyShift) % $KeyShift < 1000000
+        |         OR x.doc_id < y.doc_id)
         |  GROUP BY x.doc_id, y.doc_id)
         |SELECT id_a, id_b,
         |  round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 3) AS jaccard
@@ -6190,7 +6202,7 @@ object SparkEntry {
     // extended batch1, and later batch2 ids) — batch2-batch2 pairs
     // oriented a < b exactly like admitBatch's is_new rule
     "dedup_minhash_ext" ->
-      """WITH docs AS (
+      s"""WITH docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 1000000 AS doc_id,
@@ -6211,9 +6223,11 @@ object SparkEntry {
         |inter AS (
         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
         |  FROM sh x JOIN sh y ON x.sh = y.sh
-        |    AND x.doc_id % 1000000000 >= 1000000 AND x.doc_id % 20 >= 10
+        |    AND ((x.doc_id % $KeyShift) + $KeyShift) % $KeyShift >= 1000000
+        |    AND x.doc_id % 20 >= 10
         |    AND x.doc_id <> y.doc_id
-        |    AND (NOT (y.doc_id % 1000000000 >= 1000000 AND y.doc_id % 20 >= 10)
+        |    AND (NOT (((y.doc_id % $KeyShift) + $KeyShift) % $KeyShift >= 1000000
+        |              AND y.doc_id % 20 >= 10)
         |         OR x.doc_id < y.doc_id)
         |  GROUP BY x.doc_id, y.doc_id)
         |SELECT id_a, id_b,

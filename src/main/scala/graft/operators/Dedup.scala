@@ -318,7 +318,10 @@ object Dedup {
       .persist()
     shN.count() // eager fill — see ngramJaccard
     val bandN = bandTable(shN, index.k, index.nBands).persist()
-    bandN.count() // eager fill: probed twice (corpus + batch-batch)
+    // eager fill (probed twice: corpus + batch-batch) — and the row
+    // count doubles as the broadcast guard below, so the graceful
+    // fallback costs no extra job
+    val bandNRows = bandN.count()
 
     // candidates: new on the left. Two joins instead of one union
     // join — unioning the corpus bands with the batch bands forced a
@@ -330,7 +333,17 @@ object Dedup {
     // batch. Batch-batch pairs are oriented id_a < id_b so nothing
     // doubles. Persisted: consumed by the pair verify AND the
     // candidate-id broadcast below.
-    val candCorpus = broadcast(bandN).alias("a")
+    //
+    // Broadcast GUARD: band rows are ~20 bytes (id, band, bucket);
+    // past ~50M rows (~1 GB hashed relation) a forced broadcast
+    // stops being a hint and becomes a driver-OOM/8 GB-cap hazard —
+    // a batch that large is outside the batch ≪ corpus operating
+    // point, so degrade gracefully to the planner's shuffle join
+    // (the pre-split behavior: slower, never a crash) instead of
+    // enforcing the docstring's assumption with a runtime failure.
+    val probeN =
+      if (bandNRows <= 50L * 1000 * 1000) broadcast(bandN) else bandN
+    val candCorpus = probeN.alias("a")
       .join(index.bands.alias("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
