@@ -294,7 +294,8 @@ object Dedup {
     */
   def admitBatch(index: MinhashIndex, newBatch: DataFrame,
                  idCol: String, textCol: String,
-                 minJaccard: Double = 0.5): DataFrame = {
+                 minJaccard: Double = 0.5,
+                 maxBroadcastBandRows: Long = 50L * 1000 * 1000): DataFrame = {
     // loop-scoped, restored on exit: lets AQE right-size stages that
     // read the shN/cand pins — without it the cached 32-way layout is
     // frozen into the verify join and the final materialization
@@ -304,7 +305,8 @@ object Dedup {
     val ccKey = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
     val ccPrev = spark.conf.getOption(ccKey)
     spark.conf.set(ccKey, "true")
-    try admitBatchImpl(index, newBatch, idCol, textCol, minJaccard)
+    try admitBatchImpl(index, newBatch, idCol, textCol, minJaccard,
+      maxBroadcastBandRows)
     finally ccPrev match {
       case Some(v) => spark.conf.set(ccKey, v)
       case None => spark.conf.unset(ccKey)
@@ -313,7 +315,8 @@ object Dedup {
 
   private def admitBatchImpl(index: MinhashIndex, newBatch: DataFrame,
                              idCol: String, textCol: String,
-                             minJaccard: Double): DataFrame = {
+                             minJaccard: Double,
+                             maxBroadcastBandRows: Long): DataFrame = {
     val shN = hashedShingles(newBatch, idCol, textCol, index.shingleN)
       .persist()
     shN.count() // eager fill — see ngramJaccard
@@ -335,14 +338,17 @@ object Dedup {
     // candidate-id broadcast below.
     //
     // Broadcast GUARD: band rows are ~20 bytes (id, band, bucket);
-    // past ~50M rows (~1 GB hashed relation) a forced broadcast
-    // stops being a hint and becomes a driver-OOM/8 GB-cap hazard —
-    // a batch that large is outside the batch ≪ corpus operating
-    // point, so degrade gracefully to the planner's shuffle join
-    // (the pre-split behavior: slower, never a crash) instead of
-    // enforcing the docstring's assumption with a runtime failure.
+    // past ~50M rows (~1 GB hashed relation, the default threshold) a
+    // forced broadcast stops being a hint and becomes a driver-OOM/
+    // 8 GB-cap hazard — a batch that large is outside the batch ≪
+    // corpus operating point, so degrade gracefully to the planner's
+    // shuffle join (the pre-split behavior: slower, never a crash)
+    // instead of enforcing the docstring's assumption with a runtime
+    // failure. The threshold is a parameter so the fallback path is
+    // spec-exercisable (DedupSpec pins it to 0 and asserts identical
+    // pairs).
     val probeN =
-      if (bandNRows <= 50L * 1000 * 1000) broadcast(bandN) else bandN
+      if (bandNRows <= maxBroadcastBandRows) broadcast(bandN) else bandN
     val candCorpus = probeN.alias("a")
       .join(index.bands.alias("b"),
         col("a.band") === col("b.band") &&

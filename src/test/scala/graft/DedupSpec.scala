@@ -377,6 +377,24 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     rm(new java.io.File(tmp))
   }
 
+  test("admitBatch broadcast guard: the shuffle-join fallback " +
+      "(oversized batch, threshold pinned to 0) emits identical pairs") {
+    val planted = withNearCopies
+    val corpus = planted.filter(col("doc_id") < 1000000L)
+    val batch = planted.filter(col("doc_id") >= 1000000L)
+    val idx = Dedup.buildBandIndex(corpus, "doc_id", "text",
+      shingleN = 3, k = 64, bands = 32)
+    def pairs(maxRows: Long) =
+      Dedup.admitBatch(idx, batch, "doc_id", "text", minJaccard = 0.5,
+        maxBroadcastBandRows = maxRows)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val broadcastPath = pairs(Long.MaxValue)
+    val shufflePath = pairs(0L) // every batch is "too big" → fallback
+    assert(broadcastPath.nonEmpty)
+    assert(shufflePath === broadcastPath)
+    idx.shingles.unpersist(blocking = false)
+  }
+
   test("extendIndex: admission against an extended index equals " +
       "one-shot admission against the grown corpus") {
     val planted = withNearCopies
