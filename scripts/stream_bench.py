@@ -27,7 +27,7 @@ SHAPES = [
     ("panes",    32_000_000, 45),
     ("sliding",   4_000_000, 90),
     ("timer",       500_000, 90),
-    ("tws",         150_000, 90),
+    ("tws",         400_000, 90),  # capacity ~330k after the r11 batched-write fix (was ~71k at per-element appendValue)
 ]
 
 
