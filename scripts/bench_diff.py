@@ -22,8 +22,11 @@ def load(path):
         return dict(doc["queries"]), cpu, doc.get("io", {})
     if "tail" in doc:
         pairs = re.findall(r'"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)', doc["tail"])
-        # the first pair may be cut mid-name; drop it if the tail
-        # doesn't start at a quote boundary
+        # a tail cut mid-pair cannot produce a phantom: the regex
+        # requires the OPENING quote, and a cut inside `"name"` leaves
+        # `ame":1.2` (no quote before the fragment, no match) while a
+        # cut exactly on the quote leaves the pair complete — so the
+        # first match is always a genuine (name, wall) pair
         out = {k: float(v) for k, v in pairs}
         out.pop("value", None)
         return out, {}, {}

@@ -16,6 +16,12 @@ import json, sys
 def load(path):
     with open(path) as f:
         doc = json.load(f)
+    if "queries" not in doc:
+        raise SystemExit(
+            f"{path}: no 'queries' key — this reader needs a FULL "
+            "graft.Bench artifact (bench_full_r*.json / "
+            "SPARK_GRAFT_BENCH_OUT output); truncated driver tails are "
+            "bench_diff.py territory")
     wall = dict(doc["queries"])
     cpu = {k: min(v) for k, v in doc.get("cpu", {}).items() if v}
     return wall, cpu
@@ -31,7 +37,6 @@ def main():
     top = sorted(common, key=lambda q: -w5[q])[:n]
     print("| query | wall sf0.1 | wall sf0.5 | wall x | cpu sf0.1 | cpu sf0.5 | cpu x |")
     print("|---|---|---|---|---|---|---|")
-    suspects = []
     for q in top:
         wr = w5[q] / w1[q] if w1[q] > 0 else float("inf")
         cr = (c5[q] / c1[q]) if c1.get(q, 0) > 0 and q in c5 else None
@@ -41,18 +46,24 @@ def main():
         flag = " **>8x**" if (wr > 8 or (cr or 0) > 8) else ""
         print(f"| {q} | {w1[q]:.2f} | {w5[q]:.2f} | {wr:.1f}{flag} | "
               f"{c1s} | {c5s} | {crs} |")
-        if wr > 8 or (cr or 0) > 8:
-            suspects.append(q)
     # superlinearity scan over the WHOLE surface, not just the top-N
-    # table (a cheap query going 20x is still a plan bug); floor the
-    # denominator at 0.2s so JIT/listener jitter doesn't fabricate
-    # ratios on sub-100ms queries.
+    # table (a cheap query going 20x is still a plan bug) — BOTH
+    # dimensions: wall, and CPU (a cpu-only suspect is real
+    # superlinear work overlapped by I/O slack). Floor the
+    # denominators (0.2s wall / 0.2 cpu-s) so JIT/listener jitter
+    # doesn't fabricate ratios on sub-100ms queries.
     allsus = sorted((q for q in common
                      if w1[q] >= 0.2 and w5[q] / w1[q] > 8),
                     key=lambda q: -(w5[q] / w1[q]))
+    cpusus = sorted((q for q in common
+                     if c1.get(q, 0) >= 0.2 and q in c5
+                     and c5[q] / c1[q] > 8),
+                    key=lambda q: -(c5[q] / c1[q]))
     print()
     print(f"full-surface >8x wall (floor 0.2s at sf0.1): "
           f"{[(q, round(w5[q] / w1[q], 1)) for q in allsus] or 'none'}")
+    print(f"full-surface >8x cpu (floor 0.2 cpu-s at sf0.1): "
+          f"{[(q, round(c5[q] / c1[q], 1)) for q in cpusus] or 'none'}")
     print(f"totals: wall {sum(w1[q] for q in common):.1f}s -> "
           f"{sum(w5[q] for q in common):.1f}s "
           f"({sum(w5[q] for q in common) / sum(w1[q] for q in common):.1f}x), "

@@ -52,11 +52,15 @@ def diff(prev_path, cur_path):
     # iterate the union so a pipeline dropped from cur still shows (as
     # a prev-only row) instead of silently disappearing from the delta
     for k in sorted(set(prev) | set(cur), key=lambda n: (n not in cur, n)):
+        # `is not None` — a measured 0.0 (shape ran, never completed a
+        # non-empty batch) must render as 0.00 / ratio 0.00, not as the
+        # same '-' a pipeline missing from the file gets
         c = cur.get(k, {}).get("value")
         p = prev.get(k, {}).get("value")
-        ps = f"{p / 1e6:12.2f}" if p else "           -"
-        cs = f"{c / 1e6:12.2f}" if c else "           -"
-        rs = f"{c / p:6.2f}" if (p and c) else "     -"
+        ps = f"{p / 1e6:12.2f}" if p is not None else "           -"
+        cs = f"{c / 1e6:12.2f}" if c is not None else "           -"
+        rs = (f"{c / p:6.2f}" if (p is not None and c is not None and p > 0)
+              else "     -")
         print(f"{k:10s} {ps} {cs} {rs}")
     for a, b, label in [("panes", "sliding", "pane-layout win"),
                         ("tws", "timer", "native-timer win")]:
