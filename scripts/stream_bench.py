@@ -22,8 +22,8 @@ is the per-element-timer signal, not the absolute.
 import json, re, subprocess, sys
 
 SHAPES = [
-    ("tumbling", 32_000_000, 45),
-    ("ooo",      32_000_000, 45),
+    ("tumbling", 80_000_000, 45),  # capacity ~64M (r11 probe: 96M rate -> 63.8M sustained); 32M under-reported it as rate-limited
+    ("ooo",      40_000_000, 45),  # capacity ~31M (r11 probe at 64M rate)
     ("panes",    32_000_000, 45),
     ("sliding",   4_000_000, 90),
     ("timer",       500_000, 90),
