@@ -27,14 +27,22 @@ object VectorFunctions {
   def norm2(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, z) => acc + z))
 
-  /** Cosine similarity of two double-array columns. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+  /** Cosine similarity of two double-array columns. A zero-norm
+    * vector (failed/padding embedding) is similar to NOTHING (0.0),
+    * never NaN: Spark orders NaN above every double, so an unguarded
+    * 0/0 here would rank a zero vector as every query's #1 neighbor
+    * and pass every `>= minCosine` dedup filter, transitively merging
+    * unrelated clusters.
+    */
+  def cosine(a: Column, b: Column): Column =
+    cosinePrenormed(a, b, norm2(a), norm2(b))
 
   /** Cosine when per-row norms were precomputed (pair-join fast path:
-    * norms are computed once per vector, not once per pair).
+    * norms are computed once per vector, not once per pair). Same
+    * zero-norm-is-0.0 contract as [[cosine]].
     */
   def cosinePrenormed(a: Column, b: Column, normA: Column, normB: Column): Column =
-    dot(a, b) / (normA * normB)
+    when(normA * normB > 0.0, dot(a, b) / (normA * normB)).otherwise(lit(0.0))
 
   /** Random-hyperplane signature (Charikar LSH): bit j is the sign of
     * <v, r_j> for a fixed ±1 hyperplane r_j drawn from a seeded PRNG

@@ -127,14 +127,8 @@ object Bpe {
     // that read each round's pinned word table — the Graph.pageRank
     // finding; without it the per-round materializations re-run wide
     // 32-task stages over a vocabulary-sized frame
-    val spark = docs.sparkSession
-    val ccKey = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
-    val ccPrev = spark.conf.getOption(ccKey)
-    spark.conf.set(ccKey, "true")
-    try induceImpl(docs, textCol, merges)
-    finally ccPrev match {
-      case Some(v) => spark.conf.set(ccKey, v)
-      case None => spark.conf.unset(ccKey)
+    ConfScope.withCachedPlanRepartitioning(docs.sparkSession) {
+      induceImpl(docs, textCol, merges)
     }
   }
 

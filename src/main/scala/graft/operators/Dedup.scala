@@ -97,16 +97,11 @@ object Dedup {
                  shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                  minEstJaccard: Double = 0.5): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val rows = k / bands
     val withSig = minhashSignatures(docs, idCol, textCol, shingleN, k)
 
     val banded = withSig.select(
       col("doc_id"), col("sig"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(((b * rows) until ((b + 1) * rows))
-            .map(i => element_at(col("sig"), i + 1)): _*).as("bucket"))
-      }: _*)).as("bb"))
+      bandStructs(k, bands, i => element_at(col("sig"), i + 1)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
 
     val a = banded.alias("a")
@@ -160,17 +155,31 @@ object Dedup {
   /** (doc_id, band, bucket): the LSH band-bucket index rows of a
     * hashed-shingle table — the thing an incremental pipeline stores.
     */
-  private def bandTable(shingled: DataFrame, k: Int, bands: Int): DataFrame = {
+  /** One exploded column of (band, bucket) structs over k minhash
+    * values; `minVal(i)` supplies the i-th (0-based) value. The ONE
+    * banding arithmetic — shared by the signature-array path
+    * ([[minhashLsh]]) and the column path ([[bandTable]]): the
+    * cross-operator LSH guarantees (and the stored index's
+    * compatibility with fresh signatures) hold only while the bucket
+    * hash and row slicing agree bit-for-bit, so there is exactly one
+    * definition.
+    */
+  private def bandStructs(k: Int, bands: Int,
+                          minVal: Int => Column): Column = {
     val rows = k / bands
+    explode(array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(((b * rows) until ((b + 1) * rows))
+          .map(minVal): _*).as("bucket"))
+    }: _*))
+  }
+
+  private def bandTable(shingled: DataFrame, k: Int, bands: Int): DataFrame = {
     val mins = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"m$i"))
     shingled.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            xxhash64(((b * rows) until ((b + 1) * rows))
-              .map(i => col(s"m$i")): _*).as("bucket"))
-        }: _*)).as("bb"))
+        bandStructs(k, bands, i => col(s"m$i")).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
   }
 
@@ -301,15 +310,9 @@ object Dedup {
     // frozen into the verify join and the final materialization
     // re-runs wide stages (the Graph.pageRank finding; measured here
     // ~2.7 s → ~2.0 s steady-state admission at sf0.1)
-    val spark = newBatch.sparkSession
-    val ccKey = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
-    val ccPrev = spark.conf.getOption(ccKey)
-    spark.conf.set(ccKey, "true")
-    try admitBatchImpl(index, newBatch, idCol, textCol, minJaccard,
-      maxBroadcastBandRows)
-    finally ccPrev match {
-      case Some(v) => spark.conf.set(ccKey, v)
-      case None => spark.conf.unset(ccKey)
+    ConfScope.withCachedPlanRepartitioning(newBatch.sparkSession) {
+      admitBatchImpl(index, newBatch, idCol, textCol, minJaccard,
+        maxBroadcastBandRows)
     }
   }
 
@@ -364,16 +367,24 @@ object Dedup {
     val cand = candCorpus.unionByName(candBatch)
       .dropDuplicates("id_a", "id_b")
       .persist()
-    cand.count() // eager fill — see ngramJaccard
+    val candRows = cand.count() // eager fill — and the guard input below
 
     // prune the (corpus-sized) index shingle/size reads to candidate
-    // docs: the candidate id set is batch-bounded, so it broadcasts
-    val candIds = cand.select(col("id_b").as("doc_id")).distinct()
+    // docs. The candidate id set is CANDIDATE-bounded, not strictly
+    // batch-bounded: a boilerplate batch doc whose band buckets are
+    // shared by a large slice of the corpus makes candIds corpus-
+    // scale, so the broadcast gets the same guard as the band probe —
+    // past the threshold, fall back to a shuffle semi-join (slower,
+    // never a driver OOM). candRows bounds |candIds| from above, so
+    // the already-materialized count decides without an extra job.
+    val candIds0 = cand.select(col("id_b").as("doc_id")).distinct()
+    val candIds =
+      if (candRows <= maxBroadcastBandRows) broadcast(candIds0) else candIds0
     val shAll = index.shingles.unionByName(shN)
-      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .join(candIds, Seq("doc_id"), "left_semi")
     val sizesN = shN.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val sizesAll = index.sizes.unionByName(sizesN)
-      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .join(candIds, Seq("doc_id"), "left_semi")
 
     val inter = cand
       .join(shN.select(col("doc_id").as("id_a"), col("sh")), "id_a")
@@ -456,6 +467,11 @@ object Dedup {
   def simhash(docs: DataFrame, idCol: String, textCol: String,
               chunks: Int = 8, maxHamming: Int = 7): DataFrame = {
     require(64 % chunks == 0, "chunks must divide 64")
+    // self-register the kernel (the withNorm/decontaminate pattern):
+    // GraftFunctions.simhash resolves by registry name, and a fresh
+    // session calling this operator directly would otherwise fail
+    // analysis with "Undefined function graft_simhash64"
+    GraftFunctions.register(docs.sparkSession)
     val chunkBits = 64 / chunks
     val mask = (1L << chunkBits) - 1
     // persisted: the pigeonhole self-join reads the signature table on
@@ -538,12 +554,18 @@ object Dedup {
       val es = p.collect().map(r => (r.getLong(0), r.getLong(1)))
       p.unpersist(blocking = false)
       // path-compressed union-find keeping the MINIMUM id as root —
-      // same representative choice as min-label propagation
+      // same representative choice as min-label propagation. find is
+      // ITERATIVE (walk to root, then compress the walked path): a
+      // path-shaped component collected in unlucky edge order builds
+      // a parent chain as deep as the component, and a recursive find
+      // would overflow the driver stack right at the edge threshold.
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
-        val px = parent.getOrElse(x, x)
-        if (px == x) x
-        else { val r = find(px); parent(x) = r; r }
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val n = parent(c); parent(c) = r; c = n }
+        r
       }
       es.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))
@@ -638,10 +660,18 @@ object Dedup {
     * Output per doc: `(doc_id, n_spans, n_dup_spans, max_dup_run)`,
     * zeros for docs shorter than `spanN` words.
     */
-  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-                     spanN: Int = 5): DataFrame = {
+  /** (doc_id, pos, sh): positional spanN-gram hash rows — THE span
+    * definition, shared by [[duplicateSpans]] (detection) and
+    * [[exciseSubstrings]] (rewrite). The rewrite is documented as "on
+    * top of" the detection, so the two must agree on span hashing and
+    * the 1-based position origin exactly; one builder makes
+    * divergence impossible. Returned PERSISTED (both callers feed
+    * multiple consumers); callers eager-fill and release.
+    */
+  private def positionalSpans(docs: DataFrame, idCol: String,
+                              textCol: String, spanN: Int): DataFrame = {
     val w = split(col(textCol), " ")
-    val spans = docs
+    docs
       .select(col(idCol).as("doc_id"), w.as("w"))
       .filter(size(col("w")) >= spanN)
       .select(col("doc_id"), posexplode(
@@ -650,6 +680,12 @@ object Dedup {
         .as(Seq("p0", "sh")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("sh"))
       .persist()
+  }
+
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     spanN: Int = 5): DataFrame = {
+    val w = split(col(textCol), " ")
+    val spans = positionalSpans(docs, idCol, textCol, spanN)
     // eager fill — see ngramJaccard: two consumers race otherwise
     spans.count()
     val shared = spans.groupBy(col("sh"))
@@ -711,15 +747,7 @@ object Dedup {
   def exciseSubstrings(docs: DataFrame, idCol: String, textCol: String,
                        spanN: Int = 5, minRunTokens: Int = 0): DataFrame = {
     val w = split(col(textCol), " ")
-    val spans = docs
-      .select(col(idCol).as("doc_id"), w.as("w"))
-      .filter(size(col("w")) >= spanN)
-      .select(col("doc_id"), posexplode(
-        transform(sequence(lit(1), size(col("w")) - (spanN - 1)),
-          i => xxhash64(concat_ws(" ", slice(col("w"), i, lit(spanN))))))
-        .as(Seq("p0", "sh")))
-      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("sh"))
-      .persist()
+    val spans = positionalSpans(docs, idCol, textCol, spanN)
     spans.count() // eager fill — canonical build + mark join race otherwise
     val firsts = spans.groupBy(col("sh"))
       .agg(count(lit(1)).as("cnt"),
@@ -804,14 +832,11 @@ object Dedup {
                     shingleN: Int = 5,
                     bloomPrefilter: Boolean = false,
                     bloomFpp: Double = 0.01): DataFrame = {
-    def shingles(df: DataFrame) = df
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
-      .select(col("doc_id"),
-        explode(TextFunctions.shinglesOfWords(col("w"), shingleN)).as("shRaw"))
-      .select(col("doc_id"), xxhash64(col("shRaw")).as("sh"))
-
-    val corpusSh = shingles(corpus) // distinct per doc (shinglesOfWords)
-    val benchShLazy = shingles(benchmark).select(col("sh")).distinct()
+    // distinct per doc (shinglesOfWords); ONE definition of the
+    // dedup unit — hashedShingles — shared with the minhash family
+    val corpusSh = hashedShingles(corpus, idCol, textCol, shingleN)
+    val benchShLazy = hashedShingles(benchmark, idCol, textCol, shingleN)
+      .select(col("sh")).distinct()
     val totals = corpusSh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"))
     val hits =
@@ -958,11 +983,7 @@ object Dedup {
     // function has no point at which unpersist would be safe); a
     // long-lived session interleaving many corpora should
     // `spark.catalog.clearCache()` between runs.
-    val shingled = docs
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
-      .select(col("doc_id"),
-        explode(TextFunctions.shinglesOfWords(col("w"), shingleN)).as("shRaw"))
-      .select(col("doc_id"), xxhash64(col("shRaw")).as("sh"))
+    val shingled = hashedShingles(docs, idCol, textCol, shingleN)
       .persist()
     // eager fill: the consumers launch as concurrent jobs (the sizes
     // joins are broadcast builds running in parallel futures), and a

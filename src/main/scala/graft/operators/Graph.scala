@@ -60,10 +60,7 @@ object Graph {
                checkpointEvery: Int = 8): DataFrame = {
     require(iters >= 1 && dampingPermille >= 0 && dampingPermille <= 1000)
     val spark = edges.sparkSession
-    val ccKey = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
-    val ccPrev = spark.conf.getOption(ccKey)
-    spark.conf.set(ccKey, "true")
-    try {
+    ConfScope.withCachedPlanRepartitioning(spark) {
       // every iteration re-reads the edge and node tables — without
       // pinning them the final plan's lineage re-derives the base
       // tables once PER ITERATION (measured: 44 scans / 43 shuffles
@@ -128,9 +125,6 @@ object Graph {
       em.unpersist(blocking = false)
       nodes.unpersist(blocking = false)
       result
-    } finally ccPrev match {
-      case Some(v) => spark.conf.set(ccKey, v)
-      case None => spark.conf.unset(ccKey)
     }
   }
 
@@ -288,10 +282,7 @@ object Graph {
   def sssp(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1)
     val spark = edges.sparkSession
-    val ccKey = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
-    val ccPrev = spark.conf.getOption(ccKey)
-    spark.conf.set(ccKey, "true")
-    try {
+    ConfScope.withCachedPlanRepartitioning(spark) {
       val e = edges.select(col("src").cast(LongType),
           col("dst").cast(LongType), col("w").cast(LongType))
         .repartition(col("src")).persist()
@@ -310,9 +301,6 @@ object Graph {
       }
       e.unpersist(blocking = false)
       dist
-    } finally ccPrev match {
-      case Some(v) => spark.conf.set(ccKey, v)
-      case None => spark.conf.unset(ccKey)
     }
   }
 
@@ -339,10 +327,7 @@ object Graph {
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1)
     val spark = edges.sparkSession
-    val ccKey = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
-    val ccPrev = spark.conf.getOption(ccKey)
-    spark.conf.set(ccKey, "true")
-    try {
+    ConfScope.withCachedPlanRepartitioning(spark) {
       val e = edges.select(col("src").cast(LongType),
           col("dst").cast(LongType))
         .filter(col("src") =!= col("dst"))
@@ -367,9 +352,6 @@ object Graph {
       }
       e.unpersist(blocking = false)
       labels
-    } finally ccPrev match {
-      case Some(v) => spark.conf.set(ccKey, v)
-      case None => spark.conf.unset(ccKey)
     }
   }
 

@@ -116,6 +116,12 @@ object Similarity {
       else e.filter(pmod(xxhash64(col("id"), lit(0x1df7L)), lit(1000000L))
         .cast(org.apache.spark.sql.types.DoubleType) / 1000000.0 < trainFraction)
     val train = sampled.persist()
+    // try/finally: the empty-sample require (or any mid-Lloyd failure)
+    // must not leave the training sample pinned in the caller's
+    // session — a long-lived session retrying with corrected
+    // parameters would accumulate orphaned cache entries (the
+    // pageRank release discipline, applied to the error path too)
+    try {
     // deterministic init: the nlist lowest-id vectors
     var centroids: Array[Array[Double]] = train.orderBy(col("id")).limit(nlist)
       .select(col("vecd")).collect()
@@ -137,8 +143,8 @@ object Similarity {
         .toMap
       centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i))).toArray
     }
-    train.unpersist(blocking = false)
     IvfModel(centroids)
+    } finally train.unpersist(blocking = false)
   }
 
   /** Search a trained [[IvfModel]]: assign the corpus to inverted
@@ -232,6 +238,7 @@ object Similarity {
       else e.filter(pmod(xxhash64(col("id"), lit(0x9c7fL)), lit(1000000L))
         .cast(DoubleType) / 1000000.0 < trainFraction)
     val train = sampled.persist()
+    try { // release-on-failure: same rationale as ivfTrain
     val first = train.orderBy(col("id")).limit(ksub)
       .select(col("vecd")).collect().map(_.getSeq[Double](0).toArray)
     require(first.nonEmpty,
@@ -257,8 +264,8 @@ object Similarity {
       }
       cb
     }.toArray
-    train.unpersist(blocking = false)
     PqModel(books)
+    } finally train.unpersist(blocking = false)
   }
 
   /** Asymmetric-distance search over a trained [[PqModel]]: the
@@ -457,11 +464,16 @@ object Similarity {
   def lshTopK(embeddings: DataFrame, idCol: String, vecCol: String,
               queryMaxId: Long, k: Int, bits: Int = 8, tables: Int = 8,
               seed: Long = 42L, multiProbe: Boolean = false): DataFrame = {
+    // hyperplane width must match the DATA's dimensionality (the dot
+    // kernel rejects ragged inputs) — a bounded 1-row pull, the
+    // centroid-table discipline, not a hardcoded 64
+    val dimRow = embeddings.select(size(col(vecCol)).as("d")).limit(1).collect()
+    val dim = if (dimRow.isEmpty) 1 else dimRow(0).getInt(0)
     val e = withNorm(embeddings, vecCol)
       .select(col(idCol).as("id"), col("vecd"), col("nrm"))
       .withColumn("tb", explode(array((0 until tables).map { t =>
         struct(lit(t).as("t"),
-          hyperplaneSignature(col("vecd"), dim = 64, bits = bits,
+          hyperplaneSignature(col("vecd"), dim = dim, bits = bits,
             seed = seed + t * 7919).as("bucket"))
       }: _*)))
       .select(col("id"), col("vecd"), col("nrm"),
