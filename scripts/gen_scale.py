@@ -31,11 +31,21 @@ are sublinear by design.
 
 Timestamps pass through DuckDB unchanged (micros, naive) — the same
 annotation the driver's current generator writes.
+
+Output parquet is written through PYARROW, not DuckDB's COPY: the
+driver's base fixtures are arrow-written (dictionary-encoded, ~18
+B/row for lineitem) while DuckDB's writer emits PLAIN-encoded pages
+at ~30.7 B/row. The round-11 scale sweep measured that writer gap as
+a 1.4× per-row CPU artifact on every scan-bound ratio (q3_join
+steady 4.3 → 3.1 CPU-s on identical code after an arrow rewrite of
+one table) — the fixtures must measure the engine, not the
+generator's encoder.
 """
 import os
 import sys
 
 import duckdb
+import pyarrow.parquet as pq
 
 # Must match graft.SparkEntry.KeyShift: the engine's
 # dedup_minhash_inc/ext corpus/batch classification (and its oracles)
@@ -67,8 +77,8 @@ def main():
         missing = [k for k in KEYS.get(t, []) if k not in cols]
         assert not missing, f"{t}: key columns {missing} not in {cols}"
         if t not in KEYS:
-            con.sql(f"COPY (SELECT * FROM '{src}/{t}.parquet') TO "
-                    f"'{dst}/{t}.parquet' (FORMAT PARQUET)")
+            write_arrow(con, f"SELECT * FROM '{src}/{t}.parquet'",
+                        f"{dst}/{t}.parquet")
             print(f"{t}: copied")
             continue
         parts = []
@@ -85,9 +95,18 @@ def main():
                     sel.append(c)
             parts.append(f"SELECT {', '.join(sel)} FROM '{src}/{t}.parquet'")
         q = " UNION ALL ".join(parts)
-        con.sql(f"COPY ({q}) TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+        write_arrow(con, q, f"{dst}/{t}.parquet")
         n = con.sql(f"SELECT COUNT(*) FROM '{dst}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {replicas} replicas, {n} rows")
+
+
+def write_arrow(con, query, path):
+    """DuckDB computes, arrow writes — same writer family (and
+    therefore the same dictionary/RLE page encodings and per-row
+    density) as the driver's base fixtures (created_by
+    parquet-cpp-arrow, SNAPPY, use_dictionary on)."""
+    tbl = con.sql(query).arrow()
+    pq.write_table(tbl, path, compression="snappy", use_dictionary=True)
 
 
 if __name__ == "__main__":

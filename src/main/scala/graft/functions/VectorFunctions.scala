@@ -39,7 +39,14 @@ object VectorFunctions {
 
   /** Cosine when per-row norms were precomputed (pair-join fast path:
     * norms are computed once per vector, not once per pair). Same
-    * zero-norm-is-0.0 contract as [[cosine]].
+    * zero-norm-is-0.0 contract as [[cosine]] — and that contract
+    * extends to NULL inputs: a NULL vector (hence NULL norm) makes
+    * the `when` predicate NULL and falls through to 0.0, NOT to NULL
+    * propagation. Deliberate: a missing embedding is "similar to
+    * nothing", exactly like a failed (zero-norm) one. Callers that
+    * need NULL rows excluded from top-k rankings entirely (0.0 still
+    * outranks a negative true cosine) filter them upstream, as
+    * [[graft.operators.Similarity.lshTopK]]'s dim probe does.
     */
   def cosinePrenormed(a: Column, b: Column, normA: Column, normB: Column): Column =
     when(normA * normB > 0.0, dot(a, b) / (normA * normB)).otherwise(lit(0.0))

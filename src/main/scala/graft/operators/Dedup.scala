@@ -666,7 +666,11 @@ object Dedup {
     * top of" the detection, so the two must agree on span hashing and
     * the 1-based position origin exactly; one builder makes
     * divergence impossible. Returned PERSISTED (both callers feed
-    * multiple consumers); callers eager-fill and release.
+    * multiple consumers); callers eager-fill it, and — because both
+    * return LAZY plans over it — there is no safe unpersist point
+    * inside this module: the blocks live until session eviction or a
+    * caller-side `clearCache between corpora`, the same cache-lifetime
+    * contract as [[ngramJaccard]].
     */
   private def positionalSpans(docs: DataFrame, idCol: String,
                               textCol: String, spanN: Int): DataFrame = {

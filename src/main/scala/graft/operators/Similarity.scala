@@ -466,9 +466,13 @@ object Similarity {
               seed: Long = 42L, multiProbe: Boolean = false): DataFrame = {
     // hyperplane width must match the DATA's dimensionality (the dot
     // kernel rejects ragged inputs) — a bounded 1-row pull, the
-    // centroid-table discipline, not a hardcoded 64
-    val dimRow = embeddings.select(size(col(vecCol)).as("d")).limit(1).collect()
-    val dim = if (dimRow.isEmpty) 1 else dimRow(0).getInt(0)
+    // centroid-table discipline, not a hardcoded 64. NULL vectors are
+    // excluded (size(NULL) = -1 would yield empty hyperplanes and an
+    // opaque ragged-input failure downstream) and the result floors
+    // at 1 as belt-and-braces.
+    val dimRow = embeddings.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).as("d")).limit(1).collect()
+    val dim = math.max(if (dimRow.isEmpty) 1 else dimRow(0).getInt(0), 1)
     val e = withNorm(embeddings, vecCol)
       .select(col(idCol).as("id"), col("vecd"), col("nrm"))
       .withColumn("tb", explode(array((0 until tables).map { t =>
