@@ -63,7 +63,27 @@ object PrefixSums {
     */
   def exclusiveOffsetsMulti(totals: DataFrame, keyCol: String,
                             measures: Seq[(String, String)],
-                            descending: Boolean = false): DataFrame = {
+                            descending: Boolean = false): DataFrame =
+    offsetsWithTotals(totals, keyCol, measures, inclusive = false,
+      descending = descending)._1
+
+  /** [[exclusiveOffsetsMulti]] that ALSO returns the measures' grand
+    * totals as a one-row frame `(<totCol>_total, ...)` — aggregated
+    * from the already-computed super-bucket totals (~|keys|/1024
+    * rows), so a consumer that needs prefix sums AND totals (the
+    * q_ks_test ECDF shape: per-value cumulative counts plus n1/n2)
+    * pays a bucket-table aggregation, not a third pass over `totals`.
+    *
+    * `inclusive = true` emits the INCLUSIVE prefix (strictly-prior sum
+    * + the key's own total) per measure: a cumulative-distribution
+    * consumer then needs NO join back onto `totals` at all — the r11
+    * q_ks_test plan paid an exchange pair re-keying the offsets frame
+    * onto the grid for exactly that join.
+    */
+  def offsetsWithTotals(totals: DataFrame, keyCol: String,
+                        measures: Seq[(String, String)],
+                        inclusive: Boolean = false,
+                        descending: Boolean = false): (DataFrame, DataFrame) = {
     require(measures.nonEmpty, "at least one (totCol, offCol) measure")
     val k = col(keyCol)
     val integral = totals.schema(keyCol).dataType match {
@@ -117,9 +137,14 @@ object PrefixSums {
       .groupBy(col("x._sb").as("_sb"))
       .agg(soffAggs.head, soffAggs.tail: _*)
 
-    within.join(broadcast(soff), "_sb")
-      .select(col("_k").as(keyCol) +: is.map(i =>
-        (col(s"_w$i") + col(s"_soff$i")).as(measures(i)._2)): _*)
+    val out = within.join(broadcast(soff), "_sb")
+      .select(col("_k").as(keyCol) +: is.map { i =>
+        val ex = col(s"_w$i") + col(s"_soff$i")
+        (if (inclusive) ex + col(s"_t$i") else ex).as(measures(i)._2)
+      }: _*)
+    val grandAggs = is.map(i =>
+      sum(col(s"_st$i")).as(s"${measures(i)._1}_total"))
+    (out, st.agg(grandAggs.head, grandAggs.tail: _*))
   }
 
   /** `totals(keyCol, valCol)` → `(keyCol, outCol)`: per key, the MAX
