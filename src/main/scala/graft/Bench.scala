@@ -7,6 +7,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // serialized shuffle writer, as in GraftSession: the bypass
+      // writer's per-(map, reducer) temp-file churn dominates small
+      // queries' fixed CPU at 32 partitions and is not the writer a
+      // real >200-partition cluster shuffle uses
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -109,13 +114,29 @@ object Bench {
         cur = residentBytes()
       }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // one-time build steps run FIRST as their own `_build_*` rows
+    // (single rep — the builds are memoized, so a second rep would
+    // measure the memo hit and best-of-N would hide the cost again,
+    // which is exactly the round-11 artifact defect this fixes). With
+    // the builds paid up front, no consumer query's rep 1 carries a
+    // hidden build. Excluded from the headline total (below) so the
+    // round-over-round trend of query cost stays comparable; tracked
+    // per-name in queries/reps/cpu/io like everything else.
+    val buildEntries = SparkEntry.builds.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
+        (name, (s: org.apache.spark.sql.SparkSession, d: String) => {
+          fn(s, d); spark.emptyDataFrame
+        }, 1)
+      }
+    val queryEntries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) => (name, fn, 2) }
+    val results = (buildEntries ++ queryEntries).map { case (name, fn, nReps) =>
       drainState()
       val res0 = residentBytes()
       var err: Option[String] = None
-      val timesCpu = (1 to 2).map { _ =>
+      val timesCpu = (1 to nReps).map { _ =>
         drainBus()
         val c0 = cpuNs.get()
         val r0 = shufR.get(); val w0 = shufW.get(); val s0 = spill.get()
@@ -162,9 +183,15 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e), _, _, _) =>
       jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
-    val total = ok.map(_._2.min).sum
-    val totalCpu = ok.map(_._4.min).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$totalCpu,"queries":$qs,"reps":$reps,"cpu":$cpu,"io":$io,"errors":$errs,"sf":"$sfDir"}"""
+    // headline totals cover the QUERY surface only; builds get their
+    // own totals so one-time costs are visible without skewing the
+    // round-over-round query trend
+    val (okBuilds, okQueries) = ok.partition(_._1.startsWith("_build_"))
+    val total = okQueries.map(_._2.min).sum
+    val totalCpu = okQueries.map(_._4.min).sum
+    val buildTotal = okBuilds.map(_._2.min).sum
+    val buildCpu = okBuilds.map(_._4.min).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$totalCpu,"build_total":$buildTotal,"build_cpu":$buildCpu,"queries":$qs,"reps":$reps,"cpu":$cpu,"io":$io,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // round-10 lesson: the graded artifact preserved only a 2,000-char
     // stdout tail — the full per-query telemetry was lost to the capture

@@ -1857,14 +1857,17 @@ object SparkEntry {
     // multiplied |c1(v)·n2 − c2(v)·n1| over the distinct-value grid —
     // no float ECDF anywhere, so the drift detector hash-oracles (the
     // q_anomaly cross-multiplication rule applied to a whole-
-    // distribution test). The cumulative counts for BOTH samples ride
-    // ONE multi-measure PrefixSums.exclusiveOffsetsMulti pass over the
-    // value-cardinality grid (round-10 verdict: the two single-measure
-    // passes cost 44.7 CPU-s cold at sf0.1; one shared
-    // bucket/window/broadcast pass halves that) — a distributed rank,
-    // never a corpus-scale unpartitioned window; products accumulate
-    // in DECIMAL(38,0) (c·n crosses 2^63 past ~3e9 rows per side) and
-    // only the bounded permille statistic is emitted.
+    // distribution test). The INCLUSIVE cumulative counts for BOTH
+    // samples ride ONE multi-measure PrefixSums.offsetsWithTotals
+    // pass over the value-cardinality grid (round-10 verdict: the two
+    // single-measure passes cost 44.7 CPU-s cold at sf0.1; the
+    // round-11 shape still paid an exchange pair joining the offsets
+    // BACK onto the grid plus a third grid scan for the totals —
+    // inclusive emission + bucket-table totals delete both, round-12
+    // verdict item 3) — a distributed rank, never a corpus-scale
+    // unpartitioned window; products accumulate in DECIMAL(38,0)
+    // (c·n crosses 2^63 past ~3e9 rows per side) and only the bounded
+    // permille statistic is emitted.
     "q_ks_test" -> ((s, dir) => {
       val g = Tables.orders(s, dir).select(
           (dec(col("o_totalprice"), 12, 2) * 100).cast(LongType).as("cents"),
@@ -1874,15 +1877,15 @@ object SparkEntry {
         .agg(sum(col("is1")).as("cnt1"),
           sum(lit(1L) - col("is1")).as("cnt2"))
         .persist()
-      g.count() // eager fill: 3 consumers (offsets pass, join, totals)
-      val off = PrefixSums.exclusiveOffsetsMulti(g, "cents",
-        Seq("cnt1" -> "c1ex", "cnt2" -> "c2ex"))
-      val tot = g.agg(sum(col("cnt1")).as("n1"), sum(col("cnt2")).as("n2"))
-      val out = g.join(off, "cents")
-        .crossJoin(broadcast(tot))
+      g.count() // eager fill: 3 consumers inside the offsets pass
+      val (incl, tot) = PrefixSums.offsetsWithTotals(g, "cents",
+        Seq("cnt1" -> "c1", "cnt2" -> "c2"), inclusive = true)
+      val out = incl
+        .crossJoin(broadcast(tot.select(col("cnt1_total").as("n1"),
+          col("cnt2_total").as("n2"))))
         .select(col("n1"), col("n2"),
-          expr("abs(CAST(c1ex + cnt1 AS DECIMAL(38,0)) * n2" +
-            " - CAST(c2ex + cnt2 AS DECIMAL(38,0)) * n1)").as("d"))
+          expr("abs(CAST(c1 AS DECIMAL(38,0)) * n2" +
+            " - CAST(c2 AS DECIMAL(38,0)) * n1)").as("d"))
         .groupBy(col("n1"), col("n2"))
         .agg(expr("CAST((1000 * max(d)) div" +
           " (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)")
@@ -2781,16 +2784,7 @@ object SparkEntry {
       // 22.5k, a 41× batch-shingle blowup that read as superlinear
       // admission cost in the scale-timing table when it was really
       // an inverted corpus:batch ratio.
-      val idxPath = minhashIndexDirs.getOrElseUpdate(dir, {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft_minhash_index").toString
-        val built = Dedup.buildBandIndex(
-          all.filter(pmod(col("doc_id"), lit(KeyShift)) < 1000000L),
-          "doc_id", "text", shingleN = 3, k = 64, bands = 32)
-        Dedup.saveBandIndex(built, p)
-        built.shingles.unpersist(blocking = false)
-        p
-      })
+      val idxPath = ensureMinhashIndexDir(s, dir)
       Dedup.admitBatch(Dedup.loadBandIndex(s, idxPath),
         all.filter(pmod(col("doc_id"), lit(KeyShift)) >= 1000000L),
         "doc_id", "text", minJaccard = 0.5)
@@ -2808,30 +2802,7 @@ object SparkEntry {
     // extension is live in the index.
     "dedup_minhash_ext" -> ((s, dir) => {
       val all = withPlantedNearDups(Tables.documents(s, dir))
-      val extPath = minhashExtDirs.getOrElseUpdate(dir, {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft_minhash_ext").toString
-        val base = Dedup.buildBandIndex(
-          all.filter(pmod(col("doc_id"), lit(KeyShift)) < 1000000L),
-          "doc_id", "text", shingleN = 3, k = 64, bands = 32)
-        // batch membership is pmod(id, 1e9) >= 1e6 (the same §6
-        // id-domain partition as dedup_minhash_inc — the absolute
-        // `>= 1e6` threshold swept scale replicas' ORIGINAL docs into
-        // the batch at sf0.5); halves then split on pmod(id, 20) < 10
-        // vs >= 10 — NOT on the planted +1e6 offset classes: the
-        // split must PARTITION every batch doc at any SF (the r9
-        // sweep caught exactly this — residues outside {0, 10} were
-        // in neither index nor batch, and the oracle saw near-dup
-        // partners the index never held). At base SFs only residues
-        // 0 and 10 exist, so the sets are unchanged.
-        val ext = Dedup.extendIndex(base,
-          all.filter(pmod(col("doc_id"), lit(KeyShift)) >= 1000000L &&
-            pmod(col("doc_id"), lit(20)) < 10),
-          "doc_id", "text")
-        Dedup.saveBandIndex(ext, p)
-        base.shingles.unpersist(blocking = false)
-        p
-      })
+      val extPath = ensureMinhashExtDir(s, dir)
       Dedup.admitBatch(Dedup.loadBandIndex(s, extPath),
         all.filter(pmod(col("doc_id"), lit(KeyShift)) >= 1000000L &&
           pmod(col("doc_id"), lit(20)) >= 10),
@@ -2878,9 +2849,7 @@ object SparkEntry {
     // serving, not re-training. Measured recall 82%/70%
     // (sf0.01/sf0.1) vs the 400-permille gate.
     "ann_ivf" -> ((s, dir) => {
-      val model = ivfModels.getOrElseUpdate(dir,
-        Similarity.ivfTrain(Tables.embeddings(s, dir), "vec_id", "embedding",
-          nlist = 16, iters = 3, trainFraction = 0.25))
+      val model = ivfModel(s, dir)
       val approx = Similarity.ivfSearch(model, Tables.embeddings(s, dir),
         "vec_id", "embedding", queryMaxId = 9, k = 5, nprobe = 6)
       annRecallContract(s, dir, approx, minPermille = 400, flag = "ivf_recall_ok")
@@ -2909,9 +2878,7 @@ object SparkEntry {
     // product quantization: corpus compressed to m=8 codes/vector,
     // ADC table-lookup scoring, exact re-rank of the k survivors
     "ann_pq" -> ((s, dir) => {
-      val model = pqModels.getOrElseUpdate(dir,
-        Similarity.pqTrain(Tables.embeddings(s, dir), "vec_id", "embedding",
-          m = 8, ksub = 16, iters = 3, trainFraction = 0.5))
+      val model = pqModel(s, dir)
       val approx = Similarity.pqSearch(model, Tables.embeddings(s, dir),
         "vec_id", "embedding", queryMaxId = 9, k = 5)
       annRecallContract(s, dir, approx, minPermille = 400, flag = "pq_recall_ok")
@@ -2921,12 +2888,8 @@ object SparkEntry {
     // candidates, PQ codes bound per-candidate cost, exact re-rank
     // bounds the full-vector reads to the shortlist
     "ann_ivfpq" -> ((s, dir) => {
-      val coarse = ivfModels.getOrElseUpdate(dir,
-        Similarity.ivfTrain(Tables.embeddings(s, dir), "vec_id", "embedding",
-          nlist = 16, iters = 3, trainFraction = 0.25))
-      val pq = pqModels.getOrElseUpdate(dir,
-        Similarity.pqTrain(Tables.embeddings(s, dir), "vec_id", "embedding",
-          m = 8, ksub = 16, iters = 3, trainFraction = 0.5))
+      val coarse = ivfModel(s, dir)
+      val pq = pqModel(s, dir)
       val approx = Similarity.ivfPqSearch(coarse, pq,
         Tables.embeddings(s, dir), "vec_id", "embedding",
         queryMaxId = 9, k = 5, nprobe = 6)
@@ -2938,9 +2901,7 @@ object SparkEntry {
     // gate = the graph rows for ids 0-9 against the same brute-force
     // recall contract the other ann_* queries use
     "ann_knn_graph" -> ((s, dir) => {
-      val model = ivfModels.getOrElseUpdate(dir,
-        Similarity.ivfTrain(Tables.embeddings(s, dir), "vec_id", "embedding",
-          nlist = 16, iters = 3, trainFraction = 0.25))
+      val model = ivfModel(s, dir)
       val graph = Similarity.knnGraph(Tables.embeddings(s, dir),
         "vec_id", "embedding", k = 5, model, nprobe = 6)
       annRecallContract(s, dir,
@@ -2961,9 +2922,7 @@ object SparkEntry {
     // measures exactly that drift.
     "semantic_dedup" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val model = ivfModels.getOrElseUpdate(dir,
-        Similarity.ivfTrain(emb, "vec_id", "embedding",
-          nlist = 16, iters = 3, trainFraction = 0.25))
+      val model = ivfModel(s, dir)
       val approxKept = Similarity.semanticDedup(emb, "vec_id", "embedding",
           minCosine = 0.3, model, nprobe = 8)
         .filter(col("kept") === 1).select(col("doc_id"))
@@ -4154,12 +4113,30 @@ object SparkEntry {
   private val ivfModels =
     scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfModel]
 
+  private def ivfModel(s: SparkSession, dir: String): Similarity.IvfModel =
+    ivfModels.getOrElseUpdate(dir,
+      Similarity.ivfTrain(Tables.embeddings(s, dir), "vec_id", "embedding",
+        nlist = 16, iters = 3, trainFraction = 0.25))
+
   /** Build-once memoization of the SAVED minhash band index (temp
     * parquet dir per dataset dir): `dedup_minhash_inc` admissions load
     * from storage, the production serving shape.
     */
   private[graft] val minhashIndexDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def ensureMinhashIndexDir(s: SparkSession, dir: String): String =
+    minhashIndexDirs.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_minhash_index").toString
+      val all = withPlantedNearDups(Tables.documents(s, dir))
+      val built = Dedup.buildBandIndex(
+        all.filter(pmod(col("doc_id"), lit(KeyShift)) < 1000000L),
+        "doc_id", "text", shingleN = 3, k = 64, bands = 32)
+      Dedup.saveBandIndex(built, p)
+      built.shingles.unpersist(blocking = false)
+      p
+    })
 
   /** Build+EXTEND-once memoization of the saved extended band index
     * (dedup_minhash_ext): corpus index ∪ first planted batch, saved
@@ -4169,9 +4146,41 @@ object SparkEntry {
   private[graft] val minhashExtDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  private def ensureMinhashExtDir(s: SparkSession, dir: String): String =
+    minhashExtDirs.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_minhash_ext").toString
+      val all = withPlantedNearDups(Tables.documents(s, dir))
+      val base = Dedup.buildBandIndex(
+        all.filter(pmod(col("doc_id"), lit(KeyShift)) < 1000000L),
+        "doc_id", "text", shingleN = 3, k = 64, bands = 32)
+      // batch membership is pmod(id, 1e9) >= 1e6 (the same §6
+      // id-domain partition as dedup_minhash_inc — the absolute
+      // `>= 1e6` threshold swept scale replicas' ORIGINAL docs into
+      // the batch at sf0.5); halves then split on pmod(id, 20) < 10
+      // vs >= 10 — NOT on the planted +1e6 offset classes: the
+      // split must PARTITION every batch doc at any SF (the r9
+      // sweep caught exactly this — residues outside {0, 10} were
+      // in neither index nor batch, and the oracle saw near-dup
+      // partners the index never held). At base SFs only residues
+      // 0 and 10 exist, so the sets are unchanged.
+      val ext = Dedup.extendIndex(base,
+        all.filter(pmod(col("doc_id"), lit(KeyShift)) >= 1000000L &&
+          pmod(col("doc_id"), lit(20)) < 10),
+        "doc_id", "text")
+      Dedup.saveBandIndex(ext, p)
+      base.shingles.unpersist(blocking = false)
+      p
+    })
+
   /** Same train-once memoization for the product quantizer. */
   private val pqModels =
     scala.collection.concurrent.TrieMap.empty[String, Similarity.PqModel]
+
+  private def pqModel(s: SparkSession, dir: String): Similarity.PqModel =
+    pqModels.getOrElseUpdate(dir,
+      Similarity.pqTrain(Tables.embeddings(s, dir), "vec_id", "embedding",
+        m = 8, ksub = 16, iters = 3, trainFraction = 0.5))
 
   /** Build-once memoization of the SAVED capped basket-rules table
     * (round-10 verdict #5: q_copurchase/q_basket_lift/q_item_sims
@@ -4198,6 +4207,29 @@ object SparkEntry {
     })
     s.read.parquet(p)
   }
+
+  /** The one-time per-dataset BUILD steps behind the memoized serving
+    * tables/models, exposed by name so the benchmark can time each as
+    * its own `_build_*` row (round-11 verdict item 5: the 5.4 s /
+    * 83.9 CPU-s basket-rules build landed in whichever consumer's
+    * rep 1 touched it first, and best-of-2 hid it to a footnote).
+    * Each is idempotent (memoized per dataset dir); running one twice
+    * measures ~0 the second time, which is exactly the serving-shape
+    * claim. Keys start with '_' so they sort ahead of every query.
+    */
+  def builds: Map[String, (SparkSession, String) => Unit] = Map(
+    "_build_basket_rules" ->
+      ((s, dir) => { basketRules(s, dir): Unit }),
+    "_build_minhash_index" ->
+      ((s, dir) => { ensureMinhashIndexDir(s, dir): Unit }),
+    "_build_minhash_ext" ->
+      ((s, dir) => { ensureMinhashExtDir(s, dir): Unit }),
+    "_build_ivf_model" ->
+      ((s, dir) => { ivfModel(s, dir): Unit }),
+    "_build_pq_model" ->
+      ((s, dir) => { pqModel(s, dir): Unit }),
+    "_build_bpe_merges" ->
+      ((s, dir) => { bpeMergesFor(s, dir, 10): Unit }))
 
   /** Induce-once memoization of the BPE merge table per (corpus dir,
     * merge budget) — induction is deterministic, so vocab emission and

@@ -23,18 +23,45 @@ import org.apache.spark.sql.functions._
   */
 object CleanCorpus {
 
+  /** A cleaned corpus plus the handle that frees its cached
+    * intermediate: `result` is lazy over the pipeline's persisted
+    * deduped corpus, so call `release()` only AFTER consuming (or
+    * re-materializing) `result` — releasing first silently recomputes
+    * the scan + quality + dedup shuffle on the next consumer instead.
+    * The tiny near-dup loser checkpoint is not covered: its blocks
+    * are ContextCleaner-owned and vanish when the plan is GC'd.
+    */
+  final case class Cleaned(result: DataFrame, release: () => Unit)
+
   /** `exactNearDup = false` (default) removes near-dups via
     * MinHash-LSH — the approximate scale path (recall property-tested
     * in DedupSpec). `exactNearDup = true` uses the exact n-gram
     * Jaccard inverted index instead: same pipeline shape, and the
     * whole output becomes SQL-oracle-checkable because true Jaccard
     * (unlike minhash signatures) is engine-portable.
+    *
+    * Cache lifetime: the returned plan pins the deduped corpus until
+    * session eviction (there is no safe unpersist point inside a
+    * function returning a lazy plan). A long-lived library session
+    * that cleans corpus after corpus should use [[cleanScoped]] and
+    * release each scope after consuming it.
     */
   def clean(docs: DataFrame, idCol: String, textCol: String,
             minQuality: Double = 0.3, shingleN: Int = 3,
             minEstJaccard: Double = 0.8,
             exactNearDup: Boolean = false,
-            maxShingleDf: Int = Int.MaxValue): DataFrame = {
+            maxShingleDf: Int = Int.MaxValue): DataFrame =
+    cleanScoped(docs, idCol, textCol, minQuality, shingleN,
+      minEstJaccard, exactNearDup, maxShingleDf).result
+
+  /** [[clean]] with the cached-intermediate lifetime handed to the
+    * caller — see [[Cleaned]].
+    */
+  def cleanScoped(docs: DataFrame, idCol: String, textCol: String,
+                  minQuality: Double = 0.3, shingleN: Int = 3,
+                  minEstJaccard: Double = 0.8,
+                  exactNearDup: Boolean = false,
+                  maxShingleDf: Int = Int.MaxValue): Cleaned = {
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("quality", TextFunctions.qualityScore(col("text")))
       .filter(col("quality") >= minQuality)
@@ -52,9 +79,10 @@ object CleanCorpus {
     // final anti-join) would otherwise each recompute the scan +
     // quality + dedup shuffle — materializing the deduped corpus once
     // before candidate generation is the standard shape at scale.
-    // Cache lifetime: clean() returns a lazy plan, so there is no
-    // safe unpersist point inside this function; the blocks live
-    // until session eviction (same note as Dedup.ngramJaccard).
+    // Cache lifetime: the returned plan is lazy, so there is no safe
+    // unpersist point inside this function; the Cleaned.release handle
+    // transfers that decision to the caller (clean() callers get the
+    // old until-session-eviction behavior).
     val exactKept = base
       .withColumn("keep_id", min(col("doc_id"))
         .over(org.apache.spark.sql.expressions.Window
@@ -90,10 +118,11 @@ object CleanCorpus {
     val nearDupLosers = pairs.select(col("id_b").as("doc_id")).distinct()
       .localCheckpoint(true)
 
-    exactKept
+    val out = exactKept
       .join(nearDupLosers, Seq("doc_id"), "left_anti")
       .withColumn("text", TextFunctions.scrubPii(col("text")))
       .withColumn("n_tokens", TextFunctions.wordCount(col("text")))
       .select(col("doc_id"), col("text"), col("quality"), col("n_tokens"))
+    Cleaned(out, () => { exactKept.unpersist(blocking = false): Unit })
   }
 }

@@ -51,4 +51,37 @@ class CleanCorpusSpec extends AnyFunSuite with SparkSpec {
       minQuality = 0.3)
     assert(cleaned.filter(col("doc_id") === 9000001L).count() === 0)
   }
+
+  test("cleanScoped: result consumable, release frees the corpus pin") {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val scoped = CleanCorpus.cleanScoped(docs, "doc_id", "text",
+      minQuality = 0.0, minEstJaccard = 0.6)
+    val rows = scoped.result.count() // consume BEFORE releasing
+    assert(rows > 0)
+    // the scope added pins (deduped corpus cache + the loser
+    // checkpoint); the CACHED ones must be gone after release, the
+    // localCheckpoint block is ContextCleaner-owned and out of scope
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty, "scope should have pinned the deduped corpus")
+    scoped.release()
+    // unpersist is async (blocking = false): poll until the cached
+    // (non-checkpointed) pins among `added` are gone
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    // the scope adds the corpus cache pin plus the loser-set
+    // localCheckpoint pin; release() covers the cache pin only (the
+    // checkpoint is ContextCleaner-owned, per the Cleaned contract) —
+    // assert the added pin set SHRINKS and at most the checkpoint
+    // remains
+    def cachedLeft = spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => added(id) }
+    while (cachedLeft.size >= added.size && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(cachedLeft.size < added.size && cachedLeft.size <= 1,
+      s"released scope left cached pins: ${cachedLeft.keySet} of $added")
+    // the result stays CORRECT after release (recompute path works)
+    assert(scoped.result.count() === rows)
+  }
 }
