@@ -27,7 +27,7 @@ SHAPES = [
     ("panes",    32_000_000, 45),
     ("sliding",   4_000_000, 90),
     ("timer",       500_000, 90),
-    ("tws",         400_000, 90),  # capacity ~330k after the r11 batched-write fix (was ~71k at per-element appendValue)
+    ("tws",       4_000_000, 90),  # capacity ~2.9M after the r12 min-timer coalescing (one armed native timer per key; was ~330k at one registerTimer per distinct expiry, ~71k per-element)
 ]
 
 

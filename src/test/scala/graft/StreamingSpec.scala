@@ -673,6 +673,62 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("tws min-timer coalescing is alert-equivalent to the GroupState " +
+      "emulation on a randomized multi-batch feed") {
+    // the coalesced pending-set design (one armed native timer per
+    // key) must reproduce the per-element-timer semantics on feeds it
+    // was never hand-traced on: seeded pseudo-random amounts/offsets
+    // across 6 keys and 8 micro-batches, including out-of-order rows
+    // inside the 2 s lateness allowance, watermark jumps that expire
+    // SEVERAL timers at once, and post-clear arrivals under
+    // still-armed timers. Both detectors consume the identical feed;
+    // the full alert multisets must match.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val rng = new scala.util.Random(20260815L)
+      // batches of (acct, amount, offsetSec); offsets drift forward so
+      // watermarks advance, with +-2s jitter for out-of-orderness
+      val batches = (0 until 8).map { b =>
+        (0 until 25).map { _ =>
+          val base = b * 7
+          tx(rng.nextInt(6).toLong, (rng.nextInt(12) * 10).toDouble,
+            math.max(0, base + rng.nextInt(7) - 2).toLong)
+        }
+      }
+      def run(name: String,
+              mk: org.apache.spark.sql.Dataset[Transaction] =>
+                org.apache.spark.sql.Dataset[graft.streaming.Alert]) = {
+        val input = MemoryStream[Transaction]
+        val sink = runToSink(mk(input.toDS()).toDF(), name, "append") { step =>
+          batches.foreach { rows => input.addData(rows: _*); step(0) }
+          input.addData(tx(99, 1, 200)) // close every window
+          step(0)
+        }
+        sink.collect().map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 100), r.getLong(3)))
+          .toSeq.sorted
+      }
+      val emulated = run("t_eq_emul",
+        StreamingFraud.perElementTimerDetector(_, windowSec = 5,
+          threshold = 150.0, watermarkDelay = "2 seconds"))
+      val native = run("t_eq_tws",
+        StreamingFraud.timerDetectorTws(_, windowSec = 5,
+          threshold = 150.0, watermarkDelay = "2 seconds"))
+      assert(emulated.nonEmpty, "feed should produce alerts")
+      assert(native === emulated)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming pane-sliced sliding agg matches batch sliding agg (2 state stores)") {
     // the reference's pane state layout (CustomSlidingWindow.java:
     // 25-127) run natively in Structured Streaming: tumbling pane
