@@ -28,6 +28,48 @@ class PrefixSumsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("offsetsWithTotals: inclusive prefixes match the naive " +
+      "reference and totals come back exact, multi-measure") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xacc)
+    val rows = Seq.tabulate(300)(_ =>
+      (rnd.nextLong() % 5000L, rnd.nextInt(50).toLong + 1L,
+        rnd.nextInt(9).toLong))
+      .distinctBy(_._1)
+    val df = rows.toDF("k", "a", "b")
+    val (incl, tot) = PrefixSums.offsetsWithTotals(df, "k",
+      Seq("a" -> "ai", "b" -> "bi"), inclusive = true)
+    val got = incl.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expected = rows.map { case (k, _, _) =>
+      k -> (rows.collect { case (k2, a2, _) if k2 <= k => a2 }.sum,
+        rows.collect { case (k2, _, b2) if k2 <= k => b2 }.sum)
+    }.toMap
+    assert(got === expected)
+    val t = tot.collect()
+    assert(t.length === 1)
+    assert(t.head.getLong(0) === rows.map(_._2).sum) // a_total
+    assert(t.head.getLong(1) === rows.map(_._3).sum) // b_total
+    assert(tot.columns.toSeq === Seq("a_total", "b_total"))
+  }
+
+  test("offsetsWithTotals: single-key and empty inputs (totals of an " +
+      "empty frame are one NULL row — a global agg, documented here)") {
+    import spark.implicits._
+    val one = Seq((42L, 7L)).toDF("k", "t")
+    val (incl1, tot1) = PrefixSums.offsetsWithTotals(one, "k",
+      Seq("t" -> "ti"), inclusive = true)
+    assert(incl1.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((42L, 7L)))
+    assert(tot1.collect().head.getLong(0) === 7L)
+    val empty = Seq.empty[(Long, Long)].toDF("k", "t")
+    val (incl0, tot0) = PrefixSums.offsetsWithTotals(empty, "k",
+      Seq("t" -> "ti"), inclusive = true)
+    assert(incl0.count() === 0)
+    val t0 = tot0.collect()
+    assert(t0.length === 1 && t0.head.isNullAt(0))
+  }
+
   test("exclusivePrefixMax matches the naive reference, null on the " +
       "first key, across super-bucket boundaries") {
     import spark.implicits._

@@ -38,6 +38,25 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(hit >= 20, s"recall too low: $hit/50")
   }
 
+  test("lshTopK survives a NULL leading vector (dim probe skips nulls)") {
+    // regression for the r11 advice finding: the unordered
+    // limit(1) dim probe could land on a NULL embedding, size(NULL)
+    // = -1 made empty hyperplanes, and the dot kernel failed
+    // opaquely on the ragged input. The probe now null-filters; the
+    // NULL row itself cosines to 0.0 (the documented zero-norm/NULL
+    // contract — which CAN outrank a negative true cosine, so the
+    // assertion is "never with positive similarity", not "never").
+    import spark.implicits._
+    val withNull = Seq((9999L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+      .unionByName(emb.select(col("vec_id"), col("embedding")))
+    val out = Similarity.lshTopK(withNull, "vec_id", "embedding", 9, 5,
+      bits = 4, tables = 8)
+    assert(out.count() > 0)
+    assert(out.filter(col("neighbor_id") === 9999L &&
+      col("cosine") > 0.0).count() === 0)
+  }
+
   test("IVF top-k achieves reasonable recall vs brute force") {
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 9, 5)
       .select("q_id", "neighbor_id")
