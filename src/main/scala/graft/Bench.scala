@@ -12,6 +12,22 @@ object Bench {
       // queries' fixed CPU at 32 partitions and is not the writer a
       // real >200-partition cluster shuffle uses
       .config("spark.shuffle.sort.bypassMergeThreshold", "0")
+      // AQE A/B knob (r12). Full-surface measurement: AQE on = 103.7 s
+      // / 117.0 CPU-s vs 107.7 / 128.1 off — small scan+agg queries
+      // win CPU 2-5x from runtime-coalesced reducers, but the
+      // per-QueryStage materialization waves cost every iterative /
+      // checkpoint-pinned shape real wall (q_hits +1.21 s,
+      // dedup_minhash_inc 2.05x CPU, q_ks_test steady 5.6 -> 14.7
+      // CPU-s). Default stays OFF here so the artifact keeps measuring
+      // plan cost on stable round-over-round footing; GraftSession
+      // (the user-facing recommended config) keeps AQE ON because at
+      // cluster data volumes the per-stage overhead amortizes and
+      // skew-join/runtime-coalescing are worth far more than they
+      // cost at this bench's tiny SFs.
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+      .config("spark.sql.adaptive.coalescePartitions.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
