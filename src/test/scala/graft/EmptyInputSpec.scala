@@ -36,6 +36,23 @@ class EmptyInputSpec extends AnyFunSuite with SparkSpec {
       Seq("source")).count() === 0)
   }
 
+  test("round-12 eager/scoped paths handle empty corpora") {
+    // minhashLshVerified is now EAGER (localCheckpoint + pin release):
+    // the empty corpus must round-trip the checkpoint, not throw
+    assert(Dedup.minhashLshVerified(noDocs, "doc_id", "text")
+      .count() === 0)
+    // cleanScoped on an empty corpus: empty result, release is a no-op
+    val scoped = graft.pipeline.CleanCorpus.cleanScoped(
+      noDocs, "doc_id", "text", minQuality = 0.0)
+    assert(scoped.result.count() === 0)
+    scoped.release()
+    // admission of an EMPTY batch against a real index is empty
+    val idx = Dedup.buildBandIndex(
+      Tables.documents(spark, sf).limit(50), "doc_id", "text")
+    assert(Dedup.admitBatch(idx, noDocs, "doc_id", "text").count() === 0)
+    idx.shingles.unpersist(blocking = false)
+  }
+
   test("semantic dedup of an empty embedding set is empty") {
     val model = Similarity.ivfTrain(Tables.embeddings(spark, sf),
       "vec_id", "embedding", nlist = 4, iters = 1)
