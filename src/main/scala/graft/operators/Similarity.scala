@@ -192,6 +192,84 @@ object Similarity {
     ivfSearch(ivfTrain(embeddings, idCol, vecCol, nlist, iters, trainFraction),
       embeddings, idCol, vecCol, queryMaxId, k, nprobe)
 
+  /** The STORED half of IVF serving — the minhash band-index
+    * discipline ([[graft.operators.Dedup.MinhashIndex]]) applied to
+    * ANN. [[ivfSearch]] re-assigns the whole corpus to lists on every
+    * call ("the inverted lists are what you'd persist at 100 TB" was
+    * previously a doc note); [[saveIvfIndex]] pays that assignment
+    * pass ONCE and writes the lists as a `cl`-PARTITIONED parquet
+    * table of (id, vecd, nrm), so [[ivfSearchStored]] reads only the
+    * queries' nprobe/nlist partitions via static partition pruning —
+    * at a billion vectors a search touches nprobe/nlist of the index
+    * files instead of scanning and re-hashing the corpus. The model
+    * rides along as a one-row params table, so a fresh session can
+    * serve from the path alone ([[loadIvfIndex]]).
+    */
+  def saveIvfIndex(model: IvfModel, embeddings: DataFrame, idCol: String,
+                   vecCol: String, path: String): Unit = {
+    val e = withNorm(embeddings, vecCol)
+      .select(col(idCol).as("id"), col("vecd"), col("nrm"))
+    e.withColumn("cl", assignCol(model.centroids))
+      .write.mode("overwrite").partitionBy("cl").parquet(s"$path/lists")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    Seq(model.centroids.map(_.toSeq).toSeq).toDF("centroids")
+      .write.mode("overwrite").parquet(s"$path/model")
+  }
+
+  /** Restore (model, lists) written by [[saveIvfIndex]]. The lists
+    * frame is lazy — nothing is read until a search prunes it.
+    */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): (IvfModel, DataFrame) = {
+    val cents = spark.read.parquet(s"$path/model").collect()(0)
+      .getSeq[scala.collection.Seq[Double]](0).map(_.toArray).toArray
+    (IvfModel(cents), spark.read.parquet(s"$path/lists"))
+  }
+
+  /** [[ivfSearch]] against a STORED lists table: per query, the
+    * nprobe nearest centroids are computed exactly as in
+    * [[ivfSearch]], the probed list ids are pulled to the driver (a
+    * BOUNDED pull — queries × nprobe ints, the centroid-table
+    * discipline), and the lists scan is filtered with a LITERAL
+    * `cl IN (...)` so parquet partition pruning provably reaches the
+    * file listing (spec asserts via input_file_name that only probed
+    * `cl=` directories are read). Scoring/top-k are identical to
+    * [[ivfSearch]], so results match it row-for-row on the same
+    * model — asserted by spec.
+    */
+  def ivfSearchStored(model: IvfModel, lists: DataFrame,
+                      queries: DataFrame, idCol: String, vecCol: String,
+                      queryMaxId: Long, k: Int,
+                      nprobe: Int = 4): DataFrame = {
+    val centroids = model.centroids
+    val probes = {
+      val scored = transform(centLit(centroids), (c, i) =>
+        struct((c.getField("_1") - lit(2.0) * dot(col("vecd"), c.getField("_2")))
+          .as("d"), i.as("i")))
+      transform(slice(array_sort(scored), 1, nprobe), s => s.getField("i"))
+    }
+    val q = withNorm(queries, vecCol)
+      .filter(col(idCol) <= queryMaxId)
+      .select(col(idCol).as("q_id"), col("vecd").as("q_vec"),
+        col("nrm").as("q_nrm"),
+        explode(probes).as("q_cl"))
+    val probed = q.select(col("q_cl")).distinct().collect()
+      .map(_.getInt(0)).sorted
+    val pruned = lists.filter(col("cl")
+      .isin(probed.map(Int.box).toIndexedSeq: _*))
+    val scored = pruned.join(broadcast(q),
+        col("cl") === col("q_cl") && col("id") =!= col("q_id"))
+      .withColumn("sim",
+        cosinePrenormed(col("vecd"), col("q_vec"), col("nrm"), col("q_nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("id").as("neighbor_id"), col("rank"),
+        round(col("sim"), 3).as("cosine"))
+  }
+
   /** A trained product quantizer: `m` per-subspace codebooks of
     * `ksub` centroids over `dim/m`-dimensional subvectors (Jégou et
     * al., "Product Quantization for Nearest Neighbor Search"). Like

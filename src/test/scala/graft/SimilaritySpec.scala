@@ -38,6 +38,38 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(hit >= 20, s"recall too low: $hit/50")
   }
 
+  test("stored IVF index: search matches ivfSearch row-for-row and " +
+      "partition pruning reaches the list files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx")
+      .toString
+    val model = Similarity.ivfTrain(emb, "vec_id", "embedding",
+      nlist = 8, iters = 2)
+    Similarity.saveIvfIndex(model, emb, "vec_id", "embedding", dir)
+    val (loaded, lists) = Similarity.loadIvfIndex(spark, dir)
+    assert(loaded.centroids.map(_.toSeq).toSeq ===
+      model.centroids.map(_.toSeq).toSeq)
+    // serving equivalence: the stored path scores/ranks identically
+    val stored = Similarity.ivfSearchStored(loaded, lists, emb,
+      "vec_id", "embedding", queryMaxId = 9, k = 5, nprobe = 3)
+    val direct = Similarity.ivfSearch(model, emb, "vec_id", "embedding",
+      queryMaxId = 9, k = 5, nprobe = 3)
+    assert(stored.collect().map(_.toSeq).toSet ===
+      direct.collect().map(_.toSeq).toSet)
+    // pruning evidence: a literal cl IN (...) filter (the shape
+    // ivfSearchStored builds from its bounded probe pull) reads ONLY
+    // those cl= directories, while the index holds more
+    val readFiles = lists.filter(col("cl").isin(0, 1))
+      .select(input_file_name().as("f")).distinct().collect()
+      .map(_.getString(0))
+    assert(readFiles.nonEmpty)
+    assert(readFiles.forall(f => f.contains("/cl=0/") || f.contains("/cl=1/")),
+      s"unpruned files read: ${readFiles.filterNot(f =>
+        f.contains("/cl=0/") || f.contains("/cl=1/")).take(3).mkString(",")}")
+    val allDirs = new java.io.File(s"$dir/lists").listFiles()
+      .count(_.getName.startsWith("cl="))
+    assert(allDirs > 2, s"index only produced $allDirs lists")
+  }
+
   test("lshTopK survives a NULL leading vector (dim probe skips nulls)") {
     // regression for the r11 advice finding: the unordered
     // limit(1) dim probe could land on a NULL embedding, size(NULL)
