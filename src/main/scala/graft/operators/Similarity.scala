@@ -469,6 +469,112 @@ object Similarity {
         round(col("sim"), 3).as("cosine"))
   }
 
+  /** The stored composed index ([[ivfPqSearch]]'s economics made
+    * durable): one cl-PARTITIONED parquet table of
+    * (id, codes, vecd, nrm) plus both models as params tables. The
+    * per-row index the ADC phase needs is (id, m codes) — a few
+    * bytes — and because parquet is columnar, [[ivfPqSearchStored]]
+    * structures its plan so the ADC scan READS ONLY those columns
+    * (spec-asserted on the scan schemas): full vectors are read
+    * through a second, shortlist-joined scan of the same probed
+    * partitions, only for the exact re-rank. Build once per corpus;
+    * serve from the path alone.
+    */
+  def saveIvfPqIndex(coarse: IvfModel, pq: PqModel, embeddings: DataFrame,
+                     idCol: String, vecCol: String, path: String): Unit = {
+    val dsub = pq.dsub
+    val e = withNorm(embeddings, vecCol)
+      .select(col(idCol).as("id"), col("vecd"), col("nrm"), unitVec.as("u"))
+    val codes = array((0 until pq.m).map(s =>
+      assignTo(pq.codebooks(s), subvec(col("u"), s, dsub))): _*)
+    e.select(col("id"), codes.as("codes"), col("vecd"), col("nrm"),
+        assignCol(coarse.centroids).as("cl"))
+      .write.mode("overwrite").partitionBy("cl").parquet(s"$path/lists")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    Seq(coarse.centroids.map(_.toSeq).toSeq).toDF("centroids")
+      .write.mode("overwrite").parquet(s"$path/coarse")
+    Seq(pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq).toDF("codebooks")
+      .write.mode("overwrite").parquet(s"$path/pq")
+  }
+
+  /** Restore (coarse, pq, lists) written by [[saveIvfPqIndex]]. */
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String): (IvfModel, PqModel, DataFrame) = {
+    val cents = spark.read.parquet(s"$path/coarse").collect()(0)
+      .getSeq[scala.collection.Seq[Double]](0).map(_.toArray).toArray
+    val books = spark.read.parquet(s"$path/pq").collect()(0)
+      .getSeq[scala.collection.Seq[scala.collection.Seq[Double]]](0)
+      .map(_.map(_.toArray).toArray).toArray
+    (IvfModel(cents), PqModel(books), spark.read.parquet(s"$path/lists"))
+  }
+
+  /** [[ivfPqSearch]] against a STORED index: probed partitions come
+    * from the bounded queries×nprobe driver pull (literal `cl IN`
+    * → static partition pruning, as in [[ivfSearchStored]]); the ADC
+    * phase scans ONLY (id, codes, cl) of those partitions; the exact
+    * re-rank reads (id, vecd, nrm) through a broadcast join of the
+    * k·rerankFactor shortlist against the same probed partitions.
+    * Output is row-for-row identical to [[ivfPqSearch]] with the same
+    * models (asserted by spec).
+    */
+  def ivfPqSearchStored(coarse: IvfModel, pq: PqModel, lists: DataFrame,
+                        queries: DataFrame, idCol: String, vecCol: String,
+                        queryMaxId: Long, k: Int, nprobe: Int = 4,
+                        rerankFactor: Int = 5): DataFrame = {
+    val dsub = pq.dsub
+    val probes = {
+      val scored = transform(centLit(coarse.centroids), (c, i) =>
+        struct((c.getField("_1") - lit(2.0) * dot(col("vecd"), c.getField("_2")))
+          .as("d"), i.as("i")))
+      transform(slice(array_sort(scored), 1, nprobe), s => s.getField("i"))
+    }
+    val tbl = array((0 until pq.m).map { s =>
+      transform(centLit(pq.codebooks(s)), c =>
+        c.getField("_1") -
+          lit(2.0) * dot(subvec(col("u"), s, dsub), c.getField("_2")))
+    }: _*)
+    val q = withNorm(queries, vecCol)
+      .filter(col(idCol) <= queryMaxId)
+      .select(col(idCol).as("q_id"), col("vecd").as("q_vec"),
+        col("nrm").as("q_nrm"), unitVec.as("u"),
+        explode(probes).as("q_cl"))
+      .withColumn("tbl", tbl)
+      .drop("u")
+    val probed = q.select(col("q_cl")).distinct().collect()
+      .map(_.getInt(0)).sorted
+    val inProbed = col("cl").isin(probed.map(Int.box).toIndexedSeq: _*)
+    // phase 1 — ADC over the CODE columns only: this scan's schema is
+    // (id, codes, cl); vecd/nrm are never touched here
+    val adc = lists.filter(inProbed).select(col("id"), col("codes"), col("cl"))
+      .join(broadcast(q.drop("q_vec", "q_nrm")),
+        col("cl") === col("q_cl") && col("id") =!= col("q_id"))
+      .withColumn("adist",
+        aggregate(
+          zip_with(col("codes"), col("tbl"),
+            (code, t) => element_at(t, code + 1)),
+          lit(0.0), (acc, x) => acc + x))
+    val shortlist = adc
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adist"), col("id"))))
+      .filter(col("rank") <= k * rerankFactor)
+      .select(col("q_id"), col("id"))
+    // phase 2 — exact re-rank: full vectors read only through the
+    // shortlist join against the same probed partitions
+    val vecs = lists.filter(inProbed).select(col("id"), col("vecd"), col("nrm"))
+    val qv = q.select(col("q_id"), col("q_vec"), col("q_nrm"))
+      .dropDuplicates("q_id")
+    vecs.join(broadcast(shortlist), "id")
+      .join(broadcast(qv), "q_id")
+      .withColumn("sim",
+        cosinePrenormed(col("vecd"), col("q_vec"), col("nrm"), col("q_nrm")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("id").as("neighbor_id"), col("rank"),
+        round(col("sim"), 3).as("cosine"))
+  }
+
   /** Approximate k-nearest-neighbor GRAPH: top-k cosine neighbors for
     * EVERY corpus vector (not a small query set) — the building block
     * for embedding-space clustering, graph-based near-dup mining, and

@@ -70,6 +70,50 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(allDirs > 2, s"index only produced $allDirs lists")
   }
 
+  test("stored IVFPQ index: matches ivfPqSearch row-for-row; the ADC " +
+      "scan reads codes, never vectors") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx")
+      .toString
+    val coarse = Similarity.ivfTrain(emb, "vec_id", "embedding",
+      nlist = 8, iters = 2)
+    val pq = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 8, ksub = 8, iters = 2)
+    Similarity.saveIvfPqIndex(coarse, pq, emb, "vec_id", "embedding", dir)
+    val (c2, p2, lists) = Similarity.loadIvfPqIndex(spark, dir)
+    assert(c2.centroids.map(_.toSeq).toSeq ===
+      coarse.centroids.map(_.toSeq).toSeq)
+    assert(p2.codebooks.map(_.map(_.toSeq).toSeq).toSeq ===
+      pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val stored = Similarity.ivfPqSearchStored(c2, p2, lists, emb,
+      "vec_id", "embedding", queryMaxId = 9, k = 5, nprobe = 3)
+    val direct = Similarity.ivfPqSearch(coarse, pq, emb,
+      "vec_id", "embedding", queryMaxId = 9, k = 5, nprobe = 3)
+    assert(stored.collect().map(_.toSeq).toSet ===
+      direct.collect().map(_.toSeq).toSet)
+    // columnar economics: of the two lists-table scans, the ADC one
+    // projects (id, codes, cl) and never touches the vector columns;
+    // vectors are read only by the shortlist-joined re-rank scan.
+    // (The executed plan is adaptive — unwrap AQE stages like
+    // PlanAudit does before collecting scans.)
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[Set[String]] = p.flatMap {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansOf(a.executedPlan)
+      case qse: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scansOf(qse.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString
+            .contains("graft_ivfpq_idx")) =>
+        Seq(s.output.map(_.name).toSet)
+      case _ => Nil
+    }
+    val listScans = scansOf(stored.queryExecution.executedPlan)
+    assert(listScans.exists(o => o.contains("codes") && !o.contains("vecd")),
+      s"no codes-only ADC scan among: $listScans")
+    assert(listScans.exists(o => o.contains("vecd") && !o.contains("codes")),
+      s"no vector-only re-rank scan among: $listScans")
+  }
+
   test("lshTopK survives a NULL leading vector (dim probe skips nulls)") {
     // regression for the r11 advice finding: the unordered
     // limit(1) dim probe could land on a NULL embedding, size(NULL)
