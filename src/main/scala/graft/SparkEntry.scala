@@ -5172,8 +5172,8 @@ object SparkEntry {
       """WITH ii AS (SELECT unnest([0, 1, 2, 3]) AS i),
         |bits AS (
         |  SELECT DISTINCT CAST('0x' || substr(md5(
-        |      CAST(user_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
-        |    1, 15) AS BIGINT) % 65536 AS bloom_bit
+        |      CAST(user_id AS VARCHAR) || ':0'),
+        |    1 + 8 * i, 8) AS BIGINT) % 65536 AS bloom_bit
         |  FROM events, ii),
         |top AS (
         |  SELECT user_id FROM events GROUP BY user_id
@@ -5183,8 +5183,8 @@ object SparkEntry {
         |  UNION ALL SELECT user_id * 1000003 + 7 FROM top),
         |pb AS (
         |  SELECT p.probe_key, CAST('0x' || substr(md5(
-        |      CAST(p.probe_key AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
-        |    1, 15) AS BIGINT) % 65536 AS bloom_bit
+        |      CAST(p.probe_key AS VARCHAR) || ':0'),
+        |    1 + 8 * i, 8) AS BIGINT) % 65536 AS bloom_bit
         |  FROM probes p, ii),
         |hits AS (
         |  SELECT pb.probe_key,
@@ -5204,8 +5204,8 @@ object SparkEntry {
       """WITH ii AS (SELECT unnest([0, 1, 2, 3]) AS i)
         |SELECT event_type, COUNT(*) AS n_bits FROM (
         |  SELECT DISTINCT event_type, CAST('0x' || substr(md5(
-        |      CAST(user_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
-        |    1, 15) AS BIGINT) % 65536 AS bloom_bit
+        |      CAST(user_id AS VARCHAR) || ':0'),
+        |    1 + 8 * i, 8) AS BIGINT) % 65536 AS bloom_bit
         |  FROM events, ii)
         |GROUP BY event_type""".stripMargin,
 

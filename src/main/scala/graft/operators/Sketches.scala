@@ -283,11 +283,25 @@ object Sketches {
     * The 60-bit md5 prefix is non-negative, so Spark `pmod` and
     * DuckDB `%` agree without the signed-modulus mirror.
     */
-  private def bloomProbeBits(keyName: String, m: Int, k: Int) =
-    expr(s"transform(sequence(0, ${k - 1}), i -> pmod(" +
-      s"CAST(conv(substring(md5(concat_ws(':'," +
-      s" CAST($keyName AS STRING), i)), 1, 15), 16, 10) AS BIGINT)," +
-      s" $m))")
+  private def bloomProbeBits(keyName: String, m: Int, k: Int) = {
+    // k bit positions from ceil(k/4) digests: each 128-bit md5 yields
+    // four independent 32-bit slices (slice-one-hash derivation — one
+    // hash per 4 probes instead of one per probe). Fully UNROLLED as
+    // an array() of plain expressions: the previous
+    // transform(sequence(...), i -> md5(...)) ran the lambda
+    // INTERPRETED (HOF lambdas don't codegen) with a fresh
+    // MessageDigest + string conv per (row, i) — stack-sampled at
+    // ~10 serial CPU-seconds per million rows at sf1.0. md5 (not
+    // xxhash64) because the bit values are mirrored by the DuckDB
+    // oracles, and md5 is the hash both engines share.
+    array((0 until k).map { i =>
+      val block = i / 4
+      val slot = i % 4
+      expr(s"pmod(CAST(conv(substring(md5(concat_ws(':'," +
+        s" CAST($keyName AS STRING), '$block')), ${1 + 8 * slot}, 8)," +
+        s" 16, 10) AS BIGINT), $m)")
+    }: _*)
+  }
 
   /** Scan once into a per-(dims) Bloom cell table: the distinct set
     * bit positions of each cell's filter. m = 2^16 bits, k = 4 probes
