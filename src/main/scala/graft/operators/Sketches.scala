@@ -65,15 +65,23 @@ object Sketches {
   // The per-row hash is xxhash64(key, row) — Spark's seeded hash
   // chain — so cells are deterministic for fixed data.
 
+  // (row, bucket) probe structs, UNROLLED as an array() of plain
+  // expressions rather than transform(sequence(...), i -> ...): HOF
+  // lambdas evaluate interpreted (the bloomProbeBits lesson), while
+  // the unrolled form codegens — and the VALUES are identical, since
+  // the lambda's i and lit(i) are both int inputs to xxhash64.
+  private def cmsRowBuckets(keyName: String, depth: Int, width: Int) =
+    array((0 until depth).map(i =>
+      struct(lit(i).as("r"),
+        pmod(xxhash64(col(keyName), lit(i)), lit(width.toLong)).as("b"))): _*)
+
   /** Scan once into per-(dims) CMS cell tables: one sparse
     * (cms_row, cms_bucket, cnt) set per dims cell.
     */
   def cmsBuild(df: DataFrame, keyCol: String, dims: Seq[String],
                depth: Int = 5, width: Int = 2048): DataFrame =
     df.select(dims.map(col) :+ col(keyCol).as("_k"): _*)
-      .select(dims.map(col) :+ explode(
-        expr(s"transform(sequence(0, ${depth - 1}), " +
-          s"i -> struct(i AS r, pmod(xxhash64(_k, i), $width) AS b))"))
+      .select(dims.map(col) :+ explode(cmsRowBuckets("_k", depth, width))
         .as("_rb"): _*)
       .groupBy((dims.map(col) :+ col("_rb.r").as("cms_row")
         :+ col("_rb.b").as("cms_bucket")): _*)
@@ -96,9 +104,7 @@ object Sketches {
   def cmsEstimate(cells: DataFrame, probes: DataFrame, keyCol: String,
                   depth: Int = 5, width: Int = 2048): DataFrame = {
     val exploded = probes
-      .select(col("*"), explode(
-        expr(s"transform(sequence(0, ${depth - 1}), " +
-          s"i -> struct(i AS r, pmod(xxhash64($keyCol, i), $width) AS b))"))
+      .select(col("*"), explode(cmsRowBuckets(keyCol, depth, width))
         .as("_rb"))
       .select(col("*"), col("_rb.r").as("cms_row"),
         col("_rb.b").as("cms_bucket"))
