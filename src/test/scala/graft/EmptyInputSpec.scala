@@ -53,6 +53,20 @@ class EmptyInputSpec extends AnyFunSuite with SparkSpec {
     idx.shingles.unpersist(blocking = false)
   }
 
+  test("stored-IVF serving handles empty query sets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_empty")
+      .toString
+    val embAll = Tables.embeddings(spark, sf)
+    val model = Similarity.ivfTrain(embAll, "vec_id", "embedding",
+      nlist = 4, iters = 1)
+    Similarity.saveIvfIndex(model, embAll, "vec_id", "embedding", dir)
+    val (m2, lists) = Similarity.loadIvfIndex(spark, dir)
+    // an empty query frame probes zero lists and returns zero rows
+    // (the bounded probe pull is an empty driver array, isin(empty))
+    assert(Similarity.ivfSearchStored(m2, lists, noEmb,
+      "vec_id", "embedding", queryMaxId = 9, k = 5).count() === 0)
+  }
+
   test("semantic dedup of an empty embedding set is empty") {
     val model = Similarity.ivfTrain(Tables.embeddings(spark, sf),
       "vec_id", "embedding", nlist = 4, iters = 1)
