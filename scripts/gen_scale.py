@@ -104,9 +104,26 @@ def write_arrow(con, query, path):
     """DuckDB computes, arrow writes — same writer family (and
     therefore the same dictionary/RLE page encodings and per-row
     density) as the driver's base fixtures (created_by
-    parquet-cpp-arrow, SNAPPY, use_dictionary on)."""
-    tbl = con.sql(query).arrow()
-    pq.write_table(tbl, path, compression="snappy", use_dictionary=True)
+    parquet-cpp-arrow, SNAPPY, use_dictionary on). STREAMED batch by
+    batch: .arrow() would materialize the whole replicated table in
+    driver memory, an OOM risk for exactly the multi-GB 10x lineitem
+    replicas this script exists to produce (round-12 advice)."""
+    reader = con.sql(query).fetch_arrow_reader(1 << 20)
+    writer = None
+    try:
+        for batch in reader:
+            if writer is None:
+                writer = pq.ParquetWriter(path, batch.schema,
+                                          compression="snappy",
+                                          use_dictionary=True)
+            writer.write_batch(batch)
+        if writer is None:  # empty result: still write a valid file
+            writer = pq.ParquetWriter(path, reader.schema,
+                                      compression="snappy",
+                                      use_dictionary=True)
+    finally:
+        if writer is not None:
+            writer.close()
 
 
 if __name__ == "__main__":

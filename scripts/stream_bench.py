@@ -26,7 +26,7 @@ SHAPES = [
     ("ooo",      40_000_000, 45),  # capacity ~31M (r11 probe at 64M rate)
     ("panes",    32_000_000, 45),
     ("sliding",   4_000_000, 90),
-    ("timer",       500_000, 90),
+    ("timer",     2_000_000, 90),  # capacity ~1.56M after the r13 batched state fold (was 234k at per-element immutable Seq :+ / contains — O(n²) per key-batch)
     ("tws",       4_000_000, 90),  # capacity ~2.9M after the r12 min-timer coalescing (one armed native timer per key; was ~330k at one registerTimer per distinct expiry, ~71k per-element)
 ]
 

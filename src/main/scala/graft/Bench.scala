@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // normalized boolean: "1"/"TRUE "/"yes" would otherwise reach the
+    // session builder verbatim and throw an opaque conf-parse error
+    val aqe = sys.env.get("SPARK_GRAFT_AQE").map(_.trim.toLowerCase)
+      .exists(v => v == "true" || v == "1" || v == "yes").toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,10 +28,8 @@ object Bench {
       // cluster data volumes the per-stage overhead amortizes and
       // skew-join/runtime-coalescing are worth far more than they
       // cost at this bench's tiny SFs.
-      .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
-      .config("spark.sql.adaptive.coalescePartitions.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+      .config("spark.sql.adaptive.enabled", aqe)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", aqe)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -56,7 +58,14 @@ object Bench {
     // manager interference) is visible, not collapsed into the min.
     // optional args: restrict to named queries (local iteration);
     // the driver always runs with none.
-    val only: Set[String] = args.toSet
+    // auto-include the _build_* rows a filtered consumer depends on:
+    // without them the one-time build cost lands back in the
+    // consumer's rep 1 and best-of-2 hides it — the round-11 artifact
+    // defect, silently reintroduced under filtering (round-12 advice)
+    val only: Set[String] =
+      if (args.isEmpty) Set.empty
+      else args.toSet ++ args.flatMap(a =>
+        SparkEntry.buildDeps.getOrElse(a, Nil))
     // per-query CPU-seconds beside wall time (round-8 verdict: the
     // r7→r8 wall diff was unreadable without it — single-row-group
     // testdata inflated wall uniformly while CPU stayed flat): a
@@ -138,17 +147,41 @@ object Bench {
     // hidden build. Excluded from the headline total (below) so the
     // round-over-round trend of query cost stays comparable; tracked
     // per-name in queries/reps/cpu/io like everything else.
-    val buildEntries = SparkEntry.builds.toSeq.sortBy(_._1)
+    // dependency-aware build order (buildOrder first, rest
+    // alphabetical): a stored-index build consumes the memoized model,
+    // so the model row must pay its own cost, not the index row
+    val buildRank = SparkEntry.buildOrder.zipWithIndex.toMap
+    val buildEntries = SparkEntry.builds.toSeq
+      .sortBy { case (name, _) =>
+        (buildRank.getOrElse(name, Int.MaxValue), name) }
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
         (name, (s: org.apache.spark.sql.SparkSession, d: String) => {
           fn(s, d); spark.emptyDataFrame
         }, 1)
       }
+    // Measure the HEAVY tier FIRST, at process start — freshest heap
+    // and block manager. Two consecutive rounds' committed artifacts
+    // showed the heaviest query (clean_corpus) floating 1.3-1.6x
+    // in-run while its isolated 4-rep steady stayed flat: a
+    // session-positional tax from 200 queries' worth of block-manager
+    // and G1 churn, not plan cost (round-12 verdict item 2). Static
+    // list = the r12 rows >= 1.9 s wall; buildDeps-filtered so a
+    // future heavy build CONSUMER cannot land here and re-absorb its
+    // one-time build into rep 1 (those stay after the _build_ rows).
+    val heavyTier = Seq("clean_corpus", "q_hits", "split_by_cluster",
+      "dedup_clusters", "q_textrank", "dedup_minhash", "q_ks_test",
+      "q_pagerank").filterNot(SparkEntry.buildDeps.contains)
+    val heavyEntries = heavyTier
+      .filter(name => (only.isEmpty || only(name)) &&
+        SparkEntry.queries.contains(name))
+      .map(name => (name, SparkEntry.queries(name), 2))
     val queryEntries = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.isEmpty || only(name) }
+      .filter { case (name, _) =>
+        (only.isEmpty || only(name)) && !heavyTier.contains(name) }
       .map { case (name, fn) => (name, fn, 2) }
-    val results = (buildEntries ++ queryEntries).map { case (name, fn, nReps) =>
+    val results = (heavyEntries ++ buildEntries ++ queryEntries)
+      .map { case (name, fn, nReps) =>
       drainState()
       val res0 = residentBytes()
       var err: Option[String] = None

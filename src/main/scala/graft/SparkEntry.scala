@@ -1857,17 +1857,16 @@ object SparkEntry {
     // multiplied |c1(v)·n2 − c2(v)·n1| over the distinct-value grid —
     // no float ECDF anywhere, so the drift detector hash-oracles (the
     // q_anomaly cross-multiplication rule applied to a whole-
-    // distribution test). The INCLUSIVE cumulative counts for BOTH
-    // samples ride ONE multi-measure PrefixSums.offsetsWithTotals
-    // pass over the value-cardinality grid (round-10 verdict: the two
-    // single-measure passes cost 44.7 CPU-s cold at sf0.1; the
-    // round-11 shape still paid an exchange pair joining the offsets
-    // BACK onto the grid plus a third grid scan for the totals —
-    // inclusive emission + bucket-table totals delete both, round-12
-    // verdict item 3) — a distributed rank, never a corpus-scale
-    // unpartitioned window; products accumulate in DECIMAL(38,0)
-    // (c·n crosses 2^63 past ~3e9 rows per side) and only the bounded
-    // permille statistic is emitted.
+    // distribution test). The whole cumulative machinery rides
+    // PrefixSums.maxEcdfCrossGap: the gap is the prefix sum of the
+    // per-value SIGNED term z(v) = cnt1·n2 − cnt2·n1, and its max/min
+    // decompose over super-buckets — so no per-key ECDF is ever
+    // emitted and everything after the one hash(_sb) exchange runs on
+    // the bucket table (round-10: two single-measure passes = 44.7
+    // CPU-s cold; round-11 inclusive two-measure = 19.4; this shape
+    // plans 5 exchanges vs 11 — round-12 verdict item 1). Products
+    // accumulate in DECIMAL(38,0) (c·n crosses 2^63 past ~3e9 rows
+    // per side); only the bounded permille statistic is emitted.
     "q_ks_test" -> ((s, dir) => {
       val g = Tables.orders(s, dir).select(
           (dec(col("o_totalprice"), 12, 2) * 100).cast(LongType).as("cents"),
@@ -1876,23 +1875,11 @@ object SparkEntry {
         .groupBy(col("cents"))
         .agg(sum(col("is1")).as("cnt1"),
           sum(lit(1L) - col("is1")).as("cnt2"))
-        .persist()
-      g.count() // eager fill: 3 consumers inside the offsets pass
-      val (incl, tot) = PrefixSums.offsetsWithTotals(g, "cents",
-        Seq("cnt1" -> "c1", "cnt2" -> "c2"), inclusive = true)
-      val out = incl
-        .crossJoin(broadcast(tot.select(col("cnt1_total").as("n1"),
-          col("cnt2_total").as("n2"))))
-        .select(col("n1"), col("n2"),
-          expr("abs(CAST(c1 AS DECIMAL(38,0)) * n2" +
-            " - CAST(c2 AS DECIMAL(38,0)) * n1)").as("d"))
-        .groupBy(col("n1"), col("n2"))
-        .agg(expr("CAST((1000 * max(d)) div" +
-          " (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)")
-          .as("ks_permille"))
-        .localCheckpoint(true) // 1-row result; then drop the grid pin
-      g.unpersist(blocking = false)
-      out
+      PrefixSums.maxEcdfCrossGap(g, "cents", "cnt1", "cnt2")
+        .select(col("n1").cast(LongType).as("n1"),
+          col("n2").cast(LongType).as("n2"),
+          expr("CAST((1000 * max_d) div (n1 * n2) AS BIGINT)")
+            .as("ks_permille"))
     }),
 
     // TIME-WEIGHTED average for irregularly-sampled series (the
@@ -2895,6 +2882,37 @@ object SparkEntry {
         queryMaxId = 9, k = 5, nprobe = 6)
       annRecallContract(s, dir, approx, minPermille = 300,
         flag = "ivfpq_recall_ok")
+    }),
+
+    // the STORED serving twin of ann_ivf: search against the SAVED
+    // cl-partitioned index (build paid once per corpus as
+    // _build_ivf_index) — the path a 100 TB user actually runs, where
+    // partition pruning reads ~nprobe/nlist of the index bytes and
+    // the corpus is never re-assigned. Results are row-for-row equal
+    // to ivfSearch on the same model (spec-asserted), so the same
+    // recall contract gates it.
+    "ann_ivf_stored" -> ((s, dir) => {
+      val (model, lists) = Similarity.loadIvfIndex(s,
+        ensureIvfIndexDir(s, dir))
+      val approx = Similarity.ivfSearchStored(model, lists,
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryMaxId = 9, k = 5, nprobe = 6)
+      annRecallContract(s, dir, approx, minPermille = 400,
+        flag = "ivf_stored_recall_ok")
+    }),
+
+    // the STORED composed twin of ann_ivfpq: ADC scans ONLY
+    // (id, codes, cl) of the probed partitions; full vectors are read
+    // through the broadcast shortlist join — FAISS-IVFPQ economics in
+    // parquet terms, gated end to end from storage.
+    "ann_ivfpq_stored" -> ((s, dir) => {
+      val (coarse, pq, lists) = Similarity.loadIvfPqIndex(s,
+        ensureIvfPqIndexDir(s, dir))
+      val approx = Similarity.ivfPqSearchStored(coarse, pq, lists,
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryMaxId = 9, k = 5, nprobe = 6)
+      annRecallContract(s, dir, approx, minPermille = 300,
+        flag = "ivfpq_stored_recall_ok")
     }),
 
     // the all-vectors kNN GRAPH (self-join ANN, not a query set);
@@ -4173,6 +4191,39 @@ object SparkEntry {
       p
     })
 
+  /** Build-once memoization of the SAVED IVF index (cl-partitioned
+    * parquet lists + params table, [[Similarity.saveIvfIndex]]):
+    * `ann_ivf_stored` serves from the path alone — the 100 TB shape
+    * where a search reads ~nprobe/nlist of the index files via
+    * partition pruning instead of re-assigning the corpus.
+    */
+  private[graft] val ivfIndexDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def ensureIvfIndexDir(s: SparkSession, dir: String): String =
+    ivfIndexDirs.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_ivf_index").toString
+      Similarity.saveIvfIndex(ivfModel(s, dir), Tables.embeddings(s, dir),
+        "vec_id", "embedding", p)
+      p
+    })
+
+  /** Same for the composed IVF+PQ index ([[Similarity.saveIvfPqIndex]]):
+    * codes-only ADC scan + shortlist-joined vector reads, from storage.
+    */
+  private[graft] val ivfPqIndexDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def ensureIvfPqIndexDir(s: SparkSession, dir: String): String =
+    ivfPqIndexDirs.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_index").toString
+      Similarity.saveIvfPqIndex(ivfModel(s, dir), pqModel(s, dir),
+        Tables.embeddings(s, dir), "vec_id", "embedding", p)
+      p
+    })
+
   /** Same train-once memoization for the product quantizer. */
   private val pqModels =
     scala.collection.concurrent.TrieMap.empty[String, Similarity.PqModel]
@@ -4229,7 +4280,44 @@ object SparkEntry {
     "_build_pq_model" ->
       ((s, dir) => { pqModel(s, dir): Unit }),
     "_build_bpe_merges" ->
-      ((s, dir) => { bpeMergesFor(s, dir, 10): Unit }))
+      ((s, dir) => { bpeMergesFor(s, dir, 10): Unit }),
+    "_build_ivf_index" ->
+      ((s, dir) => { ensureIvfIndexDir(s, dir): Unit }),
+    "_build_ivfpq_index" ->
+      ((s, dir) => { ensureIvfPqIndexDir(s, dir): Unit }))
+
+  /** Dependency-aware execution order for [[builds]]: the stored-index
+    * builds consume the memoized MODELS, so the model builds must be
+    * timed first — alphabetical order would run `_build_ivf_index`
+    * before `_build_ivf_model` and silently absorb the training cost
+    * into the index row. Names absent here sort after, alphabetically.
+    */
+  def buildOrder: Seq[String] = Seq(
+    "_build_ivf_model", "_build_pq_model",
+    "_build_ivf_index", "_build_ivfpq_index")
+
+  /** Which memoized one-time [[builds]] each query consumes — so the
+    * benchmark can auto-include the right `_build_*` rows when run
+    * with an explicit query filter (otherwise the filtered consumer's
+    * rep 1 silently re-absorbs the build cost best-of-2 then hides,
+    * the exact round-11 artifact defect the `_build_*` rows fixed).
+    */
+  def buildDeps: Map[String, Seq[String]] = Map(
+    "q_copurchase" -> Seq("_build_basket_rules"),
+    "q_basket_lift" -> Seq("_build_basket_rules"),
+    "q_item_sims" -> Seq("_build_basket_rules"),
+    "dedup_minhash_inc" -> Seq("_build_minhash_index"),
+    "dedup_minhash_ext" -> Seq("_build_minhash_ext"),
+    "ann_ivf" -> Seq("_build_ivf_model"),
+    "ann_ivfpq" -> Seq("_build_ivf_model", "_build_pq_model"),
+    "ann_knn_graph" -> Seq("_build_ivf_model"),
+    "semantic_dedup" -> Seq("_build_ivf_model"),
+    "ann_pq" -> Seq("_build_pq_model"),
+    "ann_ivf_stored" -> Seq("_build_ivf_model", "_build_ivf_index"),
+    "ann_ivfpq_stored" ->
+      Seq("_build_ivf_model", "_build_pq_model", "_build_ivfpq_index"),
+    "q_bpe_vocab" -> Seq("_build_bpe_merges"),
+    "q_bpe_tokenize" -> Seq("_build_bpe_merges"))
 
   /** Induce-once memoization of the BPE merge table per (corpus dir,
     * merge budget) — induction is deterministic, so vocab emission and
@@ -6323,6 +6411,18 @@ object SparkEntry {
     "ann_ivfpq" ->
       """SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_exact_pairs,
         |  1 AS ivfpq_recall_ok
+        |FROM embeddings WHERE vec_id <= 9""".stripMargin,
+
+    // stored-index serving twins: same recall contracts (the stored
+    // searches are row-for-row equal to their in-memory counterparts
+    // on the same models — spec-asserted — so recall is identical)
+    "ann_ivf_stored" ->
+      """SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_exact_pairs,
+        |  1 AS ivf_stored_recall_ok
+        |FROM embeddings WHERE vec_id <= 9""".stripMargin,
+    "ann_ivfpq_stored" ->
+      """SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_exact_pairs,
+        |  1 AS ivfpq_stored_recall_ok
         |FROM embeddings WHERE vec_id <= 9""".stripMargin,
 
     "ann_knn_graph" ->

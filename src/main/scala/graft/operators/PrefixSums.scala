@@ -147,6 +147,98 @@ object PrefixSums {
     (out, st.agg(grandAggs.head, grandAggs.tail: _*))
   }
 
+  /** One-row two-sample ECDF cross-gap — the Kolmogorov-Smirnov
+    * numerator max_v |c1(v)·n2 − c2(v)·n1| over a per-value counts
+    * grid `(keyCol, cnt1Col, cnt2Col)`, without ever materializing
+    * the per-key cumulative counts. The KS consumer only needs the
+    * MAX of the cross-multiplied gap, and that gap is itself a prefix
+    * sum: with z(v) = cnt1(v)·n2 − cnt2(v)·n1, the signed gap at v is
+    * d(v) = Σ_{u≤v} z(u), so D = max(max_v d(v), −min_v d(v)). Max
+    * and min of a prefix sum DECOMPOSE over the super-buckets of
+    * [[offsetsWithTotals]]: per bucket b with exclusive offset
+    * O(b) = Σ_{b'<b} Z(b'), max_{v∈b} d(v) = O(b) + maxRun_b(z) —
+    * so the per-key work collapses to ONE hash(_sb) exchange that a
+    * within-bucket running sum (window) and the per-bucket
+    * (Z, maxRun, minRun) aggregation share, and every later step
+    * (bucket prefix, global max) runs on the ~|keys|/1024-row bucket
+    * table. The r12 q_ks_test plan paid 11 exchanges emitting both
+    * inclusive ECDFs per key and re-scanning the grid for the final
+    * max; this shape plans 5 (two of them bucket-table-sized) —
+    * the round-12 verdict's fixed-plan-cost item.
+    *
+    * Grand totals n1/n2 ride the same one-row stats aggregation that
+    * derives the adaptive super-bucket width, so the grid is scanned
+    * twice in total (stats + z rows), both through one shared groupBy
+    * exchange upstream when the caller's grid is itself an
+    * aggregation (ReuseExchange). Products and running sums stay in
+    * DECIMAL(38,0) — |d(v)| ≤ n1·n2, the same bound as the products
+    * themselves — so the statistic is integer-exact at any SF.
+    *
+    * Returns one row `(n1, n2, max_d)` (n1/n2 as DECIMAL(38,0);
+    * null max_d on an empty grid). Keys must be numeric, counts
+    * integral and non-negative.
+    */
+  def maxEcdfCrossGap(totals: DataFrame, keyCol: String,
+                      cnt1Col: String, cnt2Col: String): DataFrame = {
+    val k = col(keyCol)
+    val dec = DecimalType(38, 0)
+    val integral = totals.schema(keyCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val stats =
+      if (integral)
+        totals.agg(min(k.cast(dec)).as("_kmin"), max(k.cast(dec)).as("_kmax"),
+          count(lit(1)).as("_nk"), sum(col(cnt1Col)).cast(dec).as("_n1"),
+          sum(col(cnt2Col)).cast(dec).as("_n2"))
+      else
+        totals.agg(min(k.cast(DoubleType)).as("_kmin"),
+          max(k.cast(DoubleType)).as("_kmax"), count(lit(1)).as("_nk"),
+          sum(col(cnt1Col)).cast(dec).as("_n1"),
+          sum(col(cnt2Col)).cast(dec).as("_n2"))
+    val nb = greatest(lit(1L), ceil(col("_nk") / 1024.0).cast(LongType))
+    val kk = col("_k")
+    val sb =
+      if (integral) {
+        val w = greatest(lit(1).cast(dec),
+          floor((col("_kmax") - col("_kmin")) / nb).cast(dec))
+        floor((kk.cast(dec) - col("_kmin")) / w).cast(LongType)
+      } else {
+        val w = (col("_kmax") - col("_kmin")) / nb.cast(DoubleType)
+        when(col("_kmax") === col("_kmin"), lit(0L))
+          .otherwise(least(floor((kk.cast(DoubleType) - col("_kmin")) / w)
+            .cast(LongType), nb - 1))
+      }
+    val t = totals
+      .select(k.as("_k"), col(cnt1Col).cast(dec).as("_c1"),
+        col(cnt2Col).cast(dec).as("_c2"))
+      .crossJoin(broadcast(stats))
+      .select(col("_k"),
+        (col("_c1") * col("_n2") - col("_c2") * col("_n1")).as("_z"),
+        sb.as("_sb"))
+    // inclusive within-bucket running sum; the per-bucket aggregation
+    // reuses the window's hash(_sb) partitioning — no second exchange
+    val w1 = Window.partitionBy(col("_sb"))
+      .orderBy(col("_k").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val st = t.withColumn("_r", sum(col("_z")).over(w1))
+      .groupBy(col("_sb"))
+      .agg(sum(col("_z")).as("_zt"), max(col("_r")).as("_maxr"),
+        min(col("_r")).as("_minr"))
+    // exclusive bucket offsets on the tiny bucket table (hash(_sb)
+    // still satisfies the post-join groupBy — no grid-sized exchange)
+    val soff = st.alias("x")
+      .join(broadcast(st.select(col("_sb"), col("_zt")).alias("y")),
+        col("y._sb") < col("x._sb"), "left")
+      .groupBy(col("x._sb").as("_sb"), col("x._maxr").as("_maxr"),
+        col("x._minr").as("_minr"))
+      .agg(coalesce(sum(col("y._zt")), lit(0).cast(dec)).as("_off"))
+    soff.agg(max(greatest(col("_off") + col("_maxr"),
+        -(col("_off") + col("_minr")))).as("max_d"))
+      .crossJoin(broadcast(stats))
+      .select(col("_n1").as("n1"), col("_n2").as("n2"), col("max_d"))
+  }
+
   /** `totals(keyCol, valCol)` → `(keyCol, outCol)`: per key, the MAX
     * of `valCol` over all STRICTLY-smaller keys, null when there are
     * none — the sweep-line primitive behind Pareto/skyline filters

@@ -275,8 +275,9 @@ object Sketches {
   // probing is one equi-join on bit position + a count(matched) = k
   // test. Every step is a plain relational operator.
   //
-  // Probe bits are engine-common md5 prefixes (`pmod(md5_60(key:i),
-  // m)` ≡ DuckDB `((x % m) + m) % m` arithmetic), so — unlike the
+  // Probe bits are engine-common md5 slices (four 32-bit words per
+  // `md5(key:block)` digest, each `pmod(slice, m)` ≡ DuckDB
+  // `((x % m) + m) % m` arithmetic), so — unlike the
   // xxhash64-bucketed CMS, whose gate is a contract — the ENTIRE
   // Bloom surface (cell bit counts, merged tables, membership flags,
   // measured collisions) is deterministic and exactly hash-oracled.
@@ -285,8 +286,9 @@ object Sketches {
   // directly); absent ⇒ hit with p ≈ (1 − e^(−k·n/m))^k (k=4,
   // m=65536, n=5000 → ~0.6%).
 
-  /** The k probe-bit positions of one key: `md5_60(key:i) mod m`.
-    * The 60-bit md5 prefix is non-negative, so Spark `pmod` and
+  /** The k probe-bit positions of one key: the i-th position is the
+    * (i mod 4)-th 32-bit word of `md5(key:⌊i/4⌋)`, taken `pmod m`.
+    * Each slice parses as a non-negative BIGINT, so Spark `pmod` and
     * DuckDB `%` agree without the signed-modulus mirror.
     */
   private def bloomProbeBits(keyName: String, m: Int, k: Int) = {

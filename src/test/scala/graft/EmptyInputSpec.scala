@@ -65,6 +65,18 @@ class EmptyInputSpec extends AnyFunSuite with SparkSpec {
     // (the bounded probe pull is an empty driver array, isin(empty))
     assert(Similarity.ivfSearchStored(m2, lists, noEmb,
       "vec_id", "embedding", queryMaxId = 9, k = 5).count() === 0)
+    // the composed stored path has the same bounded probe-pull /
+    // isin(empty) prologue plus an ADC shortlist — an empty query set
+    // must flow through BOTH phases (empty shortlist join included)
+    val pqDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_empty")
+      .toString
+    val pq = Similarity.pqTrain(embAll, "vec_id", "embedding",
+      m = 4, ksub = 4, iters = 1)
+    Similarity.saveIvfPqIndex(model, pq, embAll, "vec_id", "embedding",
+      pqDir)
+    val (c3, p3, lists3) = Similarity.loadIvfPqIndex(spark, pqDir)
+    assert(Similarity.ivfPqSearchStored(c3, p3, lists3, noEmb,
+      "vec_id", "embedding", queryMaxId = 9, k = 5).count() === 0)
   }
 
   test("semantic dedup of an empty embedding set is empty") {
@@ -118,6 +130,12 @@ class EmptyInputSpec extends AnyFunSuite with SparkSpec {
     assert(graft.operators.PrefixSums
       .exclusiveOffsets(noTotals, "k", "t", "off", descending = true)
       .count() === 0)
+    // an empty ECDF grid yields one all-null row (global-agg shape,
+    // same contract as offsetsWithTotals' empty totals)
+    val gap = graft.operators.PrefixSums.maxEcdfCrossGap(
+      Seq.empty[(Long, Long, Long)].toDF("k", "c1", "c2"),
+      "k", "c1", "c2").collect()
+    assert(gap.length === 1 && gap.head.isNullAt(2))
     // empty admission batch against a real index → no pairs
     val docs = Tables.documents(spark, sf).limit(50)
     val idx = Dedup.buildBandIndex(docs, "doc_id", "text")

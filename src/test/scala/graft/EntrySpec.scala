@@ -88,7 +88,11 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
     // (global aggregates / hour scaffolds), and scalar-subquery
     // filters. Anything new showing up here is a plan regression.
     val bnljAllowed = Set("ann_topk", "ann_pq", "ann_ivfpq", "ann_lsh",
-      "ann_ivf", "dedup_cosine", "mix_temperature", "q_gen_series",
+      "ann_ivf",
+      "ann_ivf_stored", "ann_ivfpq_stored", // same brute-force
+      // recall-contract side as ann_ivf/ann_ivfpq; the stored SEARCH
+      // itself is equi-joined on cl (BHJ, partition-pruned scan)
+      "dedup_cosine", "mix_temperature", "q_gen_series",
       "q_scalar_filter", "q_approx",
       "q_equidepth", // 1-row broadcast quartile edges × events
       "q_equidepth_approx", // same shape, approx edges

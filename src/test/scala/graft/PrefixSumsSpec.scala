@@ -141,6 +141,38 @@ class PrefixSumsSpec extends AnyFunSuite with SparkSpec {
     assert(got === expected)
   }
 
+  test("maxEcdfCrossGap matches the naive cross-multiplied KS " +
+      "numerator across super-bucket boundaries, both gap signs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x6a9)
+    // two cases: sample 1 stochastically ABOVE sample 2 (gap max is
+    // positive prefix) and below (gap max is the NEGATED min prefix) —
+    // both paths through greatest(off+maxr, -(off+minr)) must win
+    for (flip <- Seq(false, true)) {
+      val rows = Seq.tabulate(800)(_ => {
+        val k = rnd.nextLong() % 20000L
+        val c1 = rnd.nextInt(if (k > 0 ^ flip) 9 else 3).toLong
+        val c2 = rnd.nextInt(if (k > 0 ^ flip) 3 else 9).toLong
+        (k, c1, c2)
+      }).distinctBy(_._1).filter(r => r._2 + r._3 > 0)
+      val n1 = rows.map(_._2).sum
+      val n2 = rows.map(_._3).sum
+      val sorted = rows.sortBy(_._1)
+      val expected = sorted.scanLeft(0L) { case (acc, (_, c1, c2)) =>
+        acc + c1 * n2 - c2 * n1 }.tail.map(math.abs).max
+      val got = PrefixSums.maxEcdfCrossGap(rows.toDF("k", "c1", "c2"),
+        "k", "c1", "c2").head()
+      assert(got.getDecimal(0).longValueExact() === n1, s"flip=$flip")
+      assert(got.getDecimal(1).longValueExact() === n2, s"flip=$flip")
+      assert(got.getDecimal(2).longValueExact() === expected,
+        s"flip=$flip")
+    }
+    // identical per-key counts → every prefix term is 0 → gap 0
+    val same = Seq.tabulate(50)(i => (i.toLong * 3000L, 2L, 2L))
+    assert(PrefixSums.maxEcdfCrossGap(same.toDF("k", "c1", "c2"),
+      "k", "c1", "c2").head().getDecimal(2).longValueExact() === 0L)
+  }
+
   test("exclusiveOffsets plans no single-partition global window") {
     import spark.implicits._
     val df = Seq.tabulate(100)(i => (i.toLong * 37L, 1L)).toDF("k", "t")
