@@ -2671,16 +2671,24 @@ object SparkEntry {
     // appear NOWHERE else in the corpus (corpus-df = 1), in permille.
     // Boilerplate scores near 0, unique prose near 1000 — the cheap
     // n-gram-LM surprise proxy that stays integer-exact. Bigram df
-    // is a vocabulary-sized agg; everything else is map-side.
+    // is a vocabulary-sized agg; everything else is map-side. The
+    // distinct → df → join-back pipeline runs on 16-byte
+    // (xxhash64, len) bigram keys — the C1 exact-dedup key
+    // discipline — so its three bigram-volume exchanges shuffle
+    // fixed-width keys, never the bigram STRINGS (the r12 scale sweep
+    // measured the string-keyed shape at 3.9× wall on 5× data;
+    // bigram text never needs to leave the doc it came from).
     "text_oov" -> ((s, dir) => {
       val bi = Tables.documents(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .select(col("doc_id"), explode(expr(
           "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
             " (a, b) -> concat(a, ' ', b))")).as("bg"))
+        .select(col("doc_id"), xxhash64(col("bg")).as("bh"),
+          length(col("bg")).as("bl"))
         .distinct()
-      val df = bi.groupBy(col("bg")).agg(count(lit(1)).as("df"))
-      bi.join(df, "bg")
+      val df = bi.groupBy(col("bh"), col("bl")).agg(count(lit(1)).as("df"))
+      bi.join(df, Seq("bh", "bl"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
           (sum(when(col("df") === 1, 1L).otherwise(0L)) * 1000 /
