@@ -3255,7 +3255,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(expr("cast(round(q * 1000) as bigint)")).as("sum_quality_milli"),
           sum(col("n_tokens")).as("total_tokens"),
-          countDistinct(col("text")).as("n_distinct_texts"))),
+          // distinct over 16-byte (xxhash64, len) keys, not the text
+          // itself — the C1 exact-dedup key discipline: the distinct
+          // aggregation's exchange moves fixed-width keys and corpus
+          // bytes never leave the scan
+          countDistinct(xxhash64(col("text")), length(col("text")))
+            .as("n_distinct_texts"))),
 
     // fingerprint values are engine-internal, so the gate is a
     // PROPERTY contract over the whole corpus: injectivity (distinct
@@ -3274,9 +3279,12 @@ object SparkEntry {
           graft.functions.GraftFunctions.fingerprint(col("wr")).as("fp_rev"),
           (col("w") === col("wr")).as("palin"))
         .agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("text")).as("n_texts"),
-          (countDistinct(col("text")) - countDistinct(col("fp")))
-            .as("fp_collisions"),
+          // same (xxhash64, len) key discipline as corpus_stats: the
+          // injectivity contract needs distinct COUNTS, not the texts
+          countDistinct(xxhash64(col("text")), length(col("text")))
+            .as("n_texts"),
+          (countDistinct(xxhash64(col("text")), length(col("text"))) -
+            countDistinct(col("fp"))).as("fp_collisions"),
           sum(when(!col("palin") && col("fp") === col("fp_rev"), 1L)
             .otherwise(0L)).as("fp_order_violations"))
     }),
