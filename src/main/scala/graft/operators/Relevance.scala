@@ -33,25 +33,32 @@ object Relevance {
     */
   def salientTerms(docs: DataFrame, idCol: String, textCol: String,
                    k: Int): DataFrame = {
+    // Aggregations and joins run on 16-byte (xxhash64, len) term keys
+    // — the exact-dedup key discipline — so the corpus-sized tf
+    // exchange moves fixed-width keys, never term strings; strings
+    // re-attach through a vocabulary-sized dictionary at the end.
+    // Measured at sf0.5 (warm, cache cleared per run): string-keyed
+    // 2.50 s / 21.2 MB shuffled vs hash-keyed 1.92 s / 16.3 MB,
+    // identical output. (The r10-measured rejections still hold:
+    // deriving dl from tf and eager-persisting tf both lose to
+    // independent aggregations pipelining from the scan.)
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("term"))
-    // Measured at sf0.1 (warm, cache cleared per run): this direct
-    // formulation 1.6s; deriving dl from tf (one fewer logical
-    // explode) 1.9s; persisting tf with an eager fill 2.9s. The
-    // independent aggregations pipeline in parallel from the scan,
-    // which beats both the reuse chain and the cache-fill barrier —
-    // so the "optimization" stays un-applied on purpose.
-    val tf = tok.groupBy("doc_id", "term")
+      .select(col("doc_id"), xxhash64(col("term")).as("th"),
+        length(col("term")).as("tl"), col("term"))
+    val tf = tok.groupBy("doc_id", "th", "tl")
       .agg(count(lit(1)).as("tf"))
     val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dict = tok.select(col("th"), col("tl"), col("term")).distinct()
+    val df = tf.groupBy("th", "tl").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf
       .join(dl, "doc_id")
-      .join(broadcast(df), "term")
+      .join(broadcast(df), Seq("th", "tl"))
       .crossJoin(broadcast(n))
       .withColumn("score_micro",
         expr("(1000000L * tf * n_docs) div (dl * df)"))
+      .join(broadcast(dict), Seq("th", "tl"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_micro").desc, col("term"))
     scored.withColumn("rank", row_number().over(w))
