@@ -2711,16 +2711,23 @@ object SparkEntry {
     // shape, all sources at once). The join runs on hashed distinct
     // bigrams per source (vocabulary-sized), never documents.
     "q_source_overlap" -> ((s, dir) => {
+      // bigrams reduce to 16-byte (xxhash64, len) keys BEFORE the
+      // distinct, so the vocabulary exchange and the all-pairs
+      // self-join both move fixed-width keys; bigram text never
+      // leaves the scan (the C1 key discipline — the result is
+      // counts, so strings are never needed downstream)
       val sb = Tables.documents(s, dir)
         .select(col("source"), split(col("text"), " ").as("w"))
         .select(col("source"), explode(expr(
           "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
             " (a, b) -> concat(a, ' ', b))")).as("bg"))
+        .select(col("source"), xxhash64(col("bg")).as("bh"),
+          length(col("bg")).as("bl"))
         .distinct()
-      val a = sb.select(col("source").as("src_a"), col("bg"))
-      val b = sb.select(col("source").as("src_b"), col("bg"))
+      val a = sb.select(col("source").as("src_a"), col("bh"), col("bl"))
+      val b = sb.select(col("source").as("src_b"), col("bh"), col("bl"))
       val sizes = a.groupBy(col("src_a")).agg(count(lit(1)).as("n_a"))
-      a.join(b, "bg")
+      a.join(b, Seq("bh", "bl"))
         .filter(col("src_a") =!= col("src_b"))
         .groupBy(col("src_a"), col("src_b"))
         .agg(count(lit(1)).as("n_shared"))
