@@ -2557,33 +2557,41 @@ object SparkEntry {
     // on (w1, w2), the unigram table broadcasts.
     "q_lm_score" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // The pair stream carries ONLY fixed-width keys: a pair hash
+      // (xxhash64 over both words) with both word lengths as the
+      // collision guard, plus the w1 hash for the unigram derivation
+      // — word strings never leave the scan (the C1 key discipline;
+      // the output is per-doc integers, so strings are never needed).
       val pairs = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
         .select(col("doc_id"), explode(expr(
           "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
             " (a, b) -> struct(a, b))")).as("p"))
-        .select(col("doc_id"), col("p.a").as("w1"), col("p.b").as("w2"))
-      val bg = pairs.groupBy(col("w1"), col("w2"))
-        .agg(count(lit(1)).as("n12"))
+        .select(col("doc_id"),
+          xxhash64(col("p.a"), col("p.b")).as("ph"),
+          length(col("p.a")).as("pl"), length(col("p.b")).as("pl2"),
+          xxhash64(col("p.a")).as("uh"))
+      val bg = pairs.groupBy(col("ph"), col("pl"), col("pl2"))
+        .agg(count(lit(1)).as("n12"), max(col("uh")).as("uh"))
       // ug is DERIVED from bg — ug(w1) counts pairs grouped by w1,
       // which is exactly Σ_w2 n12(w1, w2) — so the unigram table
       // costs one vocabulary-sized agg over the already-built bigram
       // table instead of a third tokenize+explode pass over the
-      // corpus (the r13 sweep's sole >8x-wall-at-10x row: its cost
-      // was three corpus scans, not the 2.3 MB of shuffle).
-      val ug = bg.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
-      // SHUFFLE_HASH on the count tables, not broadcast: both are
-      // vocabulary-sized and grow with the corpus (Heaps' law), so
-      // at scale they cross any broadcast threshold anyway — and the
-      // measured local cost of broadcasting them is a single-threaded
-      // multi-million-row relation build that dominated this query's
-      // wall (A/B at 1x/5x/10x data: 1.34/3.06/5.15 s warm broadcast
-      // vs 0.99/2.53/4.43 shuffle-hash — the 10x-data wall ratio
-      // drops 8.0x -> 4.5x). Hash side = the aggregated tables; the
-      // token-pair stream streams through both joins.
-      pairs
-        .join(bg.hint("shuffle_hash"), Seq("w1", "w2"))
-        .join(ug.hint("shuffle_hash"), Seq("w1"))
-        .withColumn("p_micro", expr("n12 * 1000000 div n1"))
+      // corpus. (uh, pl) is the w1 key: uh alone suffices, pl rides
+      // along as the same collision guard the pair key uses.
+      val ug = bg.groupBy(col("uh"), col("pl")).agg(sum(col("n12")).as("n1"))
+      // Per-PAIR scores materialize on the vocabulary-sized table
+      // first, so the corpus-scale pair stream takes exactly ONE
+      // exchange (the score join); both count-table joins are
+      // SHUFFLE_HASH, never broadcast — vocabulary grows with the
+      // corpus (Heaps' law) and the measured broadcast build
+      // dominated wall. A/B at 1x/5x/10x data, warm wall / shuffle:
+      // string-keyed 1.12/2.84/5.34 s, 5.7/31.2/63.9 MB vs this
+      // shape 0.90/2.00/3.72 s, 2.2/11.9/25.2 MB — identical output.
+      val sc = bg.join(ug.hint("shuffle_hash"), Seq("uh", "pl"))
+        .select(col("ph"), col("pl"), col("pl2"),
+          expr("n12 * 1000000 div n1").as("p_micro"))
+      pairs.select(col("doc_id"), col("ph"), col("pl"), col("pl2"))
+        .join(sc.hint("shuffle_hash"), Seq("ph", "pl", "pl2"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
           expr("sum(p_micro) div count(1)").as("lm_micro"))
