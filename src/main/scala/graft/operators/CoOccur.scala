@@ -7,14 +7,28 @@ import org.apache.spark.sql.functions._
   * together" primitive behind recommendation candidate generation and
   * bipartite-graph projection (users×items → item-item edges).
   *
-  * Scale discipline: the pair generator is a self-join of baskets on
-  * the group key, so its cost is Σ|basket|² — bounded ONLY if baskets
-  * are. `maxBasket` drops groups above the cap before pairing (the
-  * standard skew guard: a crawler or bot account with 10⁵ items would
-  * otherwise contribute 10¹⁰ pairs and dominate both cost and counts
-  * with noise). The cap is part of the operator's contract and the
-  * gate's oracle mirrors it, so the bound is gate-visible. Basket
-  * membership is deduplicated first — a pair counts once per group.
+  * Scale discipline: pair generation is Σ|basket|² no matter how it is
+  * executed — bounded ONLY if baskets are. `maxBasket` drops groups
+  * above the cap before pairing (the standard skew guard: a crawler or
+  * bot account with 10⁵ items would otherwise contribute 10¹⁰ pairs
+  * and dominate both cost and counts with noise). The cap is part of
+  * the operator's contract and the gate's oracle mirrors it. Basket
+  * membership is deduplicated — a pair counts once per group — and a
+  * NULL item is not an item (it joins no pair and holds no count).
+  *
+  * Execution shape (r13): ONE exchange builds the capped baskets —
+  * `groupBy(g).agg(sort_array(collect_set(it)))` with map-side partial
+  * sets, then a `size ≤ cap` filter — and pairs EXPAND IN-TASK from
+  * each sorted array (every (i, j>i) index pair, ≤ cap²/2 structs per
+  * basket) straight into the pair-count aggregation. The previous
+  * shape spent five exchanges getting there: distinct → size-count →
+  * semi-join back → basket self-join on the group key → pair agg
+  * (measured on the sf0.1 rules build: 56 → 11 CPU-s and 58 → 32 MB
+  * shuffled; the stored-table readers' scans cheapened too). A hub
+  * group's distinct set does materialize once in the
+  * agg buffer before the filter drops it (cap-breaching sets cost
+  * bytes ∝ distinct items, same order as the rows the old distinct
+  * shuffled for the same group — not a new exposure).
   */
 object CoOccur {
 
@@ -22,24 +36,20 @@ object CoOccur {
     * n_co)` with `item_a < item_b`, counting GROUPS (not rows), over
     * groups of ≤ `maxBasket` distinct items.
     *
-    * `finish` runs INSIDE the pinned-basket scope (pass the caller's
+    * `finish` runs before the result pins (pass the caller's
     * filter/top-k so only the bounded answer materializes); the
-    * result is pinned via localCheckpoint and the basket pin is
-    * released before returning — a long-lived session accumulates no
-    * basket frames (the Graph.pageRank discipline). NOTE the
-    * checkpoint is EAGER at call time: with the default
-    * `finish = identity` the FULL pair table materializes here — at
-    * scale always pass a bounding `finish` (or use
+    * result is an EAGER localCheckpoint at call time — with the
+    * default `finish = identity` the FULL pair table materializes
+    * here, so at scale always pass a bounding `finish` (or use
     * [[buildRulesTable]] and read the stored table).
     */
   def pairCounts(df: DataFrame, groupCol: String, itemCol: String,
                  maxBasket: Int,
-                 finish: DataFrame => DataFrame = identity): DataFrame = {
-    val bounded = boundedBaskets(df, groupCol, itemCol, maxBasket)
-    val out = finish(pairCountsOf(bounded)).localCheckpoint(true)
-    bounded.unpersist(blocking = false)
-    out
-  }
+                 finish: DataFrame => DataFrame = identity): DataFrame =
+    // single-consumer pipeline (baskets feed exactly one agg): no
+    // basket pin to hold or release, unlike the rules variants below
+    finish(pairCountsOf(baskets(df, groupCol, itemCol, maxBasket)))
+      .localCheckpoint(true)
 
   /** Association RULES from the same capped projection: each
     * unordered pair annotated with the exact integer rule metrics —
@@ -53,11 +63,12 @@ object CoOccur {
   def associationRules(df: DataFrame, groupCol: String, itemCol: String,
                        maxBasket: Int,
                        finish: DataFrame => DataFrame = identity): DataFrame = {
-    val bounded = boundedBaskets(df, groupCol, itemCol, maxBasket)
-    // same release discipline as pairCounts: finish inside the pin
-    // scope, checkpoint the bounded answer, drop the basket pin
-    val out = finish(rulesOf(bounded)).localCheckpoint(true)
-    bounded.unpersist(blocking = false)
+    // three consumers (pairs, item counts, group count) read the
+    // capped baskets: pin, finish inside the pin scope, checkpoint
+    // the bounded answer, release (the Graph.pageRank discipline)
+    val b = baskets(df, groupCol, itemCol, maxBasket).persist()
+    val out = finish(rulesOf(b)).localCheckpoint(true)
+    b.unpersist(blocking = false)
     out
   }
 
@@ -74,17 +85,20 @@ object CoOccur {
     */
   def buildRulesTable(df: DataFrame, groupCol: String, itemCol: String,
                       maxBasket: Int, minCo: Long, path: String): Unit = {
-    val bounded = boundedBaskets(df, groupCol, itemCol, maxBasket)
-    rulesOf(bounded).filter(col("n_co") >= minCo)
+    val b = baskets(df, groupCol, itemCol, maxBasket).persist()
+    rulesOf(b).filter(col("n_co") >= minCo)
       .write.mode("overwrite").parquet(path)
-    bounded.unpersist(blocking = false)
+    b.unpersist(blocking = false)
   }
 
-  private def rulesOf(bounded: DataFrame): DataFrame = {
-    val itemCnt = bounded.groupBy(col("it")).agg(count(lit(1)).as("n_i"))
-    val nGroups = bounded.agg(
-      countDistinct(col("g")).as("n_groups"))
-    pairCountsOf(bounded)
+  private def rulesOf(baskets: DataFrame): DataFrame = {
+    // n_i = baskets containing item i: one in-task explode of the
+    // capped arrays, map-side combinable
+    val itemCnt = baskets.select(explode(col("items")).as("it"))
+      .groupBy(col("it")).agg(count(lit(1)).as("n_i"))
+    // one array row per capped group, so N is a plain row count
+    val nGroups = baskets.agg(count(lit(1)).as("n_groups"))
+    pairCountsOf(baskets)
       .join(itemCnt.select(col("it").as("item_a"), col("n_i").as("n_a")),
         "item_a")
       .join(itemCnt.select(col("it").as("item_b"), col("n_i").as("n_b")),
@@ -100,28 +114,36 @@ object CoOccur {
           .as("lift_micro"))
   }
 
-  /** Distinct membership, groups above `maxBasket` dropped.
-    * Persisted + eagerly filled (the ngramJaccard pattern): the pair
-    * self-join reads it twice and the rule metrics add two more
-    * consumers — unpinned, each re-runs the source join + distinct
-    * (measured 3.0 s → 1.9 s on the rule query at sf0.1). Two longs
-    * per row; callers unpersist it before returning.
+  /** Capped baskets as SORTED DISTINCT item arrays, one row per
+    * surviving group: a single exchange on the group key (collect_set
+    * dedups in the map-side partials), groups above `maxBasket`
+    * filtered out by array size. The sort makes in-array pair
+    * expansion emit `item_a < item_b` directly.
     */
-  private def boundedBaskets(df: DataFrame, groupCol: String,
-                             itemCol: String, maxBasket: Int): DataFrame = {
-    val b = df.select(col(groupCol).as("g"), col(itemCol).as("it"))
-      .distinct()
-    val small = b.groupBy(col("g")).agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= maxBasket)
-      .select(col("g"))
-    val bounded = b.join(small, Seq("g"), "left_semi").persist()
-    bounded.count()
-    bounded
-  }
+  private def baskets(df: DataFrame, groupCol: String,
+                      itemCol: String, maxBasket: Int): DataFrame =
+    df.select(col(groupCol).as("g"), col(itemCol).as("it"))
+      .groupBy(col("g"))
+      .agg(sort_array(collect_set(col("it"))).as("items"))
+      .filter(size(col("items")) <= maxBasket)
+      .select(col("items"))
 
-  private def pairCountsOf(bounded: DataFrame): DataFrame =
-    bounded.alias("a").join(bounded.alias("b"),
-        col("a.g") === col("b.g") && col("a.it") < col("b.it"))
-      .groupBy(col("a.it").as("item_a"), col("b.it").as("item_b"))
+  /** Every (i, j>i) index pair of each sorted basket array, expanded
+    * in-task (≤ maxBasket²/2 pairs per row) and counted — no basket
+    * self-join, no second exchange of basket rows. Two chained
+    * GENERATORS (posexplode the anchor, explode the tail slice)
+    * rather than one flatten/transform HOF building an array of
+    * structs: generators stream through whole-stage codegen while the
+    * HOF allocates every pair as an InternalRow outside it (measured
+    * warm at sf0.1: 0.5 s vs 1.0 s HOF vs 1.7 s self-join for the
+    * same 34k surviving pairs).
+    */
+  private def pairCountsOf(baskets: DataFrame): DataFrame =
+    baskets
+      .select(col("items"), posexplode(col("items")).as(Seq("i", "item_a")))
+      .select(col("item_a"),
+        explode(slice(col("items"), col("i") + lit(2), size(col("items"))))
+          .as("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_co"))
 }

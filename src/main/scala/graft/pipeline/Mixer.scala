@@ -176,37 +176,63 @@ object Mixer {
     * "looks like the target" ordering signal while staying
     * hash-oracle-able.)
     *
-    * Scale shape: ONE corpus scan builds both bucket-count columns
-    * (target counts ride along as a conditional sum — never a second
-    * pass), the ratio table is `buckets` rows and BROADCASTS to the
-    * per-document scoring join, and both aggs are map-side
-    * combinable. Ratio numerators cross 2^63 once corpus tokens reach
-    * ~1e12× smoothing, so they accumulate in DECIMAL(38,0) — exact to
-    * 1e38, far past any corpus.
+    * Scale shape (r13): ONE corpus scan builds both bucket-count
+    * columns (target counts ride along as a conditional sum — never a
+    * second pass, both aggs map-side combinable), and the `buckets`-row
+    * ratio table comes back to the driver as a DENSE Long array — the
+    * bounded model pull, exactly the IVF-centroid convention (`buckets`
+    * is a model-size knob, 2048 by default, never data-scale). Scoring
+    * is then a PURE MAP-SIDE second scan: each document folds its
+    * tokens through the literal ratio array with an `aggregate` HOF —
+    * one output row per input row, no token explode, no ratio join, no
+    * doc-keyed exchange (the previous shape paid all three; measured
+    * at sf0.1: 1.5 → 0.9 s wall, 1.8 → 0.6 CPU-s, 98 KB → 1.7 KB
+    * shuffled). Per-document
+    * sums accumulate in DECIMAL(38,0) (token-count × ratio crosses
+    * 2^63 for large docs against rare targets); a single RATIO fits
+    * BIGINT µ until one bucket's target:raw concentration crosses
+    * ~9e12:1 — a degenerate corpus, not a statistic.
     *
     * `isTarget` marks the in-domain rows (e.g. a curated source);
     * output is one `(id, n_tokens, w_micro)` row per document.
     */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
                   isTarget: Column, buckets: Int = 2048): DataFrame = {
-    val tok = docs
-      .select(col(idCol), isTarget.as("_t"),
+    def bucketOf(w: Column) =
+      pmod(conv(substring(md5(w), 1, 6), 16, 10)
+        .cast(LongType), lit(buckets.toLong))
+    // bounded driver pull: ≤ `buckets` (count, target-count) rows
+    val counts = docs
+      .select(isTarget.as("_t"),
         explode(split(col(textCol), " ")).as("_w"))
-      .select(col(idCol), col("_t"),
-        pmod(conv(substring(md5(col("_w")), 1, 6), 16, 10)
-          .cast(LongType), lit(buckets.toLong)).as("_b"))
-    val bc = tok.groupBy(col("_b")).agg(
-      count(lit(1)).as("_cr"),
-      sum(when(col("_t"), 1L).otherwise(0L)).as("_ct"))
-    val tot = bc.agg(sum(col("_cr")).as("_nr"), sum(col("_ct")).as("_nt"))
-    val ratio = broadcast(bc.crossJoin(broadcast(tot))
-      .select(col("_b"),
-        expr(s"CAST(_ct + 1 AS DECIMAL(38,0)) * (_nr + $buckets) * 1000000" +
-          s" div (CAST(_cr + 1 AS DECIMAL(38,0)) * (_nt + $buckets))")
-          .as("_r")))
-    tok.join(ratio, "_b")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("_r")).as("_s"))
+      .select(col("_t"), bucketOf(col("_w")).as("_b"))
+      .groupBy(col("_b")).agg(
+        count(lit(1)).as("_cr"),
+        sum(when(col("_t"), 1L).otherwise(0L)).as("_ct"))
+      .collect()
+    val cr = new Array[Long](buckets)
+    val ct = new Array[Long](buckets)
+    counts.foreach { r =>
+      val b = r.getLong(0).toInt
+      cr(b) = r.getLong(1); ct(b) = r.getLong(2)
+    }
+    val nr = BigInt(cr.sum); val nt = BigInt(ct.sum)
+    // add-one-smoothed integer ratio per bucket, BigInt floor division
+    // (identical to the DECIMAL(38,0) div the oracle mirrors); buckets
+    // no token touched get the same smoothed ratio with cr = ct = 0
+    val ratios = Array.tabulate(buckets) { b =>
+      ((BigInt(ct(b)) + 1) * (nr + buckets) * 1000000 /
+        ((BigInt(cr(b)) + 1) * (nt + buckets))).toLong
+    }
+    val rlit = typedLit(ratios)
+    val toks = split(col(textCol), " ")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol), size(toks).cast(LongType).as("n_tokens"),
+        aggregate(toks, lit(java.math.BigDecimal.ZERO).cast(dec38),
+          (acc, w) => (acc + element_at(rlit,
+            (bucketOf(w) + 1).cast("int")).cast(dec38)).cast(dec38))
+          .as("_s"))
       .select(col(idCol), col("n_tokens"),
         expr("CAST(_s div n_tokens AS BIGINT)").as("w_micro"))
   }

@@ -23,6 +23,21 @@ class CoOccurSpec extends AnyFunSuite with SparkSpec {
       (20L, 30L) -> 1L))
   }
 
+  test("null memberships are not items: they pair with nothing, hold " +
+      "no count, and do not push a basket over the cap") {
+    val rows: Seq[(Long, java.lang.Long)] = Seq(
+      (1L, 10L), (1L, 20L), (1L, null),
+      // group 2 has exactly cap distinct REAL items + a null row: the
+      // null must not count toward the cap
+      (2L, 10L), (2L, 20L), (2L, 30L), (2L, null))
+    val got = CoOccur.pairCounts(rows.toDF("g", "it"), "g", "it",
+        maxBasket = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got === Map((10L, 20L) -> 2L, (10L, 30L) -> 1L,
+      (20L, 30L) -> 1L))
+  }
+
   test("associationRules: hand-computed support/confidence/lift, and " +
       "a perfectly-dependent pair lifts above an independent one") {
     // 4 baskets: {A,B} {A,B} {A,C} {C}; A=10, B=20, C=30

@@ -53,6 +53,15 @@ class EmptyInputSpec extends AnyFunSuite with SparkSpec {
     idx.shingles.unpersist(blocking = false)
   }
 
+  test("co-occurrence mining handles empty inputs") {
+    // exercises the r13 in-array pair expansion on zero basket rows
+    val none = noDocs.select(col("doc_id").as("g"), col("doc_id").as("it"))
+    assert(graft.operators.CoOccur.pairCounts(none, "g", "it",
+      maxBasket = 5).count() === 0)
+    assert(graft.operators.CoOccur.associationRules(none, "g", "it",
+      maxBasket = 5).count() === 0)
+  }
+
   test("stored-IVF serving handles empty query sets") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_empty")
       .toString
