@@ -1535,10 +1535,16 @@ object SparkEntry {
       }
       val a1 = normed(edges.groupBy(col("dst").as("node"))
         .agg((count(lit(1)) * 1000000L).as("a1")), "a1")
-      val h1 = normed(edges.join(a1, edges("dst") === a1("node"))
+      // shuffle_hash on the node-sized side (the Graph.pageRank
+      // finding): a checkpointed frame has no size stats, so the
+      // planner's default is a sort-merge join that re-sorts the
+      // pinned edge cache every half-round
+      val h1 = normed(edges.join(a1.hint("shuffle_hash"),
+          edges("dst") === a1("node"))
         .groupBy(edges("src").as("node")).agg(sum(col("a1n")).as("h1")),
         "h1")
-      val a2 = normed(edges.join(h1, edges("src") === h1("node"))
+      val a2 = normed(edges.join(h1.hint("shuffle_hash"),
+          edges("src") === h1("node"))
         .groupBy(edges("dst").as("node")).agg(sum(col("h1n")).as("a2")),
         "a2")
       // 20-row checkpoint, then release the edge pin (Graph pattern)
