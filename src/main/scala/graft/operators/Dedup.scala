@@ -439,13 +439,24 @@ object Dedup {
     * are row-wise unions with no ordering dependence.
     */
   def extendIndex(index: MinhashIndex, batch: DataFrame,
-                  idCol: String, textCol: String): MinhashIndex = {
-    val b = buildBandIndex(batch, idCol, textCol, index.shingleN,
-      index.k, index.nBands)
+                  idCol: String, textCol: String): MinhashIndex =
+    extendIndex(index, buildBandIndex(batch, idCol, textCol,
+      index.shingleN, index.k, index.nBands))
+
+  /** Union an existing index with a PREBUILT batch sub-index — the
+    * overload for callers that need to release the batch's shingle
+    * pin after saving the extension (the DataFrame variant above
+    * builds the sub-index internally, where its pin is unreachable).
+    * Parameters must match; the base is typically
+    * [[loadBandIndex]]-ed, so extension never re-shingles the corpus.
+    */
+  def extendIndex(index: MinhashIndex, batch: MinhashIndex): MinhashIndex = {
+    require(batch.shingleN == index.shingleN && batch.k == index.k &&
+      batch.nBands == index.nBands, "index parameters must match")
     MinhashIndex(
-      index.bands.unionByName(b.bands),
-      index.shingles.unionByName(b.shingles),
-      index.sizes.unionByName(b.sizes),
+      index.bands.unionByName(batch.bands),
+      index.shingles.unionByName(batch.shingles),
+      index.sizes.unionByName(batch.sizes),
       index.shingleN, index.k, index.nBands)
   }
 
