@@ -724,10 +724,15 @@ object SparkEntry {
         .withColumn("pidx", pmod(
           conv(substring(md5(concat_ws(":", col("cust"), col("item"),
             col("j"))), 1, 15), 16, 10).cast(LongType), lit(nItems)))
+      // shuffle_hash on both bounded sides (dictionary index, positive
+      // set): the default is two sort-merge joins that sort the probe
+      // stream twice for nothing — hash tables on the item-dictionary
+      // and per-cust positive sides stream the probes through
       probes
         .join(idx.select(col("idx").as("pidx"),
-          col("p_partkey").as("neg_item")), "pidx")
-        .join(pos.select(col("cust"), col("item").as("neg_item")),
+          col("p_partkey").as("neg_item")).hint("shuffle_hash"), "pidx")
+        .join(pos.select(col("cust"), col("item").as("neg_item"))
+          .hint("shuffle_hash"),
           Seq("cust", "neg_item"), "left_anti")
         .select(col("cust"), col("item").as("pos_item"), col("j"),
           col("neg_item"))
