@@ -94,11 +94,19 @@ object Relevance {
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(split(lower(col(textCol)), " ")).as("term"))
       .filter(col("term").rlike("^[a-z]+$"))
+    // ONE token-scale pass: dl, df, and the corpus token total all
+    // derive from the (doc, term) tf table (Σtf per doc ≡ the doc's
+    // filtered token count; the old shape re-tokenized the corpus for
+    // dl and again for n_tokens — three explodes for one). tf pins
+    // across its three consumers and releases before return.
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .persist()
+    tf.count() // eager fill — broadcast-side consumers run as
+               // concurrent futures (see ngramJaccard's lock finding)
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(tok.agg(count(lit(1)).as("n_tokens")))
+      .crossJoin(tf.agg(sum(col("tf")).as("n_tokens")))
       .select(col("n_docs"), expr("n_tokens div n_docs").as("avgdl"))
     val topk = tf.filter(col("term").isin(queryTerms: _*))
       .join(dl, "doc_id")
@@ -119,6 +127,9 @@ object Relevance {
     // planning a WindowExec with no partition key (round-8 finding:
     // Catalyst folds partitionBy(lit(0)) to an unpartitioned window).
     val rows = topk.collect()
+    // the k collected rows are the whole result; drop the tf pin
+    // before building the local relation (nothing downstream reads it)
+    tf.unpersist(blocking = false)
     val schema = org.apache.spark.sql.types.StructType(
       topk.schema.fields :+ org.apache.spark.sql.types.StructField(
         "rank", org.apache.spark.sql.types.LongType, nullable = false))
