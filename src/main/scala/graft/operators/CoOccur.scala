@@ -126,7 +126,6 @@ object CoOccur {
       .groupBy(col("g"))
       .agg(sort_array(collect_set(col("it"))).as("items"))
       .filter(size(col("items")) <= maxBasket)
-      .select(col("items"))
 
   /** Every (i, j>i) index pair of each sorted basket array, expanded
     * in-task (≤ maxBasket²/2 pairs per row) and counted — no basket
@@ -138,12 +137,23 @@ object CoOccur {
     * warm at sf0.1: 0.5 s vs 1.0 s HOF vs 1.7 s self-join for the
     * same 34k surviving pairs).
     */
-  private def pairCountsOf(baskets: DataFrame): DataFrame =
+  private def pairCountsOf(baskets: DataFrame): DataFrame = {
+    // explicit repartition ahead of the generators: basket arrays are
+    // COMPACT (≤ cap items per row), so AQE's size heuristic would
+    // coalesce the exchange to ~1 partition and run the up-to-cap²/2
+    // pair amplification serially in that task (the
+    // shingleIntersections finding — never let a size-based optimizer
+    // decision gate a compute-amplifying operator). User-specified
+    // partition counts are exempt from AQE coalescing.
+    val nParts =
+      baskets.sparkSession.sessionState.conf.numShufflePartitions
     baskets
+      .repartition(nParts, col("g"))
       .select(col("items"), posexplode(col("items")).as(Seq("i", "item_a")))
       .select(col("item_a"),
         explode(slice(col("items"), col("i") + lit(2), size(col("items"))))
           .as("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_co"))
+  }
 }
