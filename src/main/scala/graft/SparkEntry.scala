@@ -2119,10 +2119,16 @@ object SparkEntry {
             .as("dst"))
         .join(cells.select(col("cell").as("dst")), "dst")
         .filter(col("src") < col("dst"))
-      val comp = Graph.connectedComponents(edges)
+      // the dense-cell graph is GRID-BOUNDED (≤ 20×20 cells by
+      // construction), so the ≤64k-edge driver union-find fast path
+      // in Dedup.clusters replaces O(log diameter) distributed
+      // join+checkpoint rounds with one bounded collect — same min-id
+      // labels (B73's q_components still forces the distributed loop)
+      val comp = Dedup.clusters(
+        edges.select(col("src").as("a"), col("dst").as("b")), "a", "b")
       // cluster-bounded checkpoint, then drop the cell pin
-      val out = cells.join(comp, cells("cell") === comp("node"), "left")
-        .select(coalesce(col("component"), col("cell")).as("cluster_id"),
+      val out = cells.join(comp, cells("cell") === comp("doc_id"), "left")
+        .select(coalesce(col("cluster_id"), col("cell")).as("cluster_id"),
           col("n"))
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("n_cells"),
