@@ -5,9 +5,17 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // normalized boolean: "1"/"TRUE "/"yes" would otherwise reach the
-    // session builder verbatim and throw an opaque conf-parse error
-    val aqe = sys.env.get("SPARK_GRAFT_AQE").map(_.trim.toLowerCase)
-      .exists(v => v == "true" || v == "1" || v == "yes").toString
+    // session builder verbatim and throw an opaque conf-parse error;
+    // junk ("banana") fails HERE with the variable named, instead of
+    // silently meaning false
+    val aqe = sys.env.get("SPARK_GRAFT_AQE").map(_.trim.toLowerCase) match {
+      case None | Some("") => "false"
+      case Some("true") | Some("1") | Some("yes") | Some("on") => "true"
+      case Some("false") | Some("0") | Some("no") | Some("off") => "false"
+      case Some(other) => sys.error(
+        s"SPARK_GRAFT_AQE='$other' is not a boolean — use true/1/yes/on " +
+          "or false/0/no/off (unset = false)")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -334,9 +334,11 @@ object Similarity {
     // the old per-subspace inner loop ran m×iters sequential jobs,
     // each re-scanning the sample to read one slice (measured at
     // sf0.1: the model build fell 24 jobs → 3 and 5.0 → 1.5 CPU-s).
-    // Per-(s, cl) input rows and their in-partition order are
-    // identical to the per-subspace jobs', so the trained centroids
-    // are bit-identical.
+    // Per-(s, cl) input rows are identical to the per-subspace
+    // jobs'; partial-buffer merge order (hence low-order float bits
+    // of the avg) may differ because groupBy(s, cl) hashes rows to
+    // different shuffle partitions than groupBy(cl) — the guarantee
+    // is same-input approximate equality, not bit-identity.
     for (_ <- 0 until iters) {
       val entries = (0 until m).map { s =>
         val sv = subvec(col("vecd"), s, dsub)
@@ -354,7 +356,11 @@ object Similarity {
         .map(r => (r.getInt(0), r.getInt(1)) ->
           Array.tabulate(dsub)(i => r.getDouble(i + 2)))
         .toMap
-      books = Array.tabulate(m)(s => Array.tabulate(ksub)(c =>
+      // sized to books(s).length, not ksub: a training sample smaller
+      // than ksub inits fewer centroids, and assignTo only ever emits
+      // indices < books(s).length — tabulating to ksub would read
+      // books(s)(c) out of bounds for the never-assignable tail
+      books = Array.tabulate(m)(s => Array.tabulate(books(s).length)(c =>
         updated.getOrElse((s, c), books(s)(c))))
     }
     PqModel(books)
