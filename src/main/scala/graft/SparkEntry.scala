@@ -101,10 +101,11 @@ object SparkEntry {
     * containing the term (per-doc-distinct explode), matching
     * bm25Rank's df table and the oracle's ranked CTE.
     */
-  private def searchRankedTerms(docs: DataFrame): Seq[String] = {
-    val top = docs.select(
-        explode(array_distinct(split(lower(col("text")), " "))).as("term"))
-      .filter(col("term").rlike("^[a-z]+$"))
+  private def searchRankedTermsTok(dtokLower: DataFrame): Seq[String] = {
+    // df ranks over the stored per-doc-distinct lowercased stream
+    // (_build_postings/dtokens_lower — the distinct was computed
+    // in-array at build, so this is ONE vocabulary-sized agg)
+    val top = dtokLower
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("term")).limit(30).collect()
     Seq(top(9).getString(0), top(19).getString(0), top(29).getString(0))
@@ -665,9 +666,14 @@ object SparkEntry {
     }),
 
     // corpus-wide TF-IDF (rational idf, integer micro units — see
-    // operators.Relevance for the engine-portability rationale)
+    // operators.Relevance for the engine-portability rationale).
+    // Serves from the STORED token stream (_build_postings); n_docs
+    // still counts the documents table itself (footer-only count) so
+    // tokenless docs stay in the idf denominator.
     "q_tfidf" -> ((s, dir) =>
-      Relevance.salientTerms(Tables.documents(s, dir), "doc_id", "text", 3)),
+      Relevance.salientTermsTok(
+        tokensOf(s, dir).select(col("doc_id"), col("term")),
+        Tables.documents(s, dir).agg(count(lit(1)).as("n_docs")), 3)),
 
     // typo-level variants in the part-name DICTIONARY (distinct
     // values, first-token blocking, exact levenshtein verify — see
@@ -746,19 +752,17 @@ object SparkEntry {
     // word; mentions counted per (doc, phrase). Never a LIKE scan,
     // never a corpus-wide positional self-join.
     "q_phrase_tag" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val bi = docs.select(split(col("text"), " ").as("w"))
-        .select(explode(expr(
-          "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
-            " (a, b) -> struct(a, b))")).as("p"))
-        .select(col("p.a").as("wa"), col("p.b").as("wb"))
+      // bigram dict and positional postings both serve from the
+      // stored token/pair streams (_build_postings) — no re-tokenize
+      val bi = pairsOf(s, dir, 1)
+        .select(col("w_a").as("wa"), col("w_b").as("wb"))
         .groupBy("wa", "wb").agg(count(lit(1)).as("n"))
       val dict = bi.orderBy(col("n").desc, col("wa"), col("wb"))
         .limit(20)
         .select(col("wa"), col("wb"),
           concat_ws(" ", col("wa"), col("wb")).as("phrase"))
-      val tok = docs.select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val tok = tokensOf(s, dir)
+        .select(col("doc_id"), col("pos"), col("term").as("w"))
       tok.join(broadcast(dict), col("w") === col("wa"))
         .select(col("doc_id"), col("pos"), col("phrase"), col("wb"))
         .join(tok.select(col("doc_id"), (col("pos") - 1).as("pos"),
@@ -877,17 +881,14 @@ object SparkEntry {
     // zip of each doc's token array against its 1- and 2-shifted
     // tails, so only pair counts ever shuffle
     "q_skipgram_pmi" -> ((s, dir) => {
-      val words = split(col("text"), " ")
-      def pairsAt(d: Int) = zip_with(
-        slice(words, lit(1), greatest(size(words) - d, lit(0))),
-        slice(words, lit(1 + d), greatest(size(words) - d, lit(0))),
-        (a, b) => struct(least(a, b).as("w_a"), greatest(a, b).as("w_b")))
-      val docs = Tables.documents(s, dir)
-      val co = docs
-        .select(explode(concat(pairsAt(1), pairsAt(2))).as("p"))
-        .select(col("p.w_a").as("w_a"), col("p.w_b").as("w_b"))
+      // the ±2 window is exactly the stored d ∈ {1,2} pair stream
+      // (_build_postings); unordered-pair canonicalization happens
+      // map-side over the columnar scan
+      val co = operators.Postings.pairsAll(s, postingsDir(s, dir))
+        .select(least(col("w_a"), col("w_b")).as("w_a"),
+          greatest(col("w_a"), col("w_b")).as("w_b"))
         .groupBy("w_a", "w_b").agg(count(lit(1)).as("n_ab"))
-      val uni = docs.select(explode(words).as("w"))
+      val uni = tokensOf(s, dir).select(col("term").as("w"))
         .groupBy("w").agg(count(lit(1)).as("n"))
       // vocabulary-sized tables: no broadcast hint (Heaps-law growth —
       // the q_lm_score rule); the two 1-row totals do broadcast
@@ -906,17 +907,12 @@ object SparkEntry {
     }),
 
     "q_collocations" -> ((s, dir) => {
-      val words = split(col("text"), " ")
-      val pairs = zip_with(
-        slice(words, lit(1), greatest(size(words) - 1, lit(0))),
-        slice(words, lit(2), greatest(size(words) - 1, lit(0))),
-        (a, b) => struct(a.as("w_a"), b.as("w_b")))
-      val bi = Tables.documents(s, dir)
-        .select(explode(pairs).as("p"))
-        .select(col("p.w_a").as("w_a"), col("p.w_b").as("w_b"))
+      // adjacent bigrams and unigrams serve from the stored streams
+      // (_build_postings): two columnar scans, zero re-tokenization
+      val bi = pairsOf(s, dir, 1)
+        .select(col("w_a"), col("w_b"))
         .groupBy("w_a", "w_b").agg(count(lit(1)).as("n_ab"))
-      val uni = Tables.documents(s, dir)
-        .select(explode(split(col("text"), " ")).as("w"))
+      val uni = tokensOf(s, dir).select(col("term").as("w"))
         .groupBy("w").agg(count(lit(1)).as("n"))
       val tot = uni.agg(sum(col("n")).cast(LongType).as("n_w"))
       bi.join(broadcast(uni.select(col("w").as("w_a"), col("n").as("n_a"))), "w_a")
@@ -2573,20 +2569,18 @@ object SparkEntry {
     // corpus scan builds both count tables; the bigram table joins
     // on (w1, w2), the unigram table broadcasts.
     "q_lm_score" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
       // The pair stream carries ONLY fixed-width keys: a pair hash
       // (xxhash64 over both words) with both word lengths as the
       // collision guard, plus the w1 hash for the unigram derivation
       // — word strings never leave the scan (the C1 key discipline;
       // the output is per-doc integers, so strings are never needed).
-      val pairs = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"), explode(expr(
-          "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
-            " (a, b) -> struct(a, b))")).as("p"))
+      // The adjacent pairs themselves serve from the stored d=1
+      // stream (_build_postings); hashing stays map-side on the scan.
+      val pairs = pairsOf(s, dir, 1)
         .select(col("doc_id"),
-          xxhash64(col("p.a"), col("p.b")).as("ph"),
-          length(col("p.a")).as("pl"), length(col("p.b")).as("pl2"),
-          xxhash64(col("p.a")).as("uh"))
+          xxhash64(col("w_a"), col("w_b")).as("ph"),
+          length(col("w_a")).as("pl"), length(col("w_b")).as("pl2"),
+          xxhash64(col("w_a")).as("uh"))
       val bg = pairs.groupBy(col("ph"), col("pl"), col("pl2"))
         .agg(count(lit(1)).as("n12"), max(col("uh")).as("uh"))
       // ug is DERIVED from bg — ug(w1) counts pairs grouped by w1,
@@ -2714,11 +2708,12 @@ object SparkEntry {
     // measured the string-keyed shape at 3.9× wall on 5× data;
     // bigram text never needs to leave the doc it came from).
     "text_oov" -> ((s, dir) => {
-      val bi = Tables.documents(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"), explode(expr(
-          "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
-            " (a, b) -> concat(a, ' ', b))")).as("bg"))
+      // adjacent bigrams serve from the stored d=1 pair stream
+      // (_build_postings); the bigram string reassembles and hashes
+      // map-side on the scan, as the in-query zip did
+      val bi = pairsOf(s, dir, 1)
+        .select(col("doc_id"),
+          concat(col("w_a"), lit(" "), col("w_b")).as("bg"))
         .select(col("doc_id"), xxhash64(col("bg")).as("bh"),
           length(col("bg")).as("bl"))
         .distinct()
@@ -2741,11 +2736,10 @@ object SparkEntry {
       // self-join both move fixed-width keys; bigram text never
       // leaves the scan (the C1 key discipline — the result is
       // counts, so strings are never needed downstream)
-      val sb = Tables.documents(s, dir)
-        .select(col("source"), split(col("text"), " ").as("w"))
-        .select(col("source"), explode(expr(
-          "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
-            " (a, b) -> concat(a, ' ', b))")).as("bg"))
+      // (pairs serve from the stored d=1 stream — _build_postings)
+      val sb = pairsOf(s, dir, 1)
+        .select(col("source"),
+          concat(col("w_a"), lit(" "), col("w_b")).as("bg"))
         .select(col("source"), xxhash64(col("bg")).as("bh"),
           length(col("bg")).as("bl"))
         .distinct()
@@ -3475,8 +3469,13 @@ object SparkEntry {
     // them; posting joins are term-filtered BEFORE touching docs, the
     // LIKE-scan a search engine must never do.
     "q_search" -> ((s, dir) => {
-      val posting = Tables.documents(s, dir).select(col("doc_id"),
-        explode(array_distinct(split(col("text"), " "))).as("term"))
+      // the inverted index IS the stored per-doc-distinct stream
+      // (_build_postings/dtokens — distinct computed in-array at
+      // build, so df stays a vocabulary-sized agg and the two
+      // term-filtered posting reads are pushed-predicate scans)
+      val posting = operators.Postings
+        .distinctTokens(s, postingsDir(s, dir))
+        .select(col("doc_id"), col("term"))
       // the two query terms (df ranks 3 and 5) via a distributed
       // top-k (TakeOrderedAndProject) + a 5-row driver pull — the
       // bounded-model pattern (IVF centroids), where a global
@@ -3504,12 +3503,10 @@ object SparkEntry {
     // selectivity-bounded join, never a positional self-join of the
     // whole corpus.
     "q_phrase" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val bi = docs.select(split(col("text"), " ").as("w"))
-        .select(explode(expr(
-          "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
-            " (a, b) -> struct(a, b))")).as("p"))
-        .select(col("p.a").as("wa"), col("p.b").as("wb"))
+      // bigram picks and positional postings both serve from the
+      // stored streams (_build_postings)
+      val bi = pairsOf(s, dir, 1)
+        .select(col("w_a").as("wa"), col("w_b").as("wb"))
         .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("n"))
       val picks = bi.orderBy(col("n").desc, col("wa"), col("wb"))
         .limit(5).collect()
@@ -3518,14 +3515,14 @@ object SparkEntry {
         // returns no row, so agree by returning the empty frame with
         // the query's schema (rather than silently picking a
         // lower-rank bigram, or throwing on an empty corpus)
-        docs.select(col("doc_id")).limit(0)
+        Tables.documents(s, dir).select(col("doc_id")).limit(0)
           .withColumn("n_hits", lit(0L))
           .withColumn("first_pos", lit(0L))
       } else {
         val pick = picks.last
         val (wa, wb) = (pick.getString(0), pick.getString(1))
-        val tok = docs.select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        val tok = tokensOf(s, dir)
+          .select(col("doc_id"), col("pos"), col("term").as("w"))
         val pa = tok.filter(col("w") === wa)
           .select(col("doc_id"), col("pos"))
         val pb = tok.filter(col("w") === wb)
@@ -3544,9 +3541,14 @@ object SparkEntry {
     // 10/20/30 (mid-frequency — discriminative, overlapping posting
     // lists) via the same bounded top-k pull q_search uses.
     "q_search_ranked" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      operators.Relevance.bm25Rank(docs, "doc_id", "text",
-        searchRankedTerms(docs), k = 10)
+      // tf/dl/df and the term picks serve from the stored token
+      // stream (_build_postings); n_docs still counts the documents
+      // table (footer-only) so tokenless docs stay in the idf
+      val tok = tokensOf(s, dir).select(col("doc_id"), col("term"))
+      operators.Relevance.bm25RankTok(tok,
+        Tables.documents(s, dir).agg(count(lit(1)).as("n_docs")),
+        searchRankedTermsTok(operators.Postings
+          .distinctTokensLower(s, postingsDir(s, dir))), k = 10)
     }),
 
     // hybrid retrieval's standard merge: reciprocal-rank fusion of
@@ -3556,9 +3558,13 @@ object SparkEntry {
     // by only one system keep their one-sided score: that coverage
     // union is what makes RRF robust when the systems disagree.
     "q_rrf_fusion" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val lex = operators.Relevance.bm25Rank(docs, "doc_id", "text",
-        searchRankedTerms(docs), k = 20)
+      // lexical side serves from the stored token stream, like
+      // q_search_ranked
+      val tok = tokensOf(s, dir).select(col("doc_id"), col("term"))
+      val lex = operators.Relevance.bm25RankTok(tok,
+        Tables.documents(s, dir).agg(count(lit(1)).as("n_docs")),
+        searchRankedTermsTok(operators.Postings
+          .distinctTokensLower(s, postingsDir(s, dir))), k = 20)
       val vec = operators.Similarity.bruteForceTopK(
         Tables.embeddings(s, dir), "vec_id", "embedding",
         queryMaxId = 1, k = 20)
@@ -4341,6 +4347,34 @@ object SparkEntry {
     s.read.parquet(p)
   }
 
+  /** Build-once memoization of the tokenized-corpus STREAM tables
+    * (round-13 verdict #2: the steepest 10×-data rows — text_oov
+    * 6.8×, q_skipgram_pmi 6.1×, q_source_overlap 7.2× — each re-ran
+    * the split + zip + explode front end over the raw text per
+    * query). One tokenize pass per dataset dir writes positional
+    * postings + the d ∈ {1,2} word-pair stream; eleven text-family
+    * consumers become columnar scans of the stored stream with their
+    * aggregation pipelines (and outputs) unchanged. See
+    * [[operators.Postings]].
+    */
+  private[graft] val postingsDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def postingsDir(s: SparkSession, dir: String): String =
+    postingsDirs.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_postings").toString
+      operators.Postings.build(Tables.documents(s, dir),
+        "doc_id", "source", "text", path)
+      path
+    })
+
+  private def tokensOf(s: SparkSession, dir: String): DataFrame =
+    operators.Postings.tokens(s, postingsDir(s, dir))
+
+  private def pairsOf(s: SparkSession, dir: String, d: Int): DataFrame =
+    operators.Postings.pairs(s, postingsDir(s, dir), d)
+
   /** The one-time per-dataset BUILD steps behind the memoized serving
     * tables/models, exposed by name so the benchmark can time each as
     * its own `_build_*` row (round-11 verdict item 5: the 5.4 s /
@@ -4368,7 +4402,9 @@ object SparkEntry {
     "_build_ivf_index" ->
       ((s, dir) => { ensureIvfIndexDir(s, dir): Unit }),
     "_build_ivfpq_index" ->
-      ((s, dir) => { ensureIvfPqIndexDir(s, dir): Unit }))
+      ((s, dir) => { ensureIvfPqIndexDir(s, dir): Unit }),
+    "_build_postings" ->
+      ((s, dir) => { postingsDir(s, dir): Unit }))
 
   /** Dependency-aware execution order for [[builds]]: the stored-index
     * builds consume the memoized MODELS, so the model builds must be
@@ -4407,7 +4443,18 @@ object SparkEntry {
     "ann_ivfpq_stored" ->
       Seq("_build_ivf_model", "_build_pq_model", "_build_ivfpq_index"),
     "q_bpe_vocab" -> Seq("_build_bpe_merges"),
-    "q_bpe_tokenize" -> Seq("_build_bpe_merges"))
+    "q_bpe_tokenize" -> Seq("_build_bpe_merges"),
+    "q_tfidf" -> Seq("_build_postings"),
+    "text_oov" -> Seq("_build_postings"),
+    "q_source_overlap" -> Seq("_build_postings"),
+    "q_collocations" -> Seq("_build_postings"),
+    "q_skipgram_pmi" -> Seq("_build_postings"),
+    "q_lm_score" -> Seq("_build_postings"),
+    "q_phrase" -> Seq("_build_postings"),
+    "q_phrase_tag" -> Seq("_build_postings"),
+    "q_search" -> Seq("_build_postings"),
+    "q_search_ranked" -> Seq("_build_postings"),
+    "q_rrf_fusion" -> Seq("_build_postings"))
 
   /** Induce-once memoization of the BPE merge table per (corpus dir,
     * merge budget) — induction is deterministic, so vocab emission and

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Build-once tokenized-corpus tables (the `_build_dedup_clusters` /
+  * `_build_basket_rules` stored-table discipline applied to text):
+  * ONE corpus scan tokenizes `documents` and writes two parquet
+  * tables per dataset dir, after which every text-family consumer is
+  * a columnar scan over pre-exploded rows instead of its own
+  * split + zip + explode front end over the raw text.
+  *
+  *  - `tokens/`  — positional postings `(doc_id, source, pos, term)`;
+  *    serves TF-IDF, boolean/phrase/ranked retrieval and the BM25
+  *    build (tf/dl/df all derive from it).
+  *  - `pairs/`   — ordered word pairs `(doc_id, source, d, w_a, w_b)`
+  *    at distances d ∈ {1, 2}; d=1 is the adjacent-bigram stream
+  *    (OOV novelty, source overlap, collocations, bigram-LM scoring),
+  *    d ∈ {1, 2} is the ±2 skip-gram window (PMI co-occurrence).
+  *
+  * Pair generation mirrors the consumers' previous in-query
+  * `zip_with(slice(w,1,n−d), slice(w,1+d,n−d), …)` exactly — same
+  * ordered pairs, same empty-array behavior on docs with ≤ d tokens —
+  * so every consumer's output is bit-identical to its re-tokenizing
+  * predecessor; only the token/pair STREAM source changes. Consumers
+  * keep hashing map-side over the scan (the C1 16-byte key
+  * discipline), so exchange shapes downstream are unchanged.
+  *
+  * At 100 TB this is the standard "tokenize once" economics: the
+  * corpus text is parsed exactly once per snapshot, the stored stream
+  * is dictionary-encoded parquet (repeated terms compress to codes),
+  * and each consumer reads only the columns it needs — e.g. the
+  * collocation pass reads (w_a, w_b) and never doc ids.
+  */
+object Postings {
+
+  /** Tokenize once and write the four stream tables under `path`.
+    * The per-doc-DISTINCT streams are computed IN-ARRAY here — while
+    * the token array is still in hand, `array_distinct` is a map-side
+    * pass — so distinct-posting consumers (boolean search, BM25 term
+    * picking) never pay a corpus-wide dedup exchange at query time:
+    * their aggregations stay vocabulary-sized, exactly as when they
+    * tokenized inline.
+    */
+  def build(docs: DataFrame, idCol: String, srcCol: String,
+            textCol: String, path: String): Unit = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      col(srcCol).as("source"), split(col(textCol), " ").as("w"))
+      .persist() // four writers, one tokenize pass
+    try {
+      toks.select(col("doc_id"), col("source"),
+          posexplode(col("w")).as(Seq("pos", "term")))
+        .write.mode("overwrite").parquet(s"$path/tokens")
+      def pairsAt(d: Int) = zip_with(
+        slice(col("w"), lit(1), greatest(size(col("w")) - d, lit(0))),
+        slice(col("w"), lit(1 + d), greatest(size(col("w")) - d, lit(0))),
+        (a, b) => struct(lit(d).as("d"), a.as("w_a"), b.as("w_b")))
+      toks.select(col("doc_id"), col("source"),
+          explode(concat(pairsAt(1), pairsAt(2))).as("p"))
+        .select(col("doc_id"), col("source"), col("p.d").as("d"),
+          col("p.w_a").as("w_a"), col("p.w_b").as("w_b"))
+        .write.mode("overwrite").parquet(s"$path/pairs")
+      toks.select(col("doc_id"), col("source"),
+          explode(array_distinct(col("w"))).as("term"))
+        .write.mode("overwrite").parquet(s"$path/dtokens")
+      // the BM25 term-pick tokenization: per-doc distinct of
+      // LOWERCASED [a-z]+ tokens (distinct after lowering — "The the"
+      // is ONE distinct lowered token)
+      toks.select(col("doc_id"), col("source"),
+          explode(array_distinct(expr(
+            "filter(transform(w, x -> lower(x))," +
+              " x -> x rlike '^[a-z]+$')"))).as("term"))
+        .write.mode("overwrite").parquet(s"$path/dtokens_lower")
+    } finally toks.unpersist(blocking = false)
+  }
+
+  /** The positional postings stream `(doc_id, source, pos, term)`. */
+  def tokens(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/tokens")
+
+  /** Per-doc-distinct postings `(doc_id, source, term)` — the
+    * boolean-search inverted index (df = a vocabulary-sized count).
+    */
+  def distinctTokens(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/dtokens")
+
+  /** Per-doc-distinct LOWERCASED `[a-z]+` postings — the BM25
+    * term-pick stream.
+    */
+  def distinctTokensLower(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/dtokens_lower")
+
+  /** The word-pair stream at distance `d` — the `d` filter reaches
+    * the parquet scan as a pushed predicate, so a d=1 consumer never
+    * decodes the skip-gram rows.
+    */
+  def pairs(spark: SparkSession, path: String, d: Int): DataFrame =
+    spark.read.parquet(s"$path/pairs").filter(col("d") === d)
+
+  /** The full pair stream (both distances) for the ±2-window
+    * consumers.
+    */
+  def pairsAll(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/pairs")
+}

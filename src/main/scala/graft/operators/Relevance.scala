@@ -32,7 +32,20 @@ object Relevance {
     * score_micro)`, rank dense 1..k by (score desc, term asc).
     */
   def salientTerms(docs: DataFrame, idCol: String, textCol: String,
-                   k: Int): DataFrame = {
+                   k: Int): DataFrame =
+    salientTermsTok(docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("term")),
+      docs.agg(count(lit(1)).as("n_docs")), k)
+
+  /** Token-stream variant: `tok0` is the raw `(doc_id, term)`
+    * whitespace-token stream (e.g. [[Postings.tokens]]) and `nDocs`
+    * a 1-row `n_docs` count of ALL documents (tokenless docs
+    * included — they still belong in the idf denominator). Same
+    * output as [[salientTerms]]; the stored-postings serving path
+    * skips the per-query split + explode of the corpus text.
+    */
+  def salientTermsTok(tok0: DataFrame, nDocs: DataFrame,
+                      k: Int): DataFrame = {
     // Aggregations and joins run on 16-byte (xxhash64, len) term keys
     // — the exact-dedup key discipline — so the corpus-sized tf
     // exchange moves fixed-width keys, never term strings; strings
@@ -42,8 +55,7 @@ object Relevance {
     // identical output. (The r10-measured rejections still hold:
     // deriving dl from tf and eager-persisting tf both lose to
     // independent aggregations pipelining from the scan.)
-    val tok = docs.select(col(idCol).as("doc_id"),
-      explode(split(col(textCol), " ")).as("term"))
+    val tok = tok0
       .select(col("doc_id"), xxhash64(col("term")).as("th"),
         length(col("term")).as("tl"), col("term"))
     val tf = tok.groupBy("doc_id", "th", "tl")
@@ -51,7 +63,7 @@ object Relevance {
     val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val dict = tok.select(col("th"), col("tl"), col("term")).distinct()
     val df = tf.groupBy("th", "tl").agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val n = nDocs
     val scored = tf
       .join(dl, "doc_id")
       .join(broadcast(df), Seq("th", "tl"))
@@ -90,9 +102,22 @@ object Relevance {
     * k-row local relation, which downstream fusions join for free.
     */
   def bm25Rank(docs: DataFrame, idCol: String, textCol: String,
-               queryTerms: Seq[String], k: Int, k1: Int = 2): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"),
-      explode(split(lower(col(textCol)), " ")).as("term"))
+               queryTerms: Seq[String], k: Int, k1: Int = 2): DataFrame =
+    bm25RankTok(docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("term")),
+      docs.agg(count(lit(1)).as("n_docs")), queryTerms, k, k1)
+
+  /** Token-stream variant: `tok0` is the raw `(doc_id, term)`
+    * whitespace-token stream (e.g. [[Postings.tokens]]); the
+    * lowercasing + `[a-z]+` filter happen HERE so both overloads
+    * share one tokenization contract (lowercasing never produces or
+    * consumes a space, so lower-then-split ≡ split-then-lower).
+    * `nDocs` is a 1-row `n_docs` count of all documents.
+    */
+  def bm25RankTok(tok0: DataFrame, nDocs: DataFrame,
+                  queryTerms: Seq[String], k: Int,
+                  k1: Int = 2): DataFrame = {
+    val tok = tok0.select(col("doc_id"), lower(col("term")).as("term"))
       .filter(col("term").rlike("^[a-z]+$"))
     // ONE token-scale pass: dl, df, and the corpus token total all
     // derive from the (doc, term) tf table (Σtf per doc ≡ the doc's
@@ -101,11 +126,12 @@ object Relevance {
     // across its three consumers and releases before return.
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .persist()
+    try { // release-on-failure: same rationale as pqTrain
     tf.count() // eager fill — broadcast-side consumers run as
                // concurrent futures (see ngramJaccard's lock finding)
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = docs.agg(count(lit(1)).as("n_docs"))
+    val stats = nDocs
       .crossJoin(tf.agg(sum(col("tf")).as("n_tokens")))
       .select(col("n_docs"), expr("n_tokens div n_docs").as("avgdl"))
     val topk = tf.filter(col("term").isin(queryTerms: _*))
@@ -127,18 +153,18 @@ object Relevance {
     // planning a WindowExec with no partition key (round-8 finding:
     // Catalyst folds partitionBy(lit(0)) to an unpartitioned window).
     val rows = topk.collect()
-    // the k collected rows are the whole result; drop the tf pin
-    // before building the local relation (nothing downstream reads it)
-    tf.unpersist(blocking = false)
     val schema = org.apache.spark.sql.types.StructType(
       topk.schema.fields :+ org.apache.spark.sql.types.StructField(
         "rank", org.apache.spark.sql.types.LongType, nullable = false))
     val ranked = rows.zipWithIndex.map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1).toLong) }
-    docs.sparkSession
+    tok0.sparkSession
       .createDataFrame(java.util.Arrays.asList(ranked: _*), schema)
       .select(col("doc_id"), col("rank"), col("score_nano"),
         col("n_hit_terms"))
+    // the k collected rows are the whole result; the finally drops
+    // the tf pin even when a consumer job fails mid-flight
+    } finally tf.unpersist(blocking = false)
   }
 
   /** Reciprocal-rank fusion of two ranked candidate lists (e.g. a
