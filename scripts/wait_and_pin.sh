@@ -7,6 +7,8 @@ set -u
 CP='target/scala-2.13/classes:/opt/spark/jars/*'
 LOG=/tmp/pin_log.txt
 ROUNDS=${1:-24}         # poll attempts before giving up
+SMALL_BAR=${SMALL_BAR:-1.25}
+PR_BAR=${PR_BAR:-1.10}
 SLEEP=${2:-400}         # seconds between polls
 
 canary_ratios() {
@@ -29,7 +31,7 @@ for i in $(seq 1 "$ROUNDS"); do
   read -r small pr <<< "$(echo "$out" | tail -1)"
   # clean bar: iterative canary within 1.10x, small rows within 1.25x
   # (sub-second rows carry +-0.05 s measurement noise even clean)
-  ok=$(python3 -c "print(1 if $small <= 1.25 and $pr <= 1.10 else 0)")
+  ok=$(python3 -c "print(1 if $small <= $SMALL_BAR and $pr <= $PR_BAR else 0)")
   if [ "$ok" = "1" ]; then
     echo "$(date -u +%H:%M:%S) CLEAN window — pinning" >> "$LOG"
     for sf in "/root/testdata/sf0.1:bench_full_r14.json" \
