@@ -1,22 +1,29 @@
 #!/bin/bash
 # Canary-gated 3-SF bench pin (round-13 verdict task 1): poll the
 # host-window canary; the moment it reads clean, pin bench_full /
-# bench_sf0.5 / bench_sf1.0 in ONE window with canary stamps between
-# SFs. Log everything to /tmp/pin_log.txt.
+# bench_sf0.5 / bench_sf1.0 — and the streaming bench (round-14
+# verdict task 2: STREAM_BENCH needs the same window discipline) —
+# in ONE window with canary stamps between artifacts. Log everything
+# to /tmp/pin_log.txt.
 set -u
 CP='target/scala-2.13/classes:/opt/spark/jars/*'
 LOG=/tmp/pin_log.txt
+R=${R:-r15}             # round tag for the pinned artifact names
 ROUNDS=${1:-24}         # poll attempts before giving up
 SMALL_BAR=${SMALL_BAR:-1.25}
 PR_BAR=${PR_BAR:-1.10}
 SLEEP=${2:-400}         # seconds between polls
+STREAM=${STREAM:-1}     # also pin STREAM_BENCH_${R}.json in-window
 
 canary_ratios() {
   java -Xmx32g -XX:+UseG1GC -cp "$CP" graft.Bench q_topk_agg q_cusum q_pagerank 2>/dev/null \
     | tail -1 \
     | python3 -c "
 import json, sys
-d = json.load(sys.stdin)['queries']
+try:
+    d = json.load(sys.stdin)['queries']
+except Exception:
+    sys.exit(3)
 refs = {'q_topk_agg': 0.28, 'q_cusum': 0.24, 'q_pagerank': 1.66}
 vals = {k: round(v, 2) for k, v in d.items()}
 ratios = {k: round(v / refs[k], 2) for k, v in d.items()}
@@ -25,18 +32,33 @@ print(f\"vals={vals} ratios={ratios}\")
 print(f'{small} {ratios[\"q_pagerank\"]}')"
 }
 
+num_re='^[0-9]+([.][0-9]+)?$'
+
+stamp() {
+  out=$(canary_ratios)
+  echo "$(date -u +%H:%M:%S) stamp $1: $(echo "$out" | head -1)" >> "$LOG"
+}
+
 for i in $(seq 1 "$ROUNDS"); do
   out=$(canary_ratios)
-  echo "$(date -u +%H:%M:%S) poll $i: $(echo "$out" | head -1)" >> "$LOG"
   read -r small pr <<< "$(echo "$out" | tail -1)"
+  # a java/python failure leaves $small/$pr empty or non-numeric —
+  # log it as CANARY FAILED, distinctly from a dirty window, and
+  # never interpolate the raw values into python
+  if ! [[ "$small" =~ $num_re && "$pr" =~ $num_re ]]; then
+    echo "$(date -u +%H:%M:%S) poll $i: CANARY FAILED (small='$small' pr='$pr')" >> "$LOG"
+    sleep "$SLEEP"
+    continue
+  fi
+  echo "$(date -u +%H:%M:%S) poll $i: $(echo "$out" | head -1)" >> "$LOG"
   # clean bar: iterative canary within 1.10x, small rows within 1.25x
   # (sub-second rows carry +-0.05 s measurement noise even clean)
   ok=$(python3 -c "print(1 if $small <= $SMALL_BAR and $pr <= $PR_BAR else 0)")
   if [ "$ok" = "1" ]; then
-    echo "$(date -u +%H:%M:%S) CLEAN window — pinning" >> "$LOG"
-    for sf in "/root/testdata/sf0.1:bench_full_r14.json" \
-              "/tmp/graft_sf0.5:bench_sf0.5_r14.json" \
-              "/tmp/graft_sf1.0:bench_sf1.0_r14.json"; do
+    echo "$(date -u +%H:%M:%S) CLEAN window — pinning ($R)" >> "$LOG"
+    for sf in "/root/testdata/sf0.1:bench_full_${R}.json" \
+              "/tmp/graft_sf0.5:bench_sf0.5_${R}.json" \
+              "/tmp/graft_sf1.0:bench_sf1.0_${R}.json"; do
       dir="${sf%%:*}"; outf="${sf##*:}"
       echo "$(date -u +%H:%M:%S) bench $dir -> $outf" >> "$LOG"
       SPARK_GRAFT_SF_DIR="$dir" SPARK_GRAFT_CPUS=32 \
@@ -44,9 +66,15 @@ for i in $(seq 1 "$ROUNDS"); do
         java -Xmx32g -XX:+UseG1GC -cp "$CP" graft.Bench \
         > /tmp/bench_stdout_$$.txt 2>/dev/null
       echo "$(date -u +%H:%M:%S) done $outf" >> "$LOG"
-      out=$(canary_ratios)
-      echo "$(date -u +%H:%M:%S) stamp after $outf: $(echo "$out" | head -1)" >> "$LOG"
+      stamp "after $outf"
     done
+    if [ "$STREAM" = "1" ]; then
+      echo "$(date -u +%H:%M:%S) stream bench -> STREAM_BENCH_${R}.json" >> "$LOG"
+      python3 scripts/stream_bench.py "STREAM_BENCH_${R}.json" \
+        > /tmp/stream_bench_stdout_$$.txt 2>&1
+      echo "$(date -u +%H:%M:%S) done STREAM_BENCH_${R}.json" >> "$LOG"
+      stamp "after STREAM_BENCH_${R}.json"
+    fi
     echo "$(date -u +%H:%M:%S) PIN COMPLETE" >> "$LOG"
     exit 0
   fi

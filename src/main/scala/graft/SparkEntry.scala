@@ -2699,25 +2699,23 @@ object SparkEntry {
     // novelty/noise signal: the share of a document's bigrams that
     // appear NOWHERE else in the corpus (corpus-df = 1), in permille.
     // Boilerplate scores near 0, unique prose near 1000 — the cheap
-    // n-gram-LM surprise proxy that stays integer-exact. Bigram df
-    // is a vocabulary-sized agg; everything else is map-side. The
-    // distinct → df → join-back pipeline runs on 16-byte
+    // n-gram-LM surprise proxy that stays integer-exact. Bigram df is
+    // corpus-constant per snapshot, so it lives in the stored
+    // bigram_df dictionary; the join-back runs on 16-byte
     // (xxhash64, len) bigram keys — the C1 exact-dedup key
-    // discipline — so its three bigram-volume exchanges shuffle
-    // fixed-width keys, never the bigram STRINGS (the r12 scale sweep
-    // measured the string-keyed shape at 3.9× wall on 5× data;
-    // bigram text never needs to leave the doc it came from).
+    // discipline — so every exchange moves fixed-width keys, never
+    // the bigram STRINGS (the r12 scale sweep measured the
+    // string-keyed shape at 3.9× wall on 5× data; bigram text never
+    // leaves the build pass that hashed it).
     "text_oov" -> ((s, dir) => {
-      // adjacent bigrams serve from the stored d=1 pair stream
-      // (_build_postings); the bigram string reassembles and hashes
-      // map-side on the scan, as the in-query zip did
-      val bi = pairsOf(s, dir, 1)
-        .select(col("doc_id"),
-          concat(col("w_a"), lit(" "), col("w_b")).as("bg"))
-        .select(col("doc_id"), xxhash64(col("bg")).as("bh"),
-          length(col("bg")).as("bl"))
-        .distinct()
-      val df = bi.groupBy(col("bh"), col("bl")).agg(count(lit(1)).as("df"))
+      // per-doc distinct bigram keys AND the corpus df dictionary
+      // both serve from stored tables (_build_postings/dbigrams +
+      // bigram_df): df is corpus-constant per snapshot, so the query
+      // is one dictionary join + a per-doc fold — the corpus-wide
+      // distinct exchange and df aggregation moved to build time
+      val bi = operators.Postings.docBigrams(s, postingsDir(s, dir))
+        .select(col("doc_id"), col("bh"), col("bl"))
+      val df = operators.Postings.bigramDf(s, postingsDir(s, dir))
       bi.join(df, Seq("bh", "bl"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
@@ -2731,18 +2729,13 @@ object SparkEntry {
     // shape, all sources at once). The join runs on hashed distinct
     // bigrams per source (vocabulary-sized), never documents.
     "q_source_overlap" -> ((s, dir) => {
-      // bigrams reduce to 16-byte (xxhash64, len) keys BEFORE the
-      // distinct, so the vocabulary exchange and the all-pairs
-      // self-join both move fixed-width keys; bigram text never
-      // leaves the scan (the C1 key discipline — the result is
-      // counts, so strings are never needed downstream)
-      // (pairs serve from the stored d=1 stream — _build_postings)
-      val sb = pairsOf(s, dir, 1)
-        .select(col("source"),
-          concat(col("w_a"), lit(" "), col("w_b")).as("bg"))
-        .select(col("source"), xxhash64(col("bg")).as("bh"),
-          length(col("bg")).as("bl"))
-        .distinct()
+      // the per-source distinct bigram vocabulary is STORED
+      // (_build_postings/source_bigrams — 16-byte (xxhash64, len)
+      // keys, the C1 discipline), so the query starts
+      // vocabulary-sized: the corpus-wide distinct moved to build
+      // time and only the all-pairs self-join + counts remain
+      val sb = operators.Postings
+        .sourceBigrams(s, postingsDir(s, dir))
       val a = sb.select(col("source").as("src_a"), col("bh"), col("bl"))
       val b = sb.select(col("source").as("src_b"), col("bh"), col("bl"))
       val sizes = a.groupBy(col("src_a")).agg(count(lit(1)).as("n_a"))
@@ -4194,6 +4187,26 @@ object SparkEntry {
       Similarity.ivfTrain(Tables.embeddings(s, dir), "vec_id", "embedding",
         nlist = 16, iters = 3, trainFraction = 0.25))
 
+  /** A per-JVM temp dir for a `_build_*` table, deleted on JVM exit.
+    * The stored streams are corpus-scale (the postings tables run to
+    * several times the raw text), so orphaning one per bench JVM —
+    * wait_and_pin runs three SFs plus reruns — accumulates multi-GB
+    * /tmp garbage; the shutdown hook bounds live disk to the running
+    * JVMs' working sets.
+    */
+  private def tempBuildDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles()
+        if (cs != null) cs.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   /** Build-once memoization of the SAVED minhash band index (temp
     * parquet dir per dataset dir): `dedup_minhash_inc` admissions load
     * from storage, the production serving shape.
@@ -4203,8 +4216,7 @@ object SparkEntry {
 
   private def ensureMinhashIndexDir(s: SparkSession, dir: String): String =
     minhashIndexDirs.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_minhash_index").toString
+      val p = tempBuildDir("graft_minhash_index")
       val all = withPlantedNearDups(Tables.documents(s, dir))
       val built = Dedup.buildBandIndex(
         all.filter(pmod(col("doc_id"), lit(KeyShift)) < 1000000L),
@@ -4224,8 +4236,7 @@ object SparkEntry {
 
   private def ensureMinhashExtDir(s: SparkSession, dir: String): String =
     minhashExtDirs.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_minhash_ext").toString
+      val p = tempBuildDir("graft_minhash_ext")
       val all = withPlantedNearDups(Tables.documents(s, dir))
       // the base is the SAVED corpus index, loaded — one corpus
       // shingle pass per dataset dir, shared with dedup_minhash_inc
@@ -4267,8 +4278,7 @@ object SparkEntry {
 
   private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val p = dedupClusterDirs.getOrElseUpdate(dir, {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_dedup_clusters").toString
+      val path = tempBuildDir("graft_dedup_clusters")
       Dedup.clusters(
         Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
           shingleN = 3, minJaccard = 0.1, maxShingleDf = 50),
@@ -4290,8 +4300,7 @@ object SparkEntry {
 
   private def ensureIvfIndexDir(s: SparkSession, dir: String): String =
     ivfIndexDirs.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_ivf_index").toString
+      val p = tempBuildDir("graft_ivf_index")
       Similarity.saveIvfIndex(ivfModel(s, dir), Tables.embeddings(s, dir),
         "vec_id", "embedding", p)
       p
@@ -4305,8 +4314,7 @@ object SparkEntry {
 
   private def ensureIvfPqIndexDir(s: SparkSession, dir: String): String =
     ivfPqIndexDirs.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_ivfpq_index").toString
+      val p = tempBuildDir("graft_ivfpq_index")
       Similarity.saveIvfPqIndex(ivfModel(s, dir), pqModel(s, dir),
         Tables.embeddings(s, dir), "vec_id", "embedding", p)
       p
@@ -4334,8 +4342,7 @@ object SparkEntry {
 
   private def basketRules(s: SparkSession, dir: String): DataFrame = {
     val p = basketRulesDirs.getOrElseUpdate(dir, {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_basket_rules").toString
+      val path = tempBuildDir("graft_basket_rules")
       val baskets = Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir),
           col("l_orderkey") === col("o_orderkey"))
@@ -4362,8 +4369,7 @@ object SparkEntry {
 
   private def postingsDir(s: SparkSession, dir: String): String =
     postingsDirs.getOrElseUpdate(dir, {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_postings").toString
+      val path = tempBuildDir("graft_postings")
       operators.Postings.build(Tables.documents(s, dir),
         "doc_id", "source", "text", path)
       path

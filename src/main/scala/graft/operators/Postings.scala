@@ -15,8 +15,19 @@ import org.apache.spark.sql.functions._
   *    build (tf/dl/df all derive from it).
   *  - `pairs/`   — ordered word pairs `(doc_id, source, d, w_a, w_b)`
   *    at distances d ∈ {1, 2}; d=1 is the adjacent-bigram stream
-  *    (OOV novelty, source overlap, collocations, bigram-LM scoring),
-  *    d ∈ {1, 2} is the ±2 skip-gram window (PMI co-occurrence).
+  *    (collocations, bigram-LM scoring), d ∈ {1, 2} is the ±2
+  *    skip-gram window (PMI co-occurrence).
+  *  - `dbigrams/` — per-doc-DISTINCT hashed adjacent bigrams
+  *    `(doc_id, source, bh, bl)` as 16-byte (xxhash64, len) keys;
+  *    distinct computed IN-ARRAY at build, so no consumer pays the
+  *    corpus-wide (doc, bigram) dedup exchange at query time.
+  *  - `bigram_df/` — the corpus bigram document-frequency DICTIONARY
+  *    `(bh, bl, df)` — vocabulary-sized and corpus-constant per
+  *    snapshot, so OOV/novelty scoring is a dictionary join instead
+  *    of a per-query corpus-wide df aggregation.
+  *  - `source_bigrams/` — the per-SOURCE distinct bigram vocabulary
+  *    `(source, bh, bl)` — the cross-source overlap matrix reads this
+  *    directly and starts vocabulary-sized, never touching documents.
   *
   * Pair generation mirrors the consumers' previous in-query
   * `zip_with(slice(w,1,n−d), slice(w,1+d,n−d), …)` exactly — same
@@ -71,7 +82,30 @@ object Postings {
             "filter(transform(w, x -> lower(x))," +
               " x -> x rlike '^[a-z]+$')"))).as("term"))
         .write.mode("overwrite").parquet(s"$path/dtokens_lower")
+      // per-doc distinct adjacent bigrams, hashed to 16-byte
+      // (xxhash64, len) keys IN-ARRAY (hash first, distinct on the
+      // hashed struct — exactly the consumers' previous
+      // hash-then-distinct order, so a hypothetical (hash, len)
+      // collision collapses the same way it did inline)
+      toks.select(col("doc_id"), col("source"),
+          explode(array_distinct(transform(zip_with(
+            slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))),
+            slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
+            (a, b) => concat(a, lit(" "), b)),
+            bg => struct(xxhash64(bg).as("bh"), length(bg).as("bl")))))
+            .as("p"))
+        .select(col("doc_id"), col("source"),
+          col("p.bh").as("bh"), col("p.bl").as("bl"))
+        .write.mode("overwrite").parquet(s"$path/dbigrams")
     } finally toks.unpersist(blocking = false)
+    // the two vocabulary-sized derived dictionaries aggregate the
+    // WRITTEN dbigrams parquet (not the lineage) so the corpus is
+    // tokenized exactly once across all seven tables
+    val stored = docs.sparkSession.read.parquet(s"$path/dbigrams")
+    stored.groupBy(col("bh"), col("bl")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$path/bigram_df")
+    stored.select(col("source"), col("bh"), col("bl")).distinct()
+      .write.mode("overwrite").parquet(s"$path/source_bigrams")
   }
 
   /** The positional postings stream `(doc_id, source, pos, term)`. */
@@ -102,4 +136,19 @@ object Postings {
     */
   def pairsAll(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/pairs")
+
+  /** Per-doc-distinct hashed adjacent bigrams
+    * `(doc_id, source, bh, bl)`.
+    */
+  def docBigrams(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/dbigrams")
+
+  /** The corpus bigram document-frequency dictionary `(bh, bl, df)`.
+    */
+  def bigramDf(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/bigram_df")
+
+  /** The per-source distinct bigram vocabulary `(source, bh, bl)`. */
+  def sourceBigrams(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/source_bigrams")
 }

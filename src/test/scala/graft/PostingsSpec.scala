@@ -26,8 +26,14 @@ class PostingsSpec extends AnyFunSuite with SparkSpec {
   private def built(path: String): Unit =
     Postings.build(corpus, "doc_id", "source", "text", path)
 
-  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
-    df.collect().map(_.mkString("|")).toSet
+  /** Sorted MULTISET of rows — duplicates are meaningful in the pair
+    * streams (doc 1's repeated "the quick" bigram must appear once
+    * per occurrence), so a Set comparison would let a build bug that
+    * drops or duplicates copies pass while silently changing
+    * collocation/PMI/LM counts.
+    */
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).toSeq.sorted
 
   test("tokens stream matches posexplode(split) exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_post1").toString
@@ -53,11 +59,17 @@ class PostingsSpec extends AnyFunSuite with SparkSpec {
       assert(rows(Postings.pairs(spark, dir, d)
         .select("doc_id", "source", "w_a", "w_b")) ===
         rows(expectedAt(d)), s"pair stream diverges at d=$d")
+      // count against the INLINE expression (not pairsAll, which is
+      // the union of the same two filters by construction) — this is
+      // the multiplicity cross-check that catches dropped/duplicated
+      // pair copies
+      assert(Postings.pairs(spark, dir, d).count() ===
+        expectedAt(d).count(), s"pair multiplicity diverges at d=$d")
     }
-    // the full stream is exactly the union of the two distances
-    assert(Postings.pairsAll(spark, dir).count() ===
-      Postings.pairs(spark, dir, 1).count() +
-        Postings.pairs(spark, dir, 2).count())
+    // doc 1 repeats "the quick": the d=1 stream must carry BOTH copies
+    assert(Postings.pairs(spark, dir, 1)
+      .filter(col("doc_id") === 1 && col("w_a") === "the" &&
+        col("w_b") === "quick").count() === 2)
   }
 
   test("distinct streams match the in-array distincts they replace") {
@@ -84,6 +96,34 @@ class PostingsSpec extends AnyFunSuite with SparkSpec {
     assert(gotL.filter(col("doc_id") === 4).count() === 0)
   }
 
+  test("bigram tables match the inline hash-then-distinct pipeline") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_post5").toString
+    built(dir)
+    // the expression the consumers previously ran inline: adjacent
+    // bigrams → 16-byte (xxhash64, len) keys → DISTINCT per doc
+    val inline = corpus
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("source"), explode(expr(
+        "zip_with(slice(w, 1, greatest(size(w) - 1, 0))," +
+          " slice(w, 2, greatest(size(w) - 1, 0))," +
+          " (a, b) -> concat(a, ' ', b))")).as("bg"))
+      .select(col("doc_id"), col("source"),
+        xxhash64(col("bg")).as("bh"), length(col("bg")).as("bl"))
+      .distinct()
+    assert(rows(Postings.docBigrams(spark, dir)
+      .select("doc_id", "source", "bh", "bl")) === rows(inline))
+    // doc 1's repeated "the quick" collapses to ONE distinct row but
+    // df still counts it as ONE document
+    assert(rows(Postings.bigramDf(spark, dir)) ===
+      rows(inline.groupBy(col("bh"), col("bl"))
+        .agg(count(lit(1)).as("df"))))
+    assert(rows(Postings.sourceBigrams(spark, dir)) ===
+      rows(inline.select(col("source"), col("bh"), col("bl")).distinct()))
+    // doc 3 ("one") and doc 4 ("") have no bigrams
+    assert(Postings.docBigrams(spark, dir)
+      .filter(col("doc_id").isin(3, 4)).count() === 0)
+  }
+
   test("an empty corpus builds readable empty streams") {
     val dir = java.nio.file.Files.createTempDirectory("graft_post4").toString
     Postings.build(corpus.filter(lit(false)), "doc_id", "source", "text", dir)
@@ -91,5 +131,8 @@ class PostingsSpec extends AnyFunSuite with SparkSpec {
     assert(Postings.pairsAll(spark, dir).count() === 0)
     assert(Postings.distinctTokens(spark, dir).count() === 0)
     assert(Postings.distinctTokensLower(spark, dir).count() === 0)
+    assert(Postings.docBigrams(spark, dir).count() === 0)
+    assert(Postings.bigramDf(spark, dir).count() === 0)
+    assert(Postings.sourceBigrams(spark, dir).count() === 0)
   }
 }
