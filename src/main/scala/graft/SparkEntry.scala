@@ -2675,9 +2675,12 @@ object SparkEntry {
 
     "dedup_jaccard" -> ((s, dir) =>
       // finite df cap: the hot-shingle guard (a shingle in d docs makes
-      // d² join rows) runs through the gate, mirrored in the oracle CTE
-      Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
-        shingleN = 3, minJaccard = 0.1, maxShingleDf = 50)),
+      // d² join rows) runs through the gate, mirrored in the oracle CTE.
+      // Serves from the STORED (inter, sizes) tables
+      // (_build_shingle_pairs) — the shingle pipeline is paid once per
+      // snapshot, the query is a candidate-volume join
+      Dedup.jaccardFromStored(s, shinglePairsDir(s, dir),
+        minJaccard = 0.1)),
 
     // directional shingle CONTAINMENT: C(sub ⊆ sup) = |S∩|/|S(sub)| in
     // exact permille — catches excerpt/syndication subset-duplication
@@ -2685,8 +2688,8 @@ object SparkEntry {
     // inside a 10×-longer doc is J ≈ 0.1 but C = 1000‰). Same df-capped
     // inverted-index candidates as dedup_jaccard; only the ratio is new
     "dedup_containment" -> ((s, dir) =>
-      Dedup.containment(Tables.documents(s, dir), "doc_id", "text",
-        shingleN = 3, minPermille = 500, maxShingleDf = 50)),
+      Dedup.containmentFromStored(s, shinglePairsDir(s, dir),
+        minPermille = 500)),
 
     // transitive closure of the (oracled) jaccard pair list: the
     // pick-one-representative step of a real dedup pipeline
@@ -4279,15 +4282,40 @@ object SparkEntry {
   private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val p = dedupClusterDirs.getOrElseUpdate(dir, {
       val path = tempBuildDir("graft_dedup_clusters")
+      // the pair list serves from the STORED shingle-pair tables —
+      // this build no longer re-runs the corpus shingle pipeline
       Dedup.clusters(
-        Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
-          shingleN = 3, minJaccard = 0.1, maxShingleDf = 50),
+        Dedup.jaccardFromStored(s, shinglePairsDir(s, dir),
+          minJaccard = 0.1),
         "id_a", "id_b")
         .write.mode("overwrite").parquet(path)
       path
     })
     s.read.parquet(p)
   }
+
+  /** Build-once memoization of the STORED df-capped shingle-pair
+    * tables (round-14 verdict task 4, measured variant: rather than
+    * storing raw shingles — which only saves the tokenize front end —
+    * store [[operators.Dedup]]'s `(inter, sizes)` outputs, behind
+    * which sit the shingle explosion AND the posting-list pair
+    * generation). Three consumers ran the IDENTICAL front end per
+    * run: `dedup_jaccard`, `dedup_containment` (same N=3 / df-cap-50
+    * candidates, different ratio), and `_build_dedup_clusters` (the
+    * same ngramJaccard call verbatim) — so the build cost is one of
+    * three identical pipelines, eliminated twice over. Serving reads
+    * are candidate-volume joins.
+    */
+  private[graft] val shinglePairsDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def shinglePairsDir(s: SparkSession, dir: String): String =
+    shinglePairsDirs.getOrElseUpdate(dir, {
+      val path = tempBuildDir("graft_shingle_pairs")
+      Dedup.buildShinglePairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, maxShingleDf = 50, path)
+      path
+    })
 
   /** Build-once memoization of the SAVED IVF index (cl-partitioned
     * parquet lists + params table, [[Similarity.saveIvfIndex]]):
@@ -4410,7 +4438,9 @@ object SparkEntry {
     "_build_ivfpq_index" ->
       ((s, dir) => { ensureIvfPqIndexDir(s, dir): Unit }),
     "_build_postings" ->
-      ((s, dir) => { postingsDir(s, dir): Unit }))
+      ((s, dir) => { postingsDir(s, dir): Unit }),
+    "_build_shingle_pairs" ->
+      ((s, dir) => { shinglePairsDir(s, dir): Unit }))
 
   /** Dependency-aware execution order for [[builds]]: the stored-index
     * builds consume the memoized MODELS, so the model builds must be
@@ -4423,7 +4453,11 @@ object SparkEntry {
     "_build_ivf_index", "_build_ivfpq_index",
     // the extended band index loads the saved base index (alphabetic
     // order would run the extension first and fold the base build in)
-    "_build_minhash_index", "_build_minhash_ext")
+    "_build_minhash_index", "_build_minhash_ext",
+    // cluster formation consumes the stored shingle-pair tables
+    // (alphabetic order would run clusters first and fold the pair
+    // build's corpus shingle pipeline into the cluster row)
+    "_build_shingle_pairs", "_build_dedup_clusters")
 
   /** Which memoized one-time [[builds]] each query consumes — so the
     * benchmark can auto-include the right `_build_*` rows when run
@@ -4437,9 +4471,11 @@ object SparkEntry {
     "q_item_sims" -> Seq("_build_basket_rules"),
     "dedup_minhash_inc" -> Seq("_build_minhash_index"),
     "dedup_minhash_ext" -> Seq("_build_minhash_index", "_build_minhash_ext"),
-    "dedup_clusters" -> Seq("_build_dedup_clusters"),
-    "dedup_survivors" -> Seq("_build_dedup_clusters"),
-    "split_by_cluster" -> Seq("_build_dedup_clusters"),
+    "dedup_jaccard" -> Seq("_build_shingle_pairs"),
+    "dedup_containment" -> Seq("_build_shingle_pairs"),
+    "dedup_clusters" -> Seq("_build_shingle_pairs", "_build_dedup_clusters"),
+    "dedup_survivors" -> Seq("_build_shingle_pairs", "_build_dedup_clusters"),
+    "split_by_cluster" -> Seq("_build_shingle_pairs", "_build_dedup_clusters"),
     "ann_ivf" -> Seq("_build_ivf_model"),
     "ann_ivfpq" -> Seq("_build_ivf_model", "_build_pq_model"),
     "ann_knn_graph" -> Seq("_build_ivf_model"),

@@ -947,6 +947,15 @@ object Dedup {
                    maxShingleDf: Int = Int.MaxValue): DataFrame = {
     val (inter, sizes) =
       shingleIntersections(docs, idCol, textCol, shingleN, maxShingleDf)
+    jaccardScore(inter, sizes, minJaccard)
+  }
+
+  /** The Jaccard scoring tail shared by the inline and STORED paths —
+    * one definition, so the stored-table variant is result-identical
+    * by construction.
+    */
+  private def jaccardScore(inter: DataFrame, sizes: DataFrame,
+                           minJaccard: Double): DataFrame =
     inter
       .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
@@ -955,7 +964,43 @@ object Dedup {
           (col("sz_a") + col("sz_b") - col("inter")), 3))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** Build-once STORE of [[shingleIntersections]]' two outputs — the
+    * df-capped candidate-pair intersection counts and the per-doc
+    * shingle-set sizes — for a fixed (shingleN, maxShingleDf). Both
+    * are corpus-constant per snapshot and bounded by true near-dup
+    * structure (pairs) / document count (sizes), so every similarity
+    * READ over them — Jaccard at any threshold, containment at any
+    * permille, cluster formation — is a candidate-volume join instead
+    * of a corpus-scale shingle pipeline. This is the pair-list
+    * artifact a production near-dup pipeline persists; at 100 TB the
+    * shingle explosion is the dominant dedup cost and it is paid
+    * exactly once per snapshot here. The corpus-scale shingle pin is
+    * released before returning (everything is materialized to
+    * parquet, unlike the lazy inline path which must keep it).
+    */
+  def buildShinglePairs(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int, maxShingleDf: Int,
+                        path: String): Unit = {
+    val (inter, sizes, pinned) =
+      shingleIntersectionsPinned(docs, idCol, textCol, shingleN, maxShingleDf)
+    try {
+      inter.write.mode("overwrite").parquet(s"$path/inter")
+      sizes.write.mode("overwrite").parquet(s"$path/sizes")
+    } finally pinned.unpersist(blocking = false)
   }
+
+  /** Jaccard pairs served from a [[buildShinglePairs]] dir. */
+  def jaccardFromStored(spark: org.apache.spark.sql.SparkSession,
+                        path: String, minJaccard: Double): DataFrame =
+    jaccardScore(spark.read.parquet(s"$path/inter"),
+      spark.read.parquet(s"$path/sizes"), minJaccard)
+
+  /** Containment pairs served from a [[buildShinglePairs]] dir. */
+  def containmentFromStored(spark: org.apache.spark.sql.SparkSession,
+                            path: String, minPermille: Long): DataFrame =
+    containmentScore(spark.read.parquet(s"$path/inter"),
+      spark.read.parquet(s"$path/sizes"), minPermille)
 
   /** Directional shingle CONTAINMENT pairs: C(sub ⊆ sup) =
     * |S(sub) ∩ S(sup)| / |S(sub)| in exact permille, emitted for the
@@ -975,6 +1020,14 @@ object Dedup {
                   maxShingleDf: Int = Int.MaxValue): DataFrame = {
     val (inter, sizes) =
       shingleIntersections(docs, idCol, textCol, shingleN, maxShingleDf)
+    containmentScore(inter, sizes, minPermille)
+  }
+
+  /** The containment scoring tail shared by the inline and STORED
+    * paths — one definition, as [[jaccardScore]].
+    */
+  private def containmentScore(inter: DataFrame, sizes: DataFrame,
+                               minPermille: Long): DataFrame =
     inter
       .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
@@ -987,7 +1040,6 @@ object Dedup {
           .as("sup_id"),
         expr("(1000 * inter) div least(sz_a, sz_b)").as("cont_permille"))
       .filter(col("cont_permille") >= minPermille)
-  }
 
   /** Shared candidate machinery for [[ngramJaccard]] and
     * [[containment]]: returns (per-pair shingle intersection counts,
@@ -996,6 +1048,20 @@ object Dedup {
   private def shingleIntersections(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, maxShingleDf: Int): (DataFrame, DataFrame) = {
+    val (inter, sizes, _) =
+      shingleIntersectionsPinned(docs, idCol, textCol, shingleN, maxShingleDf)
+    (inter, sizes)
+  }
+
+  /** [[shingleIntersections]] plus the PINNED shingle table, for
+    * callers that materialize both outputs and can release the
+    * corpus-scale pin themselves ([[buildShinglePairs]]); the
+    * two-tuple variant keeps the lazy inline contract (the pin lives
+    * until session eviction because the result is lazy).
+    */
+  private def shingleIntersectionsPinned(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, maxShingleDf: Int): (DataFrame, DataFrame, DataFrame) = {
     // join on the 64-bit shingle hash, not the string: same
     // intersection counts (collisions ~n²/2^65) with far smaller
     // shuffle keys
@@ -1066,6 +1132,6 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
 
-    (inter, sizes)
+    (inter, sizes, shingled)
   }
 }

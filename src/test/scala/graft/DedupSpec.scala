@@ -91,6 +91,23 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(found.agg(min("jaccard")).head.getDouble(0) > 0.5)
   }
 
+  test("stored shingle-pair tables serve jaccard AND containment " +
+      "identically to the inline pipelines") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shpairs_spec").toString
+    Dedup.buildShinglePairs(withNearCopies, "doc_id", "text",
+      shingleN = 3, maxShingleDf = 50, dir)
+    def multiset(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).toSeq.sorted
+    assert(multiset(Dedup.jaccardFromStored(spark, dir, minJaccard = 0.1)) ===
+      multiset(Dedup.ngramJaccard(withNearCopies, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.1, maxShingleDf = 50)))
+    assert(multiset(
+      Dedup.containmentFromStored(spark, dir, minPermille = 500)) ===
+      multiset(Dedup.containment(withNearCopies, "doc_id", "text",
+        shingleN = 3, minPermille = 500, maxShingleDf = 50)))
+  }
+
   test("ngram jaccard with a df cap never reports higher similarity") {
     val exact = Dedup.ngramJaccard(withNearCopies, "doc_id", "text", 3, 0.5)
       .withColumnRenamed("jaccard", "j_exact")
