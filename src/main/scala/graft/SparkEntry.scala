@@ -4389,7 +4389,11 @@ object SparkEntry {
     * query). One tokenize pass per dataset dir writes positional
     * postings + the d ∈ {1,2} word-pair stream; eleven text-family
     * consumers become columnar scans of the stored stream with their
-    * aggregation pipelines (and outputs) unchanged. See
+    * aggregation pipelines (and outputs) unchanged. Since r15 the
+    * build also derives the bigram-df dictionary and the per-source
+    * bigram vocabularies (corpus-constant per snapshot), so text_oov
+    * and q_source_overlap start vocabulary-sized instead of paying a
+    * corpus-wide distinct + df aggregation per query. See
     * [[operators.Postings]].
     */
   private[graft] val postingsDirs =

@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Build-once tokenized-corpus tables (the `_build_dedup_clusters` /
   * `_build_basket_rules` stored-table discipline applied to text):
-  * ONE corpus scan tokenizes `documents` and writes two parquet
-  * tables per dataset dir, after which every text-family consumer is
+  * ONE corpus scan tokenizes `documents` and writes the stream and
+  * dictionary tables per dataset dir, after which every text-family
+  * consumer is
   * a columnar scan over pre-exploded rows instead of its own
   * split + zip + explode front end over the raw text.
   *
@@ -45,7 +46,8 @@ import org.apache.spark.sql.functions._
   */
 object Postings {
 
-  /** Tokenize once and write the four stream tables under `path`.
+  /** Tokenize once and write the stream + dictionary tables under
+    * `path`.
     * The per-doc-DISTINCT streams are computed IN-ARRAY here — while
     * the token array is still in hand, `array_distinct` is a map-side
     * pass — so distinct-posting consumers (boolean search, BM25 term
