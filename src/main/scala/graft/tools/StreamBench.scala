@@ -83,7 +83,19 @@ object StreamBench {
         StreamingFraud.tumblingAlerts(tx, sizeSec = 5,
           threshold = 100000.0, watermarkDelay = "2 seconds")
     }
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_sb").toString
+    // checkpoint dirs are the largest bench temp artifacts (multi-GB
+    // of state store + WAL per 90 s run) — delete on JVM exit, the
+    // same hygiene as the `_build_*` table dirs
+    val ckptPath = java.nio.file.Files.createTempDirectory("graft_sb")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles()
+        if (cs != null) cs.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(ckptPath.toFile)
+    }))
+    val ckpt = ckptPath.toString
     val q = alerts.writeStream.format("noop")
       .queryName("streambench")
       .option("checkpointLocation", ckpt)
