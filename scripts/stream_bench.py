@@ -44,6 +44,33 @@ def run_one(pipeline, rate, secs):
         f"\n{out.stderr[-2000:]}")
 
 
+def run_shape(pipeline, rate, secs, max_escalations=2):
+    """Run a shape, escalating the configured rate until the engine —
+    not the rate source — is the bottleneck (round-15 verdict task 5:
+    the r15 timer row read 1.99M rows/s against a 2M configured rate
+    with batches keeping up, i.e. it measured its own ceiling, not
+    capacity). A run whose throughput lands within 10% of the
+    configured rate is flagged `rate_limited` and re-run at double the
+    rate (bounded — a taxed window may keep a shape honest-looking at
+    any rate); every attempt ships in `escalations` so the artifact
+    shows the probe path, and the final row is an engine-bound reading
+    or an explicit rate-limited lower bound."""
+    attempts = []
+    while True:
+        r = run_one(pipeline, rate, secs)
+        r["configured_rate"] = rate
+        r["rate_limited"] = r["value"] >= 0.9 * rate
+        attempts.append({"rate": rate, "value": r["value"],
+                         "rate_limited": r["rate_limited"]})
+        if not r["rate_limited"] or len(attempts) > max_escalations:
+            r["escalations"] = attempts[:-1]
+            return r
+        print(f"  {pipeline}: {r['value'] / 1e6:.2f}M rows/s at rate "
+              f"{rate / 1e6:.1f}M — rate-limited, escalating to "
+              f"{2 * rate / 1e6:.1f}M")
+        rate *= 2
+
+
 def diff(prev_path, cur_path):
     prev = {r["pipeline"]: r for r in json.load(open(prev_path))["runs"]}
     cur = {r["pipeline"]: r for r in json.load(open(cur_path))["runs"]}
@@ -61,7 +88,10 @@ def diff(prev_path, cur_path):
         cs = f"{c / 1e6:12.2f}" if c is not None else "           -"
         rs = (f"{c / p:6.2f}" if (p is not None and c is not None and p > 0)
               else "     -")
-        print(f"{k:10s} {ps} {cs} {rs}")
+        # a rate-limited row is a lower bound, not a capacity — flag it
+        # so cross-round ratios aren't read as engine deltas
+        lim = " (rate-limited)" if cur.get(k, {}).get("rate_limited") else ""
+        print(f"{k:10s} {ps} {cs} {rs}{lim}")
     for a, b, label in [("panes", "sliding", "pane-layout win"),
                         ("tws", "timer", "native-timer win")]:
         if a in cur and b in cur and cur[b]["value"] > 0:
@@ -79,10 +109,12 @@ def main():
     out_path = sys.argv[1]
     runs = []
     for pipeline, rate, secs in SHAPES:
-        r = run_one(pipeline, rate, secs)
+        r = run_shape(pipeline, rate, secs)
         runs.append(r)
+        tag = " [RATE-LIMITED lower bound]" if r["rate_limited"] else ""
         print(f"  {pipeline}: {r['value'] / 1e6:.2f}M rows/s "
-              f"({r['batches']} steady batches, late={r['lateDropped']})")
+              f"({r['batches']} steady batches, late={r['lateDropped']})"
+              f"{tag}")
     doc = {"metric": "stream_bench", "runs": runs}
     with open(out_path, "w") as f:
         json.dump(doc, f, indent=1)

@@ -2778,9 +2778,18 @@ object SparkEntry {
     // j>=0.7 where it is <=4e-10), so the full exact-pair SQL is a
     // real oracle for the LSH pipeline. Probabilistic-output variant
     // (est-jaccard, no verify): Dedup.minhashLsh, spec-checked.
-    "dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashLshVerified(withPlantedNearDups(Tables.documents(s, dir)),
-        "doc_id", "text", shingleN = 3, k = 64, bands = 32, minJaccard = 0.5)),
+    // Since r16 the query serves from STORAGE: the corpus band index
+    // (shared with dedup_minhash_inc) unioned with the planted-docs
+    // index covers the entire input, so the per-run plan reads stored
+    // band/shingle/size parquet and never re-runs the shingle +
+    // k-hash signature front end (the inline path stays, spec-proven
+    // identical — Dedup.minhashPairsFromStored).
+    "dedup_minhash" -> ((s, dir) => {
+      val full = Dedup.extendIndex(
+        Dedup.loadBandIndex(s, ensureMinhashIndexDir(s, dir)),
+        Dedup.loadBandIndex(s, ensureMinhashPlantedDir(s, dir)))
+      Dedup.minhashPairsFromStored(full, minJaccard = 0.5)
+    }),
 
     // incremental admission of a re-crawl batch: the planted copies
     // (ids ≥ 1e6) arrive as the NEW batch against the original corpus
@@ -4229,6 +4238,33 @@ object SparkEntry {
       p
     })
 
+  /** Build-once memoization of the saved band index of the PLANTED
+    * docs (pmod ≥ 1e6) — the complement of [[ensureMinhashIndexDir]]'s
+    * corpus partition, so corpus-index ∪ planted-index is a stored
+    * band index of `dedup_minhash`'s ENTIRE input and the corpus
+    * self-dedup query serves from storage
+    * ([[operators.Dedup.minhashPairsFromStored]]) instead of
+    * re-shingling + re-signing the full corpus per run (the last
+    * duplicated corpus front end — round-15 verdict task 1). Stored
+    * as its own table rather than a rewritten union so the build
+    * pays only the planted tenth of the corpus; the union happens at
+    * read over the two loaded parquet indexes.
+    */
+  private[graft] val minhashPlantedDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def ensureMinhashPlantedDir(s: SparkSession, dir: String): String =
+    minhashPlantedDirs.getOrElseUpdate(dir, {
+      val p = tempBuildDir("graft_minhash_planted")
+      val all = withPlantedNearDups(Tables.documents(s, dir))
+      val built = Dedup.buildBandIndex(
+        all.filter(pmod(col("doc_id"), lit(KeyShift)) >= 1000000L),
+        "doc_id", "text", shingleN = 3, k = 64, bands = 32)
+      Dedup.saveBandIndex(built, p)
+      built.shingles.unpersist(blocking = false)
+      p
+    })
+
   /** Build+EXTEND-once memoization of the saved extended band index
     * (dedup_minhash_ext): corpus index ∪ first planted batch, saved
     * once per dataset dir — repeated gate runs measure the admission
@@ -4431,6 +4467,8 @@ object SparkEntry {
       ((s, dir) => { dedupClusters(s, dir): Unit }),
     "_build_minhash_ext" ->
       ((s, dir) => { ensureMinhashExtDir(s, dir): Unit }),
+    "_build_minhash_planted" ->
+      ((s, dir) => { ensureMinhashPlantedDir(s, dir): Unit }),
     "_build_ivf_model" ->
       ((s, dir) => { ivfModel(s, dir): Unit }),
     "_build_pq_model" ->
@@ -4457,7 +4495,7 @@ object SparkEntry {
     "_build_ivf_index", "_build_ivfpq_index",
     // the extended band index loads the saved base index (alphabetic
     // order would run the extension first and fold the base build in)
-    "_build_minhash_index", "_build_minhash_ext",
+    "_build_minhash_index", "_build_minhash_ext", "_build_minhash_planted",
     // cluster formation consumes the stored shingle-pair tables
     // (alphabetic order would run clusters first and fold the pair
     // build's corpus shingle pipeline into the cluster row)
@@ -4473,6 +4511,7 @@ object SparkEntry {
     "q_copurchase" -> Seq("_build_basket_rules"),
     "q_basket_lift" -> Seq("_build_basket_rules"),
     "q_item_sims" -> Seq("_build_basket_rules"),
+    "dedup_minhash" -> Seq("_build_minhash_index", "_build_minhash_planted"),
     "dedup_minhash_inc" -> Seq("_build_minhash_index"),
     "dedup_minhash_ext" -> Seq("_build_minhash_index", "_build_minhash_ext"),
     "dedup_jaccard" -> Seq("_build_shingle_pairs"),

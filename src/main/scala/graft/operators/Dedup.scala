@@ -183,6 +183,41 @@ object Dedup {
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
   }
 
+  /** Band-bucket self-join candidates over any band table (inline or
+    * stored). A pair sharing several bands would double-count in the
+    * verify aggregation: dedup candidates first (cheap — candidate
+    * volume, not corpus volume).
+    */
+  private def bandCandidates(banded: DataFrame): DataFrame =
+    banded.alias("a").join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+  /** The ONE exact-verify scoring tail — shingle-intersection count →
+    * jaccard → threshold — shared by the inline path
+    * ([[minhashLshVerified]]) and the stored-index path
+    * ([[minhashPairsFromStored]]), so the two are identical by
+    * construction (the jaccardFromStored discipline).
+    */
+  private def verifyCandidates(cand: DataFrame, shingled: DataFrame,
+                               sizes: DataFrame,
+                               minJaccard: Double): DataFrame = {
+    val inter = cand
+      .join(shingled.select(col("doc_id").as("id_a"), col("sh")), "id_a")
+      .join(shingled.select(col("doc_id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast(DoubleType) /
+          (col("sz_a") + col("sz_b") - col("inter")), 3))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   def minhashLshVerified(docs: DataFrame, idCol: String, textCol: String,
                          shingleN: Int = 3, k: Int = 64, bands: Int = 32,
                          minJaccard: Double = 0.5): DataFrame = {
@@ -195,28 +230,8 @@ object Dedup {
 
     val banded = bandTable(shingled, k, bands)
 
-    // a pair sharing several bands would double-count in the verify
-    // aggregation: dedup candidates first (cheap — candidate volume,
-    // not corpus volume)
-    val cand = banded.alias("a").join(banded.alias("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-
-    val inter = cand
-      .join(shingled.select(col("doc_id").as("id_a"), col("sh")), "id_a")
-      .join(shingled.select(col("doc_id").as("id_b"), col("sh")), Seq("id_b", "sh"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-
-    val pairs = inter
-      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("jaccard",
-        round(col("inter").cast(DoubleType) /
-          (col("sz_a") + col("sz_b") - col("inter")), 3))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val pairs = verifyCandidates(bandCandidates(banded), shingled, sizes,
+      minJaccard)
       // EAGER (localCheckpoint) so the corpus-scale shingle pin can be
       // released before returning, instead of living until session
       // eviction like the lazy ngramJaccard shape: at 10x the bench SF
@@ -229,6 +244,27 @@ object Dedup {
     shingled.unpersist(blocking = false)
     pairs
   }
+
+  /** Corpus SELF-dedup served entirely from a stored [[MinhashIndex]]
+    * — the [[minhashLshVerified]] pair set without re-running the
+    * corpus front end: candidate generation is a band-bucket
+    * self-join over the STORED band table (nBands 20-byte rows per
+    * doc, read columnar) and the exact verify reads the STORED
+    * hashed-shingle/size tables, so the per-run cost drops the
+    * shingle explode + k-hash signature aggregation — the dominant
+    * term — and tracks candidate volume plus a corpus-columnar scan.
+    * Output is identical to the inline path by construction: the
+    * band table was built by the same [[bandTable]] arithmetic at
+    * index build, and [[bandCandidates]]/[[verifyCandidates]] are the
+    * very operators the inline path runs (spec: stored ≡ inline).
+    * At 100 TB this is the snapshot-serving shape: the index is built
+    * (or [[extendIndex]]-maintained) once per corpus snapshot and
+    * every self-dedup pass is a read.
+    */
+  def minhashPairsFromStored(index: MinhashIndex,
+                             minJaccard: Double = 0.5): DataFrame =
+    verifyCandidates(bandCandidates(index.bands), index.shingles,
+      index.sizes, minJaccard)
 
   /** The stored half of incremental near-dup admission: everything
     * the corpus contributes to [[admitBatch]], precomputed once and

@@ -54,60 +54,178 @@ object Postings {
     * picking) never pay a corpus-wide dedup exchange at query time:
     * their aggregations stay vocabulary-sized, exactly as when they
     * tokenized inline.
+    *
+    * PRECONDITION: `docs` must carry one row per `idCol` value. The
+    * per-doc distincts are in-array (per ROW), so a duplicated doc_id
+    * would contribute its bigrams once PER ROW to `bigram_df` —
+    * where the inline pipelines this build replaced ran a global
+    * (doc, bigram) distinct and counted such a doc once. The corpus
+    * tables feeding this build are keyed by doc_id, so the global
+    * distinct would be a corpus-wide exchange paid only to defend an
+    * input shape that never occurs; callers with multi-row docs must
+    * dedup upstream.
     */
+  /** `(doc_id, source, w)` tokenized rows — the one tokenize pass all
+    * five stream writers share (build AND batch admission, so the two
+    * paths cannot drift).
+    */
+  private def tokenized(docs: DataFrame, idCol: String, srcCol: String,
+                        textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      col(srcCol).as("source"), split(col(textCol), " ").as("w"))
+
+  private def tokenRows(toks: DataFrame): DataFrame =
+    toks.select(col("doc_id"), col("source"),
+      posexplode(col("w")).as(Seq("pos", "term")))
+
+  private def pairRows(toks: DataFrame): DataFrame = {
+    def pairsAt(d: Int) = zip_with(
+      slice(col("w"), lit(1), greatest(size(col("w")) - d, lit(0))),
+      slice(col("w"), lit(1 + d), greatest(size(col("w")) - d, lit(0))),
+      (a, b) => struct(lit(d).as("d"), a.as("w_a"), b.as("w_b")))
+    toks.select(col("doc_id"), col("source"),
+        explode(concat(pairsAt(1), pairsAt(2))).as("p"))
+      .select(col("doc_id"), col("source"), col("p.d").as("d"),
+        col("p.w_a").as("w_a"), col("p.w_b").as("w_b"))
+  }
+
+  private def dtokenRows(toks: DataFrame): DataFrame =
+    toks.select(col("doc_id"), col("source"),
+      explode(array_distinct(col("w"))).as("term"))
+
+  // the BM25 term-pick tokenization: per-doc distinct of LOWERCASED
+  // [a-z]+ tokens (distinct after lowering — "The the" is ONE
+  // distinct lowered token)
+  private def dtokenLowerRows(toks: DataFrame): DataFrame =
+    toks.select(col("doc_id"), col("source"),
+      explode(array_distinct(expr(
+        "filter(transform(w, x -> lower(x))," +
+          " x -> x rlike '^[a-z]+$')"))).as("term"))
+
+  // per-doc distinct adjacent bigrams, hashed to 16-byte
+  // (xxhash64, len) keys IN-ARRAY (hash first, distinct on the
+  // hashed struct — exactly the consumers' previous
+  // hash-then-distinct order, so a hypothetical (hash, len)
+  // collision collapses the same way it did inline)
+  private def dbigramRows(toks: DataFrame): DataFrame =
+    toks.select(col("doc_id"), col("source"),
+        explode(array_distinct(transform(zip_with(
+          slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))),
+          slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b)),
+          bg => struct(xxhash64(bg).as("bh"), length(bg).as("bl")))))
+          .as("p"))
+      .select(col("doc_id"), col("source"),
+        col("p.bh").as("bh"), col("p.bl").as("bl"))
+
+  /** Write the five stream tables from one persisted tokenize pass.
+    * `mode` is Overwrite at [[build]], Append at [[admitBatch]].
+    */
+  private def writeStreams(docs: DataFrame, idCol: String, srcCol: String,
+                           textCol: String, path: String,
+                           mode: String): Unit = {
+    val toks = tokenized(docs, idCol, srcCol, textCol)
+      .persist() // five writers, one tokenize pass
+    try {
+      tokenRows(toks).write.mode(mode).parquet(s"$path/tokens")
+      pairRows(toks).write.mode(mode).parquet(s"$path/pairs")
+      dtokenRows(toks).write.mode(mode).parquet(s"$path/dtokens")
+      dtokenLowerRows(toks).write.mode(mode).parquet(s"$path/dtokens_lower")
+      dbigramRows(toks).write.mode(mode).parquet(s"$path/dbigrams")
+    } finally toks.unpersist(blocking = false)
+  }
+
   def build(docs: DataFrame, idCol: String, srcCol: String,
             textCol: String, path: String): Unit = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      col(srcCol).as("source"), split(col(textCol), " ").as("w"))
-      .persist() // four writers, one tokenize pass
+    writeStreams(docs, idCol, srcCol, textCol, path, "overwrite")
+    // ONE aggregation derives BOTH vocabulary-sized dictionaries from
+    // the WRITTEN dbigrams parquet (not the lineage — the corpus is
+    // tokenized exactly once across all seven tables): group once to
+    // per-(source, bigram) doc counts, then bigram_df folds the
+    // source axis (each doc has one source and appears once per
+    // bigram, so Σ_source n ≡ the old per-bigram doc count) and
+    // source_bigrams keeps the keys. One corpus-scale scan + one
+    // corpus-scale shuffle where the r15 build paid two of each; the
+    // persisted intermediate is vocabulary × sources-sized.
+    val bySource = docs.sparkSession.read.parquet(s"$path/dbigrams")
+      .groupBy(col("source"), col("bh"), col("bl"))
+      .agg(count(lit(1)).as("n"))
+      .persist()
     try {
-      toks.select(col("doc_id"), col("source"),
-          posexplode(col("w")).as(Seq("pos", "term")))
-        .write.mode("overwrite").parquet(s"$path/tokens")
-      def pairsAt(d: Int) = zip_with(
-        slice(col("w"), lit(1), greatest(size(col("w")) - d, lit(0))),
-        slice(col("w"), lit(1 + d), greatest(size(col("w")) - d, lit(0))),
-        (a, b) => struct(lit(d).as("d"), a.as("w_a"), b.as("w_b")))
-      toks.select(col("doc_id"), col("source"),
-          explode(concat(pairsAt(1), pairsAt(2))).as("p"))
-        .select(col("doc_id"), col("source"), col("p.d").as("d"),
-          col("p.w_a").as("w_a"), col("p.w_b").as("w_b"))
-        .write.mode("overwrite").parquet(s"$path/pairs")
-      toks.select(col("doc_id"), col("source"),
-          explode(array_distinct(col("w"))).as("term"))
-        .write.mode("overwrite").parquet(s"$path/dtokens")
-      // the BM25 term-pick tokenization: per-doc distinct of
-      // LOWERCASED [a-z]+ tokens (distinct after lowering — "The the"
-      // is ONE distinct lowered token)
-      toks.select(col("doc_id"), col("source"),
-          explode(array_distinct(expr(
-            "filter(transform(w, x -> lower(x))," +
-              " x -> x rlike '^[a-z]+$')"))).as("term"))
-        .write.mode("overwrite").parquet(s"$path/dtokens_lower")
-      // per-doc distinct adjacent bigrams, hashed to 16-byte
-      // (xxhash64, len) keys IN-ARRAY (hash first, distinct on the
-      // hashed struct — exactly the consumers' previous
-      // hash-then-distinct order, so a hypothetical (hash, len)
-      // collision collapses the same way it did inline)
-      toks.select(col("doc_id"), col("source"),
-          explode(array_distinct(transform(zip_with(
-            slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))),
-            slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
-            (a, b) => concat(a, lit(" "), b)),
-            bg => struct(xxhash64(bg).as("bh"), length(bg).as("bl")))))
-            .as("p"))
-        .select(col("doc_id"), col("source"),
-          col("p.bh").as("bh"), col("p.bl").as("bl"))
-        .write.mode("overwrite").parquet(s"$path/dbigrams")
-    } finally toks.unpersist(blocking = false)
-    // the two vocabulary-sized derived dictionaries aggregate the
-    // WRITTEN dbigrams parquet (not the lineage) so the corpus is
-    // tokenized exactly once across all seven tables
-    val stored = docs.sparkSession.read.parquet(s"$path/dbigrams")
-    stored.groupBy(col("bh"), col("bl")).agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$path/bigram_df")
-    stored.select(col("source"), col("bh"), col("bl")).distinct()
-      .write.mode("overwrite").parquet(s"$path/source_bigrams")
+      bySource.groupBy(col("bh"), col("bl")).agg(sum(col("n")).as("df"))
+        .write.mode("overwrite").parquet(s"$path/bigram_df")
+      bySource.select(col("source"), col("bh"), col("bl"))
+        .write.mode("overwrite").parquet(s"$path/source_bigrams")
+    } finally bySource.unpersist(blocking = false)
+  }
+
+  /** Admit a BATCH of new documents into an existing postings
+    * snapshot at BATCH cost — the stored corpus is never re-read and
+    * never re-tokenized (round-15 verdict task 2: a daily 100 TB
+    * pipeline admits a batch; full rebuilds are for new snapshots).
+    *
+    *  - The five stream tables append the batch's own rows, computed
+    *    by the SAME expressions as [[build]] (shared one-definition
+    *    helpers, so the two paths cannot drift). Appends are exact
+    *    because every stream table is a per-document row set:
+    *    admission ≡ rebuild on corpus ∪ batch as multisets (spec:
+    *    "admission equals rebuild", random batch splits).
+    *  - `bigram_df` count-merges: the batch's per-bigram doc counts
+    *    (batch-aggregated, vocabulary-sized) sum into the stored
+    *    dictionary — exact because df is a per-doc-distinct COUNT and
+    *    doc sets are disjoint by precondition.
+    *  - `source_bigrams` distinct-unions the batch vocabulary.
+    *
+    * The two dictionaries are replaced via a staged write + atomic
+    * directory rename (a parquet dir cannot be overwritten while
+    * serving as its own write's input). Admission is idempotent only
+    * per batch — PRECONDITION as [[build]] plus: batch doc_ids must
+    * be disjoint from every already-admitted document's (re-admitting
+    * a doc would double its stream rows and df contributions).
+    * Concurrent readers of the dictionary dirs during the rename see
+    * either snapshot, not a mix; the stream appends are visible to
+    * new reads as soon as each write commits.
+    */
+  def admitBatch(batch: DataFrame, idCol: String, srcCol: String,
+                 textCol: String, path: String): Unit = {
+    writeStreams(batch, idCol, srcCol, textCol, path, "append")
+    val spark = batch.sparkSession
+    // batch-cost dictionary folds: aggregate the BATCH's bigram rows
+    // once (vocabulary × sources-sized), then merge into the stored
+    // dictionaries — the stored dbigrams stream is never re-scanned
+    val batchCounts = dbigramRows(
+      tokenized(batch, idCol, srcCol, textCol))
+      .groupBy(col("source"), col("bh"), col("bl"))
+      .agg(count(lit(1)).as("n"))
+      .persist() // two dictionary folds, one batch aggregation
+    try {
+      replaceTable(
+        spark.read.parquet(s"$path/bigram_df")
+          .unionByName(batchCounts.groupBy(col("bh"), col("bl"))
+            .agg(sum(col("n")).as("df")))
+          .groupBy(col("bh"), col("bl")).agg(sum(col("df")).as("df")),
+        s"$path/bigram_df")
+      replaceTable(
+        spark.read.parquet(s"$path/source_bigrams")
+          .unionByName(batchCounts.select(col("source"), col("bh"), col("bl")))
+          .distinct(),
+        s"$path/source_bigrams")
+    } finally batchCounts.unpersist(blocking = false)
+  }
+
+  /** Stage `df` beside `dir`, then swap directories — the
+    * read-merge-replace primitive for the dictionary folds (writing
+    * over the parquet dir a plan is reading throws mid-job).
+    */
+  private def replaceTable(df: DataFrame, dir: String): Unit = {
+    val staged = dir + "__staged"
+    df.write.mode("overwrite").parquet(staged)
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val fs = target.getFileSystem(conf)
+    fs.delete(target, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staged), target))
+      sys.error(s"postings admission: rename $staged -> $dir failed")
   }
 
   /** The positional postings stream `(doc_id, source, pos, term)`. */

@@ -108,6 +108,39 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
         shingleN = 3, minPermille = 500, maxShingleDf = 50)))
   }
 
+  test("stored band index serves the corpus self-dedup identically to " +
+      "the inline minhashLshVerified pipeline") {
+    // the r16 serving shape behind dedup_minhash: corpus-partition
+    // index ∪ planted-partition index (two stored sub-indexes, unioned
+    // at read) must yield the exact pair set the inline front end
+    // computes over the union corpus — band arithmetic, candidate
+    // generation and the verify tail are shared definitions, so a
+    // divergence here means the stored tables themselves drifted
+    val planted = withNearCopies
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_minhash_stored_spec").toString
+    val originals = planted.filter(col("doc_id") < 1000000L)
+    val plantedOnly = planted.filter(col("doc_id") >= 1000000L)
+    val idxA = Dedup.buildBandIndex(originals, "doc_id", "text",
+      shingleN = 3, k = 64, bands = 32)
+    Dedup.saveBandIndex(idxA, s"$dir/a")
+    idxA.shingles.unpersist(blocking = false)
+    val idxB = Dedup.buildBandIndex(plantedOnly, "doc_id", "text",
+      shingleN = 3, k = 64, bands = 32)
+    Dedup.saveBandIndex(idxB, s"$dir/b")
+    idxB.shingles.unpersist(blocking = false)
+    val stored = Dedup.minhashPairsFromStored(
+      Dedup.extendIndex(Dedup.loadBandIndex(spark, s"$dir/a"),
+        Dedup.loadBandIndex(spark, s"$dir/b")),
+      minJaccard = 0.5)
+    val inline = Dedup.minhashLshVerified(planted, "doc_id", "text",
+      shingleN = 3, k = 64, bands = 32, minJaccard = 0.5)
+    def multiset(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).toSeq.sorted
+    assert(stored.count() > 0)
+    assert(multiset(stored) === multiset(inline))
+  }
+
   test("ngram jaccard with a df cap never reports higher similarity") {
     val exact = Dedup.ngramJaccard(withNearCopies, "doc_id", "text", 3, 0.5)
       .withColumnRenamed("jaccard", "j_exact")

@@ -124,6 +124,59 @@ class PostingsSpec extends AnyFunSuite with SparkSpec {
       .filter(col("doc_id").isin(3, 4)).count() === 0)
   }
 
+  test("batch admission equals a full rebuild on every table " +
+      "(random splits)") {
+    // the B77 gate property applied to the postings snapshot: build
+    // on a random subset, admit the complement as a batch, and every
+    // one of the seven tables must equal the from-scratch rebuild of
+    // the full corpus as a MULTISET (appends must neither drop nor
+    // duplicate stream rows; the dictionary folds must count-merge
+    // exactly). Seeded split per round so failures reproduce.
+    import spark.implicits._
+    val full = (1L to 40L).map { i =>
+      val src = if (i % 3 == 0) "web" else if (i % 3 == 1) "book" else "wiki"
+      val words = (0 until (i % 7).toInt + 1)
+        .map(j => s"w${(i * 31 + j * 17) % 23}")
+      (i, src, words.mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val tables = Seq("tokens", "pairs", "dtokens", "dtokens_lower",
+      "dbigrams", "bigram_df", "source_bigrams")
+    Seq(7, 13, 29).foreach { seed =>
+      val inBase = pmod(xxhash64(col("doc_id"), lit(seed)), lit(2)) === 0
+      val dirInc = java.nio.file.Files
+        .createTempDirectory(s"graft_post_adm$seed").toString
+      val dirFull = java.nio.file.Files
+        .createTempDirectory(s"graft_post_reb$seed").toString
+      Postings.build(full.filter(inBase), "doc_id", "source", "text", dirInc)
+      Postings.admitBatch(full.filter(!inBase), "doc_id", "source", "text",
+        dirInc)
+      Postings.build(full, "doc_id", "source", "text", dirFull)
+      tables.foreach { t =>
+        assert(rows(spark.read.parquet(s"$dirInc/$t")) ===
+          rows(spark.read.parquet(s"$dirFull/$t")),
+          s"table $t diverges after admission (seed=$seed)")
+      }
+    }
+    // a second admission on top of the first must also fold exactly
+    // (the daily-pipeline shape: admissions stack)
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_post_adm2").toString
+    val third = pmod(col("doc_id"), lit(3))
+    Postings.build(full.filter(third === 0), "doc_id", "source", "text", dir2)
+    Postings.admitBatch(full.filter(third === 1), "doc_id", "source", "text",
+      dir2)
+    Postings.admitBatch(full.filter(third === 2), "doc_id", "source", "text",
+      dir2)
+    val dirF2 = java.nio.file.Files
+      .createTempDirectory("graft_post_reb2").toString
+    Postings.build(full, "doc_id", "source", "text", dirF2)
+    tables.foreach { t =>
+      assert(rows(spark.read.parquet(s"$dir2/$t")) ===
+        rows(spark.read.parquet(s"$dirF2/$t")),
+        s"table $t diverges after stacked admissions")
+    }
+  }
+
   test("an empty corpus builds readable empty streams") {
     val dir = java.nio.file.Files.createTempDirectory("graft_post4").toString
     Postings.build(corpus.filter(lit(false)), "doc_id", "source", "text", dir)
