@@ -260,11 +260,39 @@ object Dedup {
     * At 100 TB this is the snapshot-serving shape: the index is built
     * (or [[extendIndex]]-maintained) once per corpus snapshot and
     * every self-dedup pass is a read.
+    *
+    * The exact-verify inputs are PRUNED to candidate documents with a
+    * semi-join before the shingle join (the [[admitBatch]]
+    * discipline): the verify's (doc, sh) exchange is then bounded by
+    * true near-dup structure, not the corpus — measured at 10× the
+    * bench SF the unpruned verify re-shuffled the full stored shingle
+    * table (188 MB) where candidates covered a fifth of the docs.
+    * The candidate-id broadcast gets the same row-count guard as
+    * admitBatch (a boilerplate-heavy corpus can make candidates
+    * corpus-scale; past the threshold fall back to a shuffle
+    * semi-join — slower, never a driver OOM). The candidate pair set
+    * is persisted for its two consumers and the result is
+    * materialized (localCheckpoint) so the pin frees at return, as
+    * the inline path does.
     */
   def minhashPairsFromStored(index: MinhashIndex,
-                             minJaccard: Double = 0.5): DataFrame =
-    verifyCandidates(bandCandidates(index.bands), index.shingles,
-      index.sizes, minJaccard)
+                             minJaccard: Double = 0.5,
+                             maxBroadcastIdRows: Long =
+                               50L * 1000 * 1000): DataFrame = {
+    val cand = bandCandidates(index.bands).persist()
+    val candRows = cand.count() // eager fill — and the broadcast guard
+    val ids0 = cand.select(col("id_a").as("doc_id"))
+      .union(cand.select(col("id_b").as("doc_id"))).distinct()
+    // 2·candRows bounds |ids| from above, so the already-materialized
+    // count decides without an extra job
+    val ids = if (2 * candRows <= maxBroadcastIdRows) broadcast(ids0) else ids0
+    val sh = index.shingles.join(ids, Seq("doc_id"), "left_semi")
+    val sz = index.sizes.join(ids, Seq("doc_id"), "left_semi")
+    val out = verifyCandidates(cand, sh, sz, minJaccard)
+      .localCheckpoint(true)
+    cand.unpersist(blocking = false)
+    out
+  }
 
   /** The stored half of incremental near-dup admission: everything
     * the corpus contributes to [[admitBatch]], precomputed once and
