@@ -111,6 +111,18 @@ object SparkEntry {
     Seq(top(9).getString(0), top(19).getString(0), top(29).getString(0))
   }
 
+  /** [[searchRankedTermsTok]] over the STORED df dictionary
+    * (_build_postings/df_lower): the per-run pull is a 30-row
+    * TakeOrdered over an already-aggregated vocabulary-sized table —
+    * no per-run aggregation at all. Same picks by construction:
+    * df_lower IS the (term, df) aggregation the Tok variant computes.
+    */
+  private def searchRankedTermsStored(dfLower: DataFrame): Seq[String] = {
+    val top = dfLower
+      .orderBy(col("df").desc, col("term")).limit(30).collect()
+    Seq(top(9).getString(0), top(19).getString(0), top(29).getString(0))
+  }
+
   /** Unrolled DuckDB mirror of Graph.kCore on the arithmetic event
     * graph: per round, degrees over the surviving edges, the >= k
     * keep set, and the both-endpoints-kept edge filter — node counts
@@ -1479,26 +1491,28 @@ object SparkEntry {
     // (engine-common ids, so the whole iteration hash-oracles through
     // the q_pagerank unrolled-rounds mirror), ranked by the SAME
     // bounded-round integer loop as B47; top-20 keywords join back
-    // through the vocabulary-sized dictionary. Pair generation is the
-    // map-only q_skipgram zip — only vocabulary-bounded counts ever
-    // shuffle.
+    // through the vocabulary-sized dictionary. Since r16 both corpus
+    // front ends serve from the STORED postings streams
+    // (_build_postings): the ±2 co-occurrence window is exactly the
+    // stored d ∈ {1,2} pair stream (the q_skipgram_pmi shape —
+    // unordered-pair canonicalization happens map-side over the
+    // columnar scan, identical multiset to the inline least/greatest
+    // zip), and the dictionary is the per-doc-distinct token stream
+    // distinct'd corpus-wide. The per-run plan no longer re-tokenizes
+    // the corpus: it starts from two columnar scans and only
+    // vocabulary-bounded counts ever shuffle.
     "q_textrank" -> ((s, dir) => {
-      val words = split(col("text"), " ")
-      def pairsAt(d: Int) = zip_with(
-        slice(words, lit(1), greatest(size(words) - d, lit(0))),
-        slice(words, lit(1 + d), greatest(size(words) - d, lit(0))),
-        (a, b) => struct(least(a, b).as("w_a"), greatest(a, b).as("w_b")))
-      val docs = Tables.documents(s, dir)
-      val co = docs
-        .select(explode(concat(pairsAt(1), pairsAt(2))).as("p"))
-        .select(col("p.w_a").as("w_a"), col("p.w_b").as("w_b"))
+      val co = operators.Postings.pairsAll(s, postingsDir(s, dir))
+        .select(least(col("w_a"), col("w_b")).as("w_a"),
+          greatest(col("w_a"), col("w_b")).as("w_b"))
         .groupBy("w_a", "w_b").agg(count(lit(1)).as("n_ab"))
         .filter(col("n_ab") >= 2 && col("w_a") =!= col("w_b"))
       def h(c: Column) = conv(substring(md5(c), 1, 15), 16, 10)
         .cast(LongType)
       val edges = co.select(h(col("w_a")).as("src"), h(col("w_b")).as("dst"))
         .union(co.select(h(col("w_b")).as("src"), h(col("w_a")).as("dst")))
-      val dict = docs.select(explode(words).as("word")).distinct()
+      val dict = operators.Postings.distinctTokens(s, postingsDir(s, dir))
+        .select(col("term").as("word")).distinct()
         .select(col("word"), h(col("word")).as("node"))
       Graph.pageRank(edges, iters = 3)
         .join(dict, "node")
@@ -3546,14 +3560,19 @@ object SparkEntry {
     // 10/20/30 (mid-frequency — discriminative, overlapping posting
     // lists) via the same bounded top-k pull q_search uses.
     "q_search_ranked" -> ((s, dir) => {
-      // tf/dl/df and the term picks serve from the stored token
-      // stream (_build_postings); n_docs still counts the documents
-      // table (footer-only) so tokenless docs stay in the idf
-      val tok = tokensOf(s, dir).select(col("doc_id"), col("term"))
-      operators.Relevance.bm25RankTok(tok,
+      // Since r16 the whole lexical side serves from the STORED BM25
+      // index tables (_build_postings: tf_lower / dl_lower / the
+      // df_lower dictionary): term picks are a 30-row TakeOrdered
+      // over the stored dictionary and scoring reads only the query
+      // terms' posting lists (term filter pushed to the parquet
+      // scan) — nothing token-scale aggregates per run. n_docs still
+      // counts the documents table (footer-only) so tokenless docs
+      // stay in the idf. Inline path stays, spec-proven identical
+      // (Relevance.bm25RankStored shares the scoring tail).
+      val p = postingsDir(s, dir)
+      operators.Relevance.bm25RankStored(s, p,
         Tables.documents(s, dir).agg(count(lit(1)).as("n_docs")),
-        searchRankedTermsTok(operators.Postings
-          .distinctTokensLower(s, postingsDir(s, dir))), k = 10)
+        searchRankedTermsStored(operators.Postings.dfLower(s, p)), k = 10)
     }),
 
     // hybrid retrieval's standard merge: reciprocal-rank fusion of
@@ -3563,13 +3582,12 @@ object SparkEntry {
     // by only one system keep their one-sided score: that coverage
     // union is what makes RRF robust when the systems disagree.
     "q_rrf_fusion" -> ((s, dir) => {
-      // lexical side serves from the stored token stream, like
+      // lexical side serves from the stored BM25 index tables, like
       // q_search_ranked
-      val tok = tokensOf(s, dir).select(col("doc_id"), col("term"))
-      val lex = operators.Relevance.bm25RankTok(tok,
+      val p = postingsDir(s, dir)
+      val lex = operators.Relevance.bm25RankStored(s, p,
         Tables.documents(s, dir).agg(count(lit(1)).as("n_docs")),
-        searchRankedTermsTok(operators.Postings
-          .distinctTokensLower(s, postingsDir(s, dir))), k = 20)
+        searchRankedTermsStored(operators.Postings.dfLower(s, p)), k = 20)
       val vec = operators.Similarity.bruteForceTopK(
         Tables.embeddings(s, dir), "vec_id", "embedding",
         queryMaxId = 1, k = 20)
@@ -4534,6 +4552,7 @@ object SparkEntry {
     "q_source_overlap" -> Seq("_build_postings"),
     "q_collocations" -> Seq("_build_postings"),
     "q_skipgram_pmi" -> Seq("_build_postings"),
+    "q_textrank" -> Seq("_build_postings"),
     "q_lm_score" -> Seq("_build_postings"),
     "q_phrase" -> Seq("_build_postings"),
     "q_phrase_tag" -> Seq("_build_postings"),

@@ -118,20 +118,49 @@ object Postings {
       .select(col("doc_id"), col("source"),
         col("p.bh").as("bh"), col("p.bl").as("bl"))
 
-  /** Write the five stream tables from one persisted tokenize pass.
+  // the BM25 tokenization contract (Relevance.bm25RankTok): lowercase
+  // then keep [a-z]+ only. Lowercasing never produces or consumes a
+  // space, so lower-then-split ≡ split-then-lower.
+  private def bm25Toks = expr(
+    "filter(transform(w, x -> lower(x)), x -> x rlike '^[a-z]+$')")
+
+  /** `(doc_id, term, tf)` — the BM25 term-frequency table over the
+    * lowered `[a-z]+` tokens. Per-document rows (docs contribute
+    * disjoint row sets), so batch admission is a plain append; the
+    * map-side partial aggregation means the build's exchange carries
+    * (doc, term)-distinct rows, i.e. the table itself.
+    */
+  private def tfLowerRows(toks: DataFrame): DataFrame =
+    toks.select(col("doc_id"), explode(bm25Toks).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** `(doc_id, dl)` — BM25 document lengths (count of lowered
+    * `[a-z]+` tokens), map-only in-array; rows only for docs with
+    * ≥ 1 matching token, exactly the row set Σtf over [[tfLowerRows]]
+    * yields (the inline path derives dl from tf).
+    */
+  private def dlLowerRows(toks: DataFrame): DataFrame =
+    toks.select(col("doc_id"),
+        size(bm25Toks).cast("long").as("dl"))
+      .filter(col("dl") >= 1)
+
+  /** Write the seven stream tables from one persisted tokenize pass.
     * `mode` is Overwrite at [[build]], Append at [[admitBatch]].
     */
   private def writeStreams(docs: DataFrame, idCol: String, srcCol: String,
                            textCol: String, path: String,
                            mode: String): Unit = {
     val toks = tokenized(docs, idCol, srcCol, textCol)
-      .persist() // five writers, one tokenize pass
+      .persist() // seven writers, one tokenize pass
     try {
       tokenRows(toks).write.mode(mode).parquet(s"$path/tokens")
       pairRows(toks).write.mode(mode).parquet(s"$path/pairs")
       dtokenRows(toks).write.mode(mode).parquet(s"$path/dtokens")
       dtokenLowerRows(toks).write.mode(mode).parquet(s"$path/dtokens_lower")
       dbigramRows(toks).write.mode(mode).parquet(s"$path/dbigrams")
+      tfLowerRows(toks).write.mode(mode).parquet(s"$path/tf_lower")
+      dlLowerRows(toks).write.mode(mode).parquet(s"$path/dl_lower")
     } finally toks.unpersist(blocking = false)
   }
 
@@ -157,6 +186,14 @@ object Postings {
       bySource.select(col("source"), col("bh"), col("bl"))
         .write.mode("overwrite").parquet(s"$path/source_bigrams")
     } finally bySource.unpersist(blocking = false)
+    // the BM25 document-frequency DICTIONARY (term, df) aggregates
+    // the WRITTEN per-doc-distinct lowered stream — vocabulary-sized
+    // output, one columnar scan; serves both the ranked-retrieval
+    // term picks (top-df pull) and the per-query-term idf, so the
+    // BM25 consumers never pay a corpus-scale df aggregation per run
+    docs.sparkSession.read.parquet(s"$path/dtokens_lower")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$path/df_lower")
   }
 
   /** Admit a BATCH of new documents into an existing postings
@@ -211,6 +248,16 @@ object Postings {
           .distinct(),
         s"$path/source_bigrams")
     } finally batchCounts.unpersist(blocking = false)
+    // df_lower count-merges exactly like bigram_df: the batch's
+    // per-term doc counts (vocabulary-sized, from the batch's own
+    // per-doc-distinct lowered tokens) sum into the stored dictionary
+    // — exact because doc sets are disjoint by precondition
+    replaceTable(
+      spark.read.parquet(s"$path/df_lower")
+        .unionByName(dtokenLowerRows(tokenized(batch, idCol, srcCol, textCol))
+          .groupBy(col("term")).agg(count(lit(1)).as("df")))
+        .groupBy(col("term")).agg(sum(col("df")).as("df")),
+      s"$path/df_lower")
   }
 
   /** Stage `df` beside `dir`, then swap directories — the
@@ -271,4 +318,24 @@ object Postings {
   /** The per-source distinct bigram vocabulary `(source, bh, bl)`. */
   def sourceBigrams(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/source_bigrams")
+
+  /** The BM25 term-frequency table `(doc_id, term, tf)` over lowered
+    * `[a-z]+` tokens — a query-term filter on it reaches the parquet
+    * scan as a pushed predicate, so ranked retrieval decodes only the
+    * query's posting lists.
+    */
+  def tfLower(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/tf_lower")
+
+  /** BM25 document lengths `(doc_id, dl)` (docs with ≥ 1 lowered
+    * `[a-z]+` token).
+    */
+  def dlLower(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/dl_lower")
+
+  /** The BM25 document-frequency dictionary `(term, df)` —
+    * vocabulary-sized.
+    */
+  def dfLower(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/df_lower")
 }

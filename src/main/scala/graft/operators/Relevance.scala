@@ -134,9 +134,58 @@ object Relevance {
     val stats = nDocs
       .crossJoin(tf.agg(sum(col("tf")).as("n_tokens")))
       .select(col("n_docs"), expr("n_tokens div n_docs").as("avgdl"))
-    val topk = tf.filter(col("term").isin(queryTerms: _*))
+    bm25ScoreTail(tf.filter(col("term").isin(queryTerms: _*)), dl,
+      df.filter(col("term").isin(queryTerms: _*)), stats, k, k1)
+    // the k collected rows are the whole result; the finally drops
+    // the tf pin even when a consumer job fails mid-flight
+    } finally tf.unpersist(blocking = false)
+  }
+
+  /** [[bm25RankTok]] served from a STORED postings snapshot
+    * ([[Postings.build]]) — the inverted-index serving shape: the
+    * per-run plan reads the query terms' posting lists out of the
+    * stored tf table (the term filter reaches the parquet scan as a
+    * pushed predicate), the per-term df out of the vocabulary-sized
+    * dictionary, and document lengths from the stored dl column;
+    * nothing token-scale is aggregated per query. Identical output by
+    * construction: the stored tables are built by the same
+    * expressions the inline path aggregates ([[Postings]] shares the
+    * tokenization contract) and the scoring tail below is the SAME
+    * definition the inline path calls (the jaccardFromStored
+    * discipline; spec: stored ≡ inline).
+    *
+    * `n_tokens` (for avgdl) sums the stored dl column — a doc-count
+    * scan of one long column, not a token-scale pass.
+    */
+  def bm25RankStored(spark: org.apache.spark.sql.SparkSession,
+                     path: String, nDocs: DataFrame,
+                     queryTerms: Seq[String], k: Int,
+                     k1: Int = 2): DataFrame = {
+    val dl = Postings.dlLower(spark, path)
+    val stats = nDocs
+      .crossJoin(dl.agg(sum(col("dl")).as("n_tokens")))
+      .select(col("n_docs"), expr("n_tokens div n_docs").as("avgdl"))
+    bm25ScoreTail(
+      Postings.tfLower(spark, path)
+        .filter(col("term").isin(queryTerms: _*)),
+      dl,
+      Postings.dfLower(spark, path)
+        .filter(col("term").isin(queryTerms: _*)),
+      stats, k, k1)
+  }
+
+  /** The ONE BM25 scoring tail — posting-filtered tf ⋈ dl ⋈
+    * broadcast df/stats → integer score → TakeOrdered(k) → driver
+    * rank attach — shared by the inline ([[bm25RankTok]]) and stored
+    * ([[bm25RankStored]]) paths so the two are identical by
+    * construction. `tfq`/`dfq` are already filtered to the query's
+    * terms.
+    */
+  private def bm25ScoreTail(tfq: DataFrame, dl: DataFrame, dfq: DataFrame,
+                            stats: DataFrame, k: Int, k1: Int): DataFrame = {
+    val topk = tfq
       .join(dl, "doc_id")
-      .join(broadcast(df.filter(col("term").isin(queryTerms: _*))), "term")
+      .join(broadcast(dfq), "term")
       .crossJoin(broadcast(stats))
       .withColumn("idf_micro",
         expr("(1000000L * (n_docs - df)) div (n_docs + df)"))
@@ -158,13 +207,10 @@ object Relevance {
         "rank", org.apache.spark.sql.types.LongType, nullable = false))
     val ranked = rows.zipWithIndex.map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1).toLong) }
-    tok0.sparkSession
+    tfq.sparkSession
       .createDataFrame(java.util.Arrays.asList(ranked: _*), schema)
       .select(col("doc_id"), col("rank"), col("score_nano"),
         col("n_hit_terms"))
-    // the k collected rows are the whole result; the finally drops
-    // the tf pin even when a consumer job fails mid-flight
-    } finally tf.unpersist(blocking = false)
   }
 
   /** Reciprocal-rank fusion of two ranked candidate lists (e.g. a

@@ -142,6 +142,48 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    if (args.nonEmpty && args(0) == "-full") {
+      // FULL formatted dump: every plan executed while the query
+      // constructs (eager pins — persist fills, localCheckpoints,
+      // broadcast-model collects — run as their own QueryExecutions
+      // and are invisible in the returned frame's explain) plus the
+      // returned frame's own plan. This is what the per-round
+      // plans/rNN/<query>_{before,after}.txt files are generated
+      // from: a checkpoint-pinned query's final frame alone reads as
+      // a bare ExistingRDD scan and would hide the real shape.
+      val fn = SparkEntry.queries(args(1))
+      fn(spark, dir) // warm: memoized _build_* tables, codegen
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      var n = 0
+      val l = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = {
+          n += 1
+          println(s"\n===== construction-time execution $n ($funcName) =====")
+          println(qe.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString(
+              "formatted")))
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      }
+      spark.listenerManager.register(l)
+      val df = fn(spark, dir)
+      try {
+        val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+          .invoke(spark.sparkContext)
+        bus.getClass.getMethods.find(m => m.getName == "waitUntilEmpty" &&
+          m.getParameterCount == 0).foreach(_.invoke(bus))
+      } catch { case _: Throwable => Thread.sleep(500) }
+      spark.listenerManager.unregister(l)
+      println(s"\n===== returned frame =====")
+      df.explain("formatted")
+      spark.stop(); return
+    }
     if (args.nonEmpty) {
       SparkEntry.queries(args(0))(spark, dir).explain("formatted")
       spark.stop(); return

@@ -140,7 +140,8 @@ class PostingsSpec extends AnyFunSuite with SparkSpec {
       (i, src, words.mkString(" "))
     }.toDF("doc_id", "source", "text")
     val tables = Seq("tokens", "pairs", "dtokens", "dtokens_lower",
-      "dbigrams", "bigram_df", "source_bigrams")
+      "dbigrams", "bigram_df", "source_bigrams",
+      "tf_lower", "dl_lower", "df_lower")
     Seq(7, 13, 29).foreach { seed =>
       val inBase = pmod(xxhash64(col("doc_id"), lit(seed)), lit(2)) === 0
       val dirInc = java.nio.file.Files
@@ -187,5 +188,32 @@ class PostingsSpec extends AnyFunSuite with SparkSpec {
     assert(Postings.docBigrams(spark, dir).count() === 0)
     assert(Postings.bigramDf(spark, dir).count() === 0)
     assert(Postings.sourceBigrams(spark, dir).count() === 0)
+    assert(Postings.tfLower(spark, dir).count() === 0)
+    assert(Postings.dlLower(spark, dir).count() === 0)
+    assert(Postings.dfLower(spark, dir).count() === 0)
+  }
+
+  test("BM25 index tables match the inline tf/dl/df derivations") {
+    // the expressions Relevance.bm25RankTok aggregates per run: tf
+    // over lowered [a-z]+ tokens, dl = Σtf per doc, df = docs per
+    // term. The stored tables must equal them row-for-row — that is
+    // what lets bm25RankStored serve with its output unchanged.
+    val dir = java.nio.file.Files.createTempDirectory("graft_post6").toString
+    built(dir)
+    val tok = corpus.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .select(col("doc_id"), lower(col("term")).as("term"))
+      .filter(col("term").rlike("^[a-z]+$"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    assert(rows(Postings.tfLower(spark, dir)
+      .select("doc_id", "term", "tf")) === rows(tf))
+    assert(rows(Postings.dlLower(spark, dir)) ===
+      rows(tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))))
+    assert(rows(Postings.dfLower(spark, dir)) ===
+      rows(tf.groupBy("term").agg(count(lit(1)).as("df"))))
+    // doc 2 ("The the THE the") folds to one tf row with tf = 4
+    assert(rows(Postings.tfLower(spark, dir)
+      .filter(col("doc_id") === 2)
+      .select("term", "tf")) === Seq("the|4"))
   }
 }

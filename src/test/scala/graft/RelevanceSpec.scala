@@ -56,6 +56,31 @@ class RelevanceSpec extends AnyFunSuite with SparkSpec {
     assert(gain10 < gain1) // ...but saturating
   }
 
+  test("bm25 stored serving equals the inline token-stream path") {
+    // the r16 serving shape: bm25RankStored over a built postings
+    // snapshot must return exactly what bm25RankTok computes from the
+    // token stream — same docs, same ranks, same integer scores —
+    // for several query-term sets over the real corpus (the two
+    // paths share one scoring tail; this gates the stored tf/dl/df
+    // derivations end to end).
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_stored").toString
+    graft.operators.Postings.build(docs, "doc_id", "source", "text", dir)
+    val tok = graft.operators.Postings.tokens(spark, dir)
+      .select(col("doc_id"), col("term"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).toSeq.sorted
+    Seq(Seq("the", "of", "and"), Seq("data", "a"), Seq("zzz_absent"))
+      .foreach { terms =>
+        assert(
+          rows(Relevance.bm25RankStored(spark, dir, nDocs, terms, k = 10))
+            === rows(Relevance.bm25RankTok(tok, nDocs, terms, k = 10)),
+          s"stored != inline for terms $terms")
+      }
+  }
+
   test("rrf: one-sided candidates survive, two-system agreement wins") {
     import spark.implicits._
     val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
