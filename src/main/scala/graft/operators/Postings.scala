@@ -66,7 +66,7 @@ object Postings {
     * dedup upstream.
     */
   /** `(doc_id, source, w)` tokenized rows — the one tokenize pass all
-    * five stream writers share (build AND batch admission, so the two
+    * seven stream writers share (build AND batch admission, so the two
     * paths cannot drift).
     */
   private def tokenized(docs: DataFrame, idCol: String, srcCol: String,
@@ -145,8 +145,10 @@ object Postings {
         size(bm25Toks).cast("long").as("dl"))
       .filter(col("dl") >= 1)
 
-  /** Write the seven stream tables from one persisted tokenize pass.
-    * `mode` is Overwrite at [[build]], Append at [[admitBatch]].
+  /** Write the seven stream tables sequentially from one persisted
+    * tokenize pass — the APPEND path [[admitBatch]] uses (batch-sized
+    * inputs; [[build]] runs the same row expressions through the
+    * concurrent writer pool instead).
     */
   private def writeStreams(docs: DataFrame, idCol: String, srcCol: String,
                            textCol: String, path: String,
@@ -164,44 +166,81 @@ object Postings {
     } finally toks.unpersist(blocking = false)
   }
 
+  /** Tokenize once and write the stream + dictionary tables, with the
+    * independent stream writers submitted from a small thread pool
+    * (guide §2.6: concurrent jobs back-fill each other's task tails —
+    * the seven writers are independent jobs over the one PRE-FILLED
+    * tokenize cache, so run sequentially each writer's straggler tail
+    * leaves cores idle; measured r16 at `local[32]`: sequential
+    * 4.4-4.9 s vs concurrent 2.2-2.3 s steady at sf0.1, 22.0-26.6 vs
+    * 11.5-12.4 s at 10× data — interleaved reps, Profile14).
+    * The two dictionary derivations chain INSIDE the future of the
+    * stream they aggregate (bigram dictionaries after the dbigrams
+    * write, df_lower after the dtokens_lower write), so they overlap
+    * the remaining writers too. Same expressions, same tables, same
+    * rows as the sequential [[writeStreams]] path admission uses —
+    * only job submission order changes; the cache is filled eagerly
+    * BEFORE the pool starts (the ngramJaccard lock finding:
+    * concurrent first-consumers of a lazy persist serialize on
+    * per-block fill locks).
+    */
   def build(docs: DataFrame, idCol: String, srcCol: String,
             textCol: String, path: String): Unit = {
-    writeStreams(docs, idCol, srcCol, textCol, path, "overwrite")
-    // ONE aggregation derives BOTH vocabulary-sized dictionaries from
-    // the WRITTEN dbigrams parquet (not the lineage — the corpus is
-    // tokenized exactly once across all seven tables): group once to
-    // per-(source, bigram) doc counts, then bigram_df folds the
-    // source axis (each doc has one source and appears once per
-    // bigram, so Σ_source n ≡ the old per-bigram doc count) and
-    // source_bigrams keeps the keys. One corpus-scale scan + one
-    // corpus-scale shuffle where the r15 build paid two of each; the
-    // persisted intermediate is vocabulary × sources-sized.
-    val bySource = docs.sparkSession.read.parquet(s"$path/dbigrams")
-      .groupBy(col("source"), col("bh"), col("bl"))
-      .agg(count(lit(1)).as("n"))
-      .persist()
+    val spark = docs.sparkSession
+    val toks = tokenized(docs, idCol, srcCol, textCol).persist()
     try {
-      bySource.groupBy(col("bh"), col("bl")).agg(sum(col("n")).as("df"))
-        .write.mode("overwrite").parquet(s"$path/bigram_df")
-      bySource.select(col("source"), col("bh"), col("bl"))
-        .write.mode("overwrite").parquet(s"$path/source_bigrams")
-    } finally bySource.unpersist(blocking = false)
-    // the BM25 document-frequency DICTIONARY (term, df) aggregates
-    // the WRITTEN per-doc-distinct lowered stream — vocabulary-sized
-    // output, one columnar scan; serves both the ranked-retrieval
-    // term picks (top-df pull) and the per-query-term idf, so the
-    // BM25 consumers never pay a corpus-scale df aggregation per run
-    docs.sparkSession.read.parquet(s"$path/dtokens_lower")
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$path/df_lower")
+      toks.count() // eager fill, full parallelism
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      import scala.concurrent.{Await, Future}
+      try {
+        val fs = Seq(
+          Future(tokenRows(toks).write.mode("overwrite")
+            .parquet(s"$path/tokens")),
+          Future(pairRows(toks).write.mode("overwrite")
+            .parquet(s"$path/pairs")),
+          Future(dtokenRows(toks).write.mode("overwrite")
+            .parquet(s"$path/dtokens")),
+          Future(tfLowerRows(toks).write.mode("overwrite")
+            .parquet(s"$path/tf_lower")),
+          Future(dlLowerRows(toks).write.mode("overwrite")
+            .parquet(s"$path/dl_lower")),
+          Future {
+            dtokenLowerRows(toks).write.mode("overwrite")
+              .parquet(s"$path/dtokens_lower")
+            spark.read.parquet(s"$path/dtokens_lower")
+              .groupBy(col("term")).agg(count(lit(1)).as("df"))
+              .write.mode("overwrite").parquet(s"$path/df_lower")
+          },
+          Future {
+            dbigramRows(toks).write.mode("overwrite")
+              .parquet(s"$path/dbigrams")
+            val bySource = spark.read.parquet(s"$path/dbigrams")
+              .groupBy(col("source"), col("bh"), col("bl"))
+              .agg(count(lit(1)).as("n"))
+              .persist()
+            try {
+              bySource.groupBy(col("bh"), col("bl"))
+                .agg(sum(col("n")).as("df"))
+                .write.mode("overwrite").parquet(s"$path/bigram_df")
+              bySource.select(col("source"), col("bh"), col("bl"))
+                .write.mode("overwrite").parquet(s"$path/source_bigrams")
+            } finally bySource.unpersist(blocking = false)
+          })
+        Await.result(Future.sequence(fs),
+          scala.concurrent.duration.Duration.Inf): Unit
+      } finally pool.shutdown()
+    } finally toks.unpersist(blocking = false)
   }
+
 
   /** Admit a BATCH of new documents into an existing postings
     * snapshot at BATCH cost — the stored corpus is never re-read and
     * never re-tokenized (round-15 verdict task 2: a daily 100 TB
     * pipeline admits a batch; full rebuilds are for new snapshots).
     *
-    *  - The five stream tables append the batch's own rows, computed
+    *  - The seven stream tables append the batch's own rows, computed
     *    by the SAME expressions as [[build]] (shared one-definition
     *    helpers, so the two paths cannot drift). Appends are exact
     *    because every stream table is a per-document row set:
